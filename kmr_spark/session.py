@@ -1,0 +1,110 @@
+"""SparkSession factory and table catalog.
+
+KMR creates an execution context over an MPI communicator
+(``kmr_create_context``, reference src/kmrbase.c:168); here the context is
+a SparkSession configured for the engine's workload shape:
+
+- AQE on (runtime re-planning, skew-join splitting — subsumes KMR's manual
+  ``kmr_shuffle_leveling_pair_count``, reference src/kmrmoreops.c:1074).
+- Arrow on (every Python-side UDF path is Arrow-batched, never per-row).
+- Shuffle partition count sized by env, not hard-coded, so the same code
+  runs on local[32] and on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver testdata provides (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Timestamp columns per table (stored as TIMESTAMP(NANOS) in the parquet).
+TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def get_spark(app_name: str = "kmr_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to ``SPARK_GRAFT_CPUS`` (local test rig)
+    but AQE coalesces small shuffles at runtime, so the static number only
+    sets an upper bound locally; on a real cluster it should be ~2-3x the
+    executor-core count and AQE will handle the rest.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # driver testdata stores TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long ns and convert in load_tables()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the driver parquet tables from ``sf_dir``.
+
+    Parquet scans give Catalyst column pruning + predicate pushdown for
+    free — the declarative equivalent of KMR's scan-time filter/project
+    idiom (``select_by_fields``, reference ex/tpch.c:1655).
+    """
+    # The driver may hand us a session built without our configs; the
+    # nanos-as-long switch is runtime-settable, so pin it here too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as long ns (see get_spark);
+            # truncate to micros exactly like DuckDB's TIMESTAMP_NS ->
+            # TIMESTAMP cast so oracle comparisons see identical values.
+            for col in TS_COLS.get(name, ()):
+                if dict(df.dtypes).get(col) == "bigint":
+                    df = df.withColumn(
+                        col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
+                    )
+            out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` pipelines work."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
