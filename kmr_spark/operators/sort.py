@@ -1,0 +1,140 @@
+"""Ordering-family operators (reference: kmr_sort / ranking / limit,
+SURVEY.md §2.6).
+
+KMR's global sort is a sampling sort — sample keys, pick splitters,
+route by range, sort locally (kmr_sort_large, reference
+src/kmrmoreops.c:469-536). Spark's ``orderBy`` IS that algorithm
+(RangePartitioner samples, then per-partition Tungsten sort), so the
+global sort is a one-liner and the interesting parity work is ranking
+and limit, which in KMR depend on rank order — here they take an
+explicit ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def global_sort(df: DataFrame, *order: str | Column) -> DataFrame:
+    """Total order across partitions (kmr_sort, src/kmrmoreops.c:575-593).
+
+    Output partition p holds keys <= partition p+1's keys — the same
+    contract KMR's sampling sort provides, and what GraySort validation
+    needs. Descending keys are ``F.desc(col)`` — no negate-and-byteswap
+    key encoding (reference ex/tpch.c:3075-3080) needed.
+    """
+    return df.orderBy(*order)
+
+
+def sort_locally(df: DataFrame, *order: str | Column) -> DataFrame:
+    """Per-partition sort, no exchange (kmr_sort_locally,
+    src/kmrbase.c:2051)."""
+    return df.sortWithinPartitions(*order)
+
+
+def is_globally_sorted(df: DataFrame, *order: str) -> bool:
+    """kmr_assert_sorted (src/kmrutil.c:717): verify a total order.
+
+    Distributed check: per-partition (min, max, sorted?) summaries, then
+    a driver-side pass over the tiny summary list — no data collect.
+    """
+    cols = list(order)
+    pid = df.select(F.spark_partition_id().alias("pid"), F.struct(*cols).alias("k"))
+    summary = (
+        pid.groupBy("pid")
+        .agg(
+            F.min("k").alias("lo"),
+            F.max("k").alias("hi"),
+            # within-partition sortedness: compare to the lag under pid order
+            F.count("*").alias("n"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    prev_hi = None
+    for r in summary:
+        if prev_hi is not None and r["lo"] is not None and tuple(prev_hi) > tuple(r["lo"]):
+            return False
+        prev_hi = r["hi"]
+    # per-partition local sortedness
+    local = df.select(
+        F.spark_partition_id().alias("pid"), F.struct(*cols).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy(F.monotonically_increasing_id())
+    bad = (
+        local.withColumn("prev", F.lag("k").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") > F.col("k")))
+        .limit(1)
+        .count()
+    )
+    return bad == 0
+
+
+def ranking(df: DataFrame, order: list[str | Column]) -> DataFrame:
+    """Global 0-based position under an explicit total order
+    (kmr_ranking, src/kmrmoreops.c:764-805).
+
+    Same algorithm as KMR (exscan of per-partition counts + local
+    index), expressed Spark-first:
+
+    1. range-partition + locally sort (``orderBy``) — persisted so the
+       two downstream jobs see identical partitioning;
+    2. count rows per partition (tiny collect — this is KMR's MPI_Exscan);
+    3. narrow Arrow pass adds offset + local index. No global window
+       (which would serialize through one partition) and no RDD
+       round-trip.
+    """
+    sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        sdf.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+
+    out_schema = "rank long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields
+    )
+    from pyspark import TaskContext
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf.insert(0, "rank", range(pos, pos + n))
+            pos += n
+            yield pdf
+
+    return sdf.mapInPandas(add_rank, schema=out_schema)
+
+
+def choose_first_part(df: DataFrame, n: int, order: list[str | Column] | None = None) -> DataFrame:
+    """Global LIMIT n (kmr_choose_first_part, src/kmrmoreops.c:1145-1163).
+
+    KMR keeps the first n in rank order; Spark's limit after an explicit
+    orderBy is the deterministic equivalent (TPC-H ``rownum <= 20``,
+    reference ex/tpch.c:2932).
+    """
+    if order:
+        df = df.orderBy(*order)
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, k: int, *order: str | Column) -> DataFrame:
+    """orderBy + limit — Spark plans this as TakeOrderedAndProject
+    (per-partition heap + driver merge), the scalable top-k."""
+    return df.orderBy(*order).limit(k)
