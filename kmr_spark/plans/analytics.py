@@ -1,0 +1,205 @@
+"""Events-table analytics: prefix scans, ranking, windows, set ops.
+
+Covers the reference operators that need an explicit order or grouping
+surface (kmr_scan_on_values src/kmrmoreops.c:943, kmr_ranking
+src/kmrmoreops.c:764, kmr_count_keys src/kmrmoreops.c:1009, set ops
+SURVEY.md §2.7) plus the beyond-reference windowed-event analytics the
+`events` table exists for. Every query has a DuckDB oracle.
+
+Scale notes: all windows partition by user_id (no global single-partition
+window anywhere); sums over doubles go through DECIMAL so both engines
+agree bit-for-bit; sessionization is the lag+cumsum linear-scan form, not
+a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_keys + expression aggregates per event_type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-inclusive per-user prefix sum of value over time
+    (kmr_scan_on_values parity, grouped form — scales because the scan
+    partitions by user)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")).over(w), F.lit(0))
+        .cast("double")
+        .alias("run_sum"),
+    )
+
+
+EVENTS_RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS run_sum
+FROM events
+"""
+
+
+def events_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest 3 events per user — kmr_ranking parity in its grouped,
+    scale-friendly form (row_number within partitioned window)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+    )
+
+
+EVENTS_TOPN_SQL = """
+SELECT user_id, rn, event_id, event_type
+FROM (SELECT user_id, event_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session).
+
+    Batch equivalent of a Structured Streaming session window: a new
+    session starts where the gap from the previous event exceeds the
+    threshold; session id is the running count of session starts. Linear
+    per-user scan — no self-join, so it survives 100 TB.
+    """
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    with_start = ev.withColumn(
+        "new_session",
+        (F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(SESSION_GAP_US + 1))
+         > SESSION_GAP_US).cast("long"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    sess = with_start.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             {SESSION_GAP_US + 1}) > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the batch twin of the
+    Structured Streaming query in kmr_spark.streaming (same plan shape)."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (SURVEY.md §2.7 — KMR only has union; Spark
+    has union/intersect/except built in): customers with an 'O' order,
+    minus those with 'F' orders, unioned with the intersection tagged."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    with_o = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")).distinct()
+    with_f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")).distinct()
+    only_o = with_o.exceptAll(with_f).withColumn("tag", F.lit("only_o"))
+    both = with_o.intersect(with_f).withColumn("tag", F.lit("both"))
+    return only_o.unionByName(both).orderBy("tag", "custkey")
+
+
+SET_OPS_SQL = """
+WITH with_o AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+     with_f AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT custkey, 'only_o' AS tag FROM (SELECT custkey FROM with_o EXCEPT SELECT custkey FROM with_f)
+UNION ALL
+SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM with_o INTERSECT SELECT custkey FROM with_f)
+ORDER BY tag, custkey
+"""
+
+
+QUERIES = {
+    "events_type_stats": events_type_stats,
+    "events_running_sum": events_running_sum,
+    "events_topn_per_user": events_topn_per_user,
+    "events_sessionize": events_sessionize,
+    "events_tumbling_window": events_tumbling_window,
+    "set_ops_customers": set_ops_customers,
+}
+
+ORACLE_SQL = {
+    "events_type_stats": EVENTS_TYPE_STATS_SQL,
+    "events_running_sum": EVENTS_RUNNING_SUM_SQL,
+    "events_topn_per_user": EVENTS_TOPN_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "set_ops_customers": SET_OPS_SQL,
+}
