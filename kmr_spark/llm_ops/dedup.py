@@ -1,0 +1,269 @@
+"""Deduplication operators over the documents table.
+
+Four industry-standard strategies, each expressed so the candidate-pair
+generation is a *banded equi-join* (shuffle on a band key), never an
+all-pairs product — the property that keeps them viable at 100 TB:
+
+- exact:        hash-groupBy on md5(text)
+- MinHash-LSH:  shingle -> minhash signature -> band buckets -> join
+- SimHash:      bitwise fingerprint -> band buckets -> hamming verify
+- n-gram Jaccard: blocking key (lang, source) -> in-block verify
+
+All hashing arithmetic comes from kmr_spark.functions.hashing which has
+bit-identical DuckDB twins, so every operator has a full value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.functions import hashing as H
+from kmr_spark.session import load_tables
+
+JACCARD_THRESHOLD = 0.5
+NGRAM_BLOCK_THRESHOLD = 0.3
+SIMHASH_MAX_HAMMING = 1
+
+
+def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    th = H.token_hashes_col(H.tokens_col("text"))
+    base = docs.select("doc_id", th.alias("th")).select(
+        "doc_id", H.shingle_hashes_col(F.col("th")).alias("sh"))
+    return base.filter(F.size("sh") > 0).select(
+        "doc_id", F.array_distinct("sh").alias("shset"), *H.minhash_sig_cols(F.col("sh")))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (keeper, group size).
+
+    At scale this is one hash-shuffle of (hash, id) pairs — the content
+    never moves twice because md5 is computed at the scan.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified by true
+    Jaccard over the distinct-shingle sets.
+
+    Plan shape: per-doc signature (narrow, codegen) -> explode to
+    N_BANDS band keys -> self-equi-join on band key (hash shuffle) ->
+    distinct candidate pairs -> verify with one more join to fetch
+    shingle sets. No stage touches more than O(docs x bands) rows plus
+    O(candidates) verification work.
+    """
+    sigs = _docs_with_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(b), F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))
+                for b in range(H.N_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+def _sql_sigs_cte() -> str:
+    tok = H.sql_tokens("text")
+    th = H.sql_token_hashes(tok)
+    return f"""
+sigs0 AS (SELECT doc_id, {th} AS th FROM documents),
+sigs1 AS (SELECT doc_id, {H.sql_shingle_hashes('th')} AS sh FROM sigs0),
+sigs AS (SELECT doc_id, list_distinct(sh) AS shset, {', '.join(H.sql_minhash_sigs('sh'))}
+         FROM sigs1 WHERE len(sh) > 0)
+"""
+
+
+MINHASH_SQL = f"""
+WITH {_sql_sigs_cte()},
+bands AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b+1}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         AS band_key
+  FROM sigs, unnest(range({H.N_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+         / len(list_distinct(sa.shset || sb.shset)) AS jaccard
+FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+          JOIN sigs sb ON cand.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+        / len(list_distinct(sa.shset || sb.shset)) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via 32-bit frequency-weighted SimHash with
+    banded candidate generation (4 bands of 8 bits; pigeonhole guarantees
+    hamming <= 3 is always caught) and exact hamming verification.
+
+    Weighted means each token occurrence votes on the bits (the classic
+    Charikar form) — essential on low-entropy corpora where the distinct
+    token *set* barely varies between documents.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    th = H.token_hashes_col(H.tokens_col("text"))
+    hashes = docs.select("doc_id", th.alias("th")).filter(F.size("th") > 0)
+    exploded = hashes.select("doc_id", F.explode("th").alias("h"))
+    bit_sums = exploded.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"s{i}")
+        for i in range(H.SIMHASH_BITS)
+    ])
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{i}") > 0, 1).otherwise(0).cast("long") * (1 << i))
+            for i in range(H.SIMHASH_BITS)
+        ).alias("simhash"),
+    )
+    bands = simhash.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(b),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255))
+            for b in range(4)
+        ])).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH ths AS (
+  SELECT doc_id, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+  FROM documents),
+bits AS (
+  SELECT doc_id, h FROM ths, unnest(ths.th) AS t(h) WHERE len(ths.th) > 0),
+sums AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(H.SIMHASH_BITS))}
+  FROM bits GROUP BY doc_id),
+sim AS (
+  SELECT doc_id,
+         {' + '.join(f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})" for i in range(H.SIMHASH_BITS))}
+         AS simhash
+  FROM sums),
+bands AS (
+  SELECT doc_id, simhash,
+         CAST(b AS VARCHAR) || ':' || CAST(((simhash >> (8 * b)) & 255) AS VARCHAR) AS band_key
+  FROM sim, unnest(range(4)) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard: docs sharing (lang, source) are compared
+    by token-3-gram Jaccard. Blocking bounds the candidate set the same
+    way the band join does for MinHash — the technique a 100 TB pipeline
+    uses when metadata blocking keys exist.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    th = H.token_hashes_col(H.tokens_col("text"))
+    base = docs.select("doc_id", "lang", "source", th.alias("th")).select(
+        "doc_id", "lang", "source",
+        F.array_distinct(H.shingle_hashes_col(F.col("th"))).alias("shset"))
+    base = base.filter(F.size("shset") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.shset", "b.shset"))
+            / F.size(F.array_union("a.shset", "b.shset")))
+        .filter(F.col("jaccard") >= NGRAM_BLOCK_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_SQL = f"""
+WITH t0 AS (SELECT doc_id, lang, source, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+            FROM documents),
+base AS (SELECT doc_id, lang, source, list_distinct({H.sql_shingle_hashes('th')}) AS shset
+         FROM t0),
+nz AS (SELECT * FROM base WHERE len(shset) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         / len(list_distinct(a.shset || b.shset)) AS jaccard
+FROM nz a JOIN nz b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        / len(list_distinct(a.shset || b.shset)) >= {NGRAM_BLOCK_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_simhash": simhash_pairs,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_minhash_lsh": MINHASH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
+}

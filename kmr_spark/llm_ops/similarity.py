@@ -1,0 +1,133 @@
+"""Similarity search over the embeddings table (array<float> 64-dim).
+
+- knn_bruteforce: exact cosine top-k for a query set — the correctness
+  baseline. Plan: broadcast the (small) query side against the full
+  vector table, per-pair codegen cosine, grouped top-k via row_number
+  (TakeOrdered-style, no global sort).
+- ann_ivf: the scale path — vectors are assigned to their nearest
+  centroid (IVF coarse quantizer); a query probes only its own cell.
+  At 100 TB the cell assignment is the partition key, so a probe touches
+  1/n_cells of the data. Centroids here are a deterministic sample of
+  the data itself (first N_CENTROIDS vec_ids) so the DuckDB oracle can
+  reproduce the exact assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.functions import vectors as V
+from kmr_spark.session import load_tables
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+N_CENTROIDS = 8
+IVF_TOP_K = 3
+
+
+def _emb(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", V.to_double_array("embedding").alias("vd"))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"))
+    pairs = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+KNN_SQL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {V.sql_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM pairs)
+SELECT query_id, rn, neighbor_id, cosine FROM ranked
+WHERE rn <= {TOP_K} ORDER BY query_id, rn
+"""
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid, then answer each query inside its own cell only."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vd", F.col("cent_id").alias("cell"))
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("cell"))
+    cand = queries.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    rescored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {V.sql_cosine('e.embedding', 'c.cv')} AS csim
+  FROM emb e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM assign0) WHERE rn = 1),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned
+  WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {V.sql_cosine('q.qv', 'a.embedding')} AS cosine
+  FROM queries q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn,
+       neighbor_id, cosine
+FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
+"""
+
+
+QUERIES = {
+    "sim_knn_bruteforce": knn_bruteforce,
+    "sim_ann_ivf": ann_ivf,
+}
+
+ORACLE_SQL = {
+    "sim_knn_bruteforce": KNN_SQL,
+    "sim_ann_ivf": ANN_IVF_SQL,
+}

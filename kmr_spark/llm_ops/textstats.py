@@ -1,0 +1,180 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (JVM codegen, no UDFs) with exact DuckDB
+twins. Ratios are int/int divisions and the score is a fixed-order
+double expression, so values are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.functions import hashing as H
+from kmr_spark.session import load_tables
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+#: marker words per language for the n-gram/stopword lang-id heuristic;
+#: priority order breaks ties deterministically.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "y", "las", "es"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+
+def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length/stopword stats + composite quality score.
+
+    Quality formula (fixed order, both engines):
+      0.4*min(n_tokens/100, 1) + 0.3*(1 - stopword_ratio)
+        + 0.3*min(avg_token_len/8, 1)
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = H.tokens_col("text")
+    base = docs.select("doc_id", "n_chars", toks.alias("toks")).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_tok_len"),
+        F.size(F.array_intersect(F.col("toks"), F.array(*[F.lit(s) for s in STOPWORDS])))
+        .cast("long").alias("n_stop_kinds"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(STOPWORDS)))
+        .cast("long").alias("n_stop"),
+    )
+    withratios = base.select(
+        "doc_id", "n_chars", "n_tokens",
+        (F.col("sum_tok_len") / F.col("n_tokens")).alias("avg_tok_len"),
+        (F.col("n_stop") / F.col("n_tokens")).alias("stopword_ratio"),
+    )
+    return withratios.select(
+        "doc_id", "n_chars", "n_tokens", "avg_tok_len", "stopword_ratio",
+        (
+            F.lit(0.4) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
+            + F.lit(0.3) * F.least(F.col("avg_tok_len") / F.lit(8.0), F.lit(1.0))
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXTSTATS_SQL = f"""
+WITH t0 AS (
+  SELECT doc_id, n_chars, {H.sql_tokens('text')} AS toks FROM documents),
+base AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)
+           AS sum_tok_len,
+         CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS BIGINT) AS n_stop
+  FROM t0),
+ratios AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
+  FROM base)
+SELECT doc_id, n_chars, n_tokens, avg_tok_len, stopword_ratio,
+       0.4 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * (1.0 - stopword_ratio)
+         + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
+FROM ratios ORDER BY doc_id
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count marker hits per language over the
+    token multiset; argmax with fixed priority; 'und' when no hits."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = H.tokens_col("text")
+
+    def hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    hit_cols = [hits(ms).alias(f"hits_{lang}") for lang, ms in LANG_MARKERS.items()]
+    base = docs.select("doc_id", F.col("lang").alias("lang_label"), *hit_cols)
+    pred = F.lit("und")
+    # build argmax CASE from lowest priority up so higher priority wins ties
+    for lang in reversed(LANG_PRIORITY):
+        cond = (F.col(f"hits_{lang}") > 0)
+        for o in LANG_PRIORITY[: LANG_PRIORITY.index(lang)]:
+            cond = cond & (F.col(f"hits_{lang}") > F.col(f"hits_{o}"))
+        for o in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1:]:
+            cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{o}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return base.select("doc_id", "lang_label", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in ms)}], t))) AS hits_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    # same construction order as the Spark side: later (higher-priority)
+    # WHEN clauses are built last but evaluated first
+    case = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        conds = [f"hits_{lang} > 0"]
+        for o in LANG_PRIORITY[: LANG_PRIORITY.index(lang)]:
+            conds.append(f"hits_{lang} > hits_{o}")
+        for o in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1:]:
+            conds.append(f"hits_{lang} >= hits_{o}")
+        case = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {case} END"
+    return f"""
+WITH t0 AS (SELECT doc_id, lang AS lang_label, {H.sql_tokens('text')} AS toks FROM documents),
+hits AS (SELECT doc_id, lang_label, {hits} FROM t0)
+SELECT doc_id, lang_label, {case} AS lang_pred FROM hits ORDER BY doc_id
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min/max shingle hash + full-text
+    rolling hash — the compact signature used for fast pre-filtering."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    th = H.token_hashes_col(H.tokens_col("text"))
+    base = docs.select("doc_id", th.alias("th")).select(
+        "doc_id", F.col("th"), H.shingle_hashes_col(F.col("th")).alias("sh"))
+    return base.select(
+        "doc_id",
+        F.array_min("sh").alias("fp_min"),
+        F.array_max("sh").alias("fp_max"),
+        F.aggregate(
+            F.col("th"), F.lit(0).cast("long"),
+            lambda acc, x: (acc * H.BETA + x) % H.P,
+        ).alias("fp_roll"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+WITH t0 AS (SELECT doc_id, {H.sql_token_hashes(H.sql_tokens('text'))} AS th FROM documents),
+t1 AS (SELECT doc_id, th, {H.sql_shingle_hashes('th')} AS sh FROM t0)
+SELECT doc_id, list_min(sh) AS fp_min, list_max(sh) AS fp_max,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                   (acc, x) -> (acc * {H.BETA} + x) % {H.P}) AS fp_roll
+FROM t1 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": doc_textstats,
+    "text_langid": doc_langid,
+    "text_fingerprint": doc_fingerprint,
+}
+
+ORACLE_SQL = {
+    "text_stats": TEXTSTATS_SQL,
+    "text_langid": LANGID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+}
