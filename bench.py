@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect skew). Timings are per-query wall clock after a warmup
+query that pays the JVM/codegen startup cost once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q21",
+    "wordcount_topk",
+    "graysort_rank",
+    "events_sessionize",
+    "events_type_stats",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from kmr_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("kmr_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer reads
+    queries["tpch_q13"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kmr_spark headline queries, end-to-end noop-sink wall clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

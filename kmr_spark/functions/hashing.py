@@ -77,6 +77,21 @@ def minhash_sig_cols(sh: Column) -> list[Column]:
     return [one(a, b).alias(f"sig{j}") for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))]
 
 
+def token_hash_table(docs, extra_cols: list[str] | None = None):
+    """(doc_id, *extra_cols, th) with a persist() barrier.
+
+    The barrier is load-bearing: without it CollapseProject inlines the
+    token-hash array into every per-shingle element_at, turning an
+    O(tokens) hash into O(tokens^2) per document, and predicate pushdown
+    can drag the whole computation into the (often single-partition)
+    parquet scan. At 100 TB this table is the checkpointed intermediate
+    a dedup pipeline would persist anyway.
+    """
+    cols = ["doc_id", *(extra_cols or [])]
+    th = token_hashes_col(tokens_col("text"))
+    return docs.select(*cols, th.alias("th")).persist()
+
+
 # --------------------------------------------------------------- DuckDB side
 # SQL fragment generators — same math, same constants, same fold order.
 

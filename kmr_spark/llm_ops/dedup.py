@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.functions import hashing as H
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, widen
 
 JACCARD_THRESHOLD = 0.5
 NGRAM_BLOCK_THRESHOLD = 0.3
@@ -27,12 +27,19 @@ SIMHASH_MAX_HAMMING = 1
 
 
 def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    th = H.token_hashes_col(H.tokens_col("text"))
-    base = docs.select("doc_id", th.alias("th")).select(
-        "doc_id", H.shingle_hashes_col(F.col("th")).alias("sh"))
+    """Signature table: (doc_id, distinct shingle set, minhash sigs).
+
+    Widened before the hash-heavy expressions (single-file scan would
+    serialize them) and persisted because three downstream joins (band
+    explode + two verify sides) reuse it — the 100 TB form of this is a
+    checkpointed signature table, computed once per corpus.
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs)
+    base = th_table.select("doc_id", H.shingle_hashes_col(F.col("th")).alias("sh"))
     return base.filter(F.size("sh") > 0).select(
-        "doc_id", F.array_distinct("sh").alias("shset"), *H.minhash_sig_cols(F.col("sh")))
+        "doc_id", F.array_distinct("sh").alias("shset"),
+        *H.minhash_sig_cols(F.col("sh"))).persist()
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,9 +149,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Charikar form) — essential on low-entropy corpora where the distinct
     token *set* barely varies between documents.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
-    th = H.token_hashes_col(H.tokens_col("text"))
-    hashes = docs.select("doc_id", th.alias("th")).filter(F.size("th") > 0)
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    hashes = H.token_hash_table(docs).filter(F.size("th") > 0)
     exploded = hashes.select("doc_id", F.explode("th").alias("h"))
     bit_sums = exploded.groupBy("doc_id").agg(*[
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"s{i}")
@@ -156,7 +162,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.when(F.col(f"s{i}") > 0, 1).otherwise(0).cast("long") * (1 << i))
             for i in range(H.SIMHASH_BITS)
         ).alias("simhash"),
-    )
+    ).persist()  # reused by both sides of the band self-join
     bands = simhash.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -217,12 +223,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     way the band join does for MinHash — the technique a 100 TB pipeline
     uses when metadata blocking keys exist.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
-    th = H.token_hashes_col(H.tokens_col("text"))
-    base = docs.select("doc_id", "lang", "source", th.alias("th")).select(
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs, ["lang", "source"])
+    base = th_table.select(
         "doc_id", "lang", "source",
         F.array_distinct(H.shingle_hashes_col(F.col("th"))).alias("shset"))
-    base = base.filter(F.size("shset") > 0)
+    base = base.filter(F.size("shset") > 0).persist()  # both join sides
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.functions import hashing as H
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, widen
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
@@ -34,7 +34,7 @@ def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
       0.4*min(n_tokens/100, 1) + 0.3*(1 - stopword_ratio)
         + 0.3*min(avg_token_len/8, 1)
     """
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = widen(load_tables(spark, sf_dir)["documents"])
     toks = H.tokens_col("text")
     base = docs.select("doc_id", "n_chars", toks.alias("toks")).select(
         "doc_id",
@@ -94,7 +94,7 @@ FROM ratios ORDER BY doc_id
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count marker hits per language over the
     token multiset; argmax with fixed priority; 'und' when no hits."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = widen(load_tables(spark, sf_dir)["documents"])
     toks = H.tokens_col("text")
 
     def hits(markers: list[str]):
@@ -142,9 +142,8 @@ LANGID_SQL = _langid_sql()
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min/max shingle hash + full-text
     rolling hash — the compact signature used for fast pre-filtering."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    th = H.token_hashes_col(H.tokens_col("text"))
-    base = docs.select("doc_id", th.alias("th")).select(
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    base = H.token_hash_table(docs).select(
         "doc_id", F.col("th"), H.shingle_hashes_col(F.col("th")).alias("sh"))
     return base.select(
         "doc_id",

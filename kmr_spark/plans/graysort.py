@@ -19,15 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.operators.sort import ranking
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, widen
 
 
 def graysort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank lineitem rows under a synthetic opaque sort key."""
-    li = load_tables(spark, sf_dir)["lineitem"]
+    li = widen(load_tables(spark, sf_dir)["lineitem"])
+    # widen + persist: the sampling pass and the sort pass of the range
+    # partitioner both read this input — materializing the keyed rows once
+    # (KMR's eager KVS between sort phases, src/kmrmoreops.c:469) halves
+    # the work and parallelizes the md5 scan of a single-file input.
     keyed = li.select(
         F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))).alias("sortkey")
-    )
+    ).persist()
     return ranking(keyed, ["sortkey"]).select("rank", "sortkey")
 
 

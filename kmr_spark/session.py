@@ -102,6 +102,22 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+def widen(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    Small-file inputs (one parquet file = one scan partition) serialize
+    CPU-heavy per-row expressions onto a single core; widening first
+    costs one cheap shuffle of the raw bytes and buys full parallelism.
+    At 100 TB inputs are already many-partitioned and this is a no-op
+    decision the caller makes — it's for small-input / heavy-compute
+    stages (hashing, scoring) only.
+    """
+    spark = df.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` pipelines work."""
     tables = load_tables(spark, sf_dir)
