@@ -1,0 +1,135 @@
+"""Streaming windows (bounded replay vs batch twins), file/pipe sources,
+multimodal plumbing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    from kmr_spark.plans.analytics import events_tumbling_window
+    from kmr_spark.streaming.windows import (
+        run_available_now, stream_events, tumbling_counts_stream)
+
+    stream = tumbling_counts_stream(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "tumbling_test", str(tmp_path / "ck1"))
+    batch = events_tumbling_window(spark, SF_SMALL)
+    g = sorted(map(tuple, got.select("window_start", "event_type", "n", "sum_value").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b
+
+
+def test_session_stream_matches_batch_counts(spark, tmp_path):
+    from kmr_spark.plans.analytics import events_sessionize
+    from kmr_spark.streaming.windows import (
+        run_available_now, sessionized_stream, stream_events)
+
+    stream = sessionized_stream(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "session_test", str(tmp_path / "ck2"))
+    batch = events_sessionize(spark, SF_SMALL)
+    # session membership must agree: same (user, n_events, start, end) multiset
+    g = sorted(map(tuple, got.select("user_id", "n_events", "t_start", "t_end").collect()))
+    b = sorted(map(tuple, batch.select("user_id", "n_events", "t_start", "t_end").collect()))
+    assert g == b
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from kmr_spark.streaming.windows import (
+        run_available_now, stream_events, streaming_dedup)
+
+    got = run_available_now(
+        streaming_dedup(stream_events(spark, SF_SMALL)), "dedup_test", str(tmp_path / "ck3"))
+    n = got.count()
+    assert n == 1000  # event_ids are unique in the testdata; none dropped
+
+
+def test_enumerate_and_text_lines(spark, tmp_path):
+    from kmr_spark.sources.files import enumerate_files, read_text_lines
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nfoo bar\n")
+    (d / "b.txt").write_text("baz\n")
+    files = enumerate_files(spark, [str(d)])
+    assert files.count() == 2
+    lines = read_text_lines(spark, str(d))
+    assert sorted(r["line"] for r in lines.collect()) == ["baz", "foo bar", "hello world"]
+
+
+def test_csv_table_scan(spark, tmp_path):
+    from kmr_spark.sources.files import read_csv_table
+
+    p = tmp_path / "t.tbl"
+    p.write_text("1|alice|3.5\n2|bob|4.25\n")
+    df = read_csv_table(spark, str(p), "id long, name string, score double")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "alice", 3.5), (2, "bob", 4.25)]
+
+
+def test_pipe_map_identity_and_transform(spark):
+    from kmr_spark.kvs import KVS
+    from kmr_spark.sources.pipe import pipe_map
+
+    kvs = KVS.from_pairs(spark, [(i, f"v{i}") for i in range(10)], "key long, value string")
+    out = pipe_map(kvs.df, "cat")
+    assert sorted((r["key"], r["value"]) for r in out.collect()) == [
+        (str(i), f"v{i}") for i in range(10)]
+    upper = pipe_map(kvs.df, "tr a-z A-Z")
+    assert dict((r["key"], r["value"]) for r in upper.collect())["3"] == "V3"
+
+
+def test_pipe_per_key_reduce(spark):
+    from kmr_spark.kvs import KVS
+    from kmr_spark.sources.pipe import pipe_per_key_reduce
+
+    kvs = KVS.from_pairs(
+        spark, [(i % 3, i) for i in range(9)], "key long, value long")
+    # awk reducer: sum values per contiguous key run (kmrrun reducer shape)
+    cmd = (
+        "awk -F'\\t' '{ if ($1 != k && NR > 1) { print k \"\\t\" s; s = 0 } "
+        "k = $1; s += $2 } END { print k \"\\t\" s }'"
+    )
+    out = pipe_per_key_reduce(kvs.df, cmd)
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+    assert got == {"0": 0 + 3 + 6, "1": 1 + 4 + 7, "2": 2 + 5 + 8}
+
+
+def test_multimodal_pipeline(spark):
+    from kmr_spark.llm_ops.multimodal import (
+        decode_media, make_media_table, resize_images, sample_frames)
+
+    media = make_media_table(spark, n=30)
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    import hashlib
+
+    byid = {r["media_id"]: r for r in rows}
+    payload0 = hashlib.sha256(b"0").digest()
+    assert byid[0]["n_bytes"] == len(payload0)
+    assert byid[0]["checksum"] == hashlib.md5(payload0).hexdigest()
+
+    resized = resize_images(media, 8, 8, fake=True)
+    rrows = resized.collect()
+    assert all(len(r["payload"]) == 64 for r in rrows)
+    assert {r["media_id"] % 3 for r in rrows} == {0}  # images only
+
+    frames = sample_frames(media, every_n_bytes=32, fake=True)
+    frows = frames.collect()
+    assert frows and all(r["media_id"] % 3 == 2 for r in frows)  # videos only
+    # UDTF shape: multiple frames per video
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in frows)
+    assert max(per.values()) > 1
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    import pytest
+
+    from kmr_spark.llm_ops.multimodal import decode_media, make_media_table
+
+    with pytest.raises(NotImplementedError):
+        decode_media(make_media_table(spark, n=2))
