@@ -37,6 +37,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.iterative as iterative
+        modules.append(iterative)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

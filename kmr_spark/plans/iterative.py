@@ -1,0 +1,233 @@
+"""Iterative algorithms: PageRank and k-means (reference capability
+evidence, SURVEY.md §2.12 — ex/pagerank.c, ex/kmeans-kmr.c).
+
+The reference runs these as eager map/reduce loops with replicated
+state (centroids broadcast each round, ex/kmeans-kmr.c:1-36). Spark-first
+form: a Python driver loop over DataFrame lineage, persisting each
+iteration's state (the moral equivalent of KMR's materialized KVS per
+step), broadcasting the tiny state (centroids) and shuffling only on the
+natural keys (dst node / cluster id).
+
+Cross-engine exactness: both algorithms are formulated in fixed-point
+integer arithmetic (scaled bigint, floor division) so five chained
+iterations produce bit-identical results in Spark and DuckDB — float
+summation order can never diverge. Production notes: PageRank mass and
+k-means sums at 100 TB would use the same integer formulation (it also
+sidesteps float non-associativity across partition trees), or float with
+documented tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+# ------------------------------------------------------------------ PageRank
+
+PR_SCALE = 10**12  # fixed-point unit mass per node
+PR_ITERS = 5
+# damping 0.85 expressed in integer arithmetic: new = 15% + 85% of inflow
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric bipartite customer<->supplier graph from co-occurrence
+    in orders. Node ids are disjoint: customer c -> 2c, supplier s -> 2s+1.
+    """
+    t = load_tables(spark, sf_dir)
+    oli = (
+        t["orders"].join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select((F.col("o_custkey") * 2).alias("cnode"),
+                (F.col("l_suppkey") * 2 + 1).alias("snode"))
+        .distinct()
+    )
+    fwd = oli.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+    rev = oli.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fixed-point PageRank iterations; output (node, rank)."""
+    edges = _edges(spark, sf_dir).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left_outer")
+            .select("node", F.coalesce(F.col("inflow"), F.lit(0)).alias("inflow"))
+            .select(
+                "node",
+                (F.expr(f"{15 * PR_SCALE} DIV 100")
+                 + F.expr("(85 * inflow) DIV 100")).alias("rank"),
+            )
+            .persist()
+        )
+    return ranks.orderBy("node")
+
+
+def _pagerank_sql() -> str:
+    base = 15 * PR_SCALE
+    cte = f"""
+oli AS (SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT cnode AS src, snode AS dst FROM oli
+          UNION ALL SELECT snode AS src, cnode AS dst FROM oli),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    for i in range(PR_ITERS):
+        cte += f""",
+c{i + 1} AS (
+  SELECT e.dst, SUM(r.rank // o.outdeg) AS inflow
+  FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node, {base} // 100 + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.dst)"""
+    return f"WITH {cte}\nSELECT node, rank FROM r{PR_ITERS} ORDER BY node"
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+# ------------------------------------------------------------------- k-means
+
+KM_K = 4
+KM_ITERS = 3
+KM_DIM = 64
+KM_Q = 10**9  # fixed-point quantization for centroid sums
+
+
+def _assign_expr(cents: list[list[float]]):
+    """cluster = argmin_c squared-distance(vd, cents[c]), ties -> lower c.
+
+    Distance is a deterministic left fold over dimensions; centroid
+    components are exact doubles reproduced identically by the oracle.
+    """
+    dists = []
+    for vec in cents:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        d = F.aggregate(
+            F.zip_with(F.col("vd"), lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(d)
+    cluster = None
+    for c in range(KM_K - 1, -1, -1):
+        cond = None
+        for o in range(c + 1, KM_K):
+            k = dists[c] <= dists[o]
+            cond = k if cond is None else (cond & k)
+        for o in range(c):
+            k = dists[c] < dists[o]
+            cond = k if cond is None else (cond & k)
+        cluster = F.lit(c) if cluster is None else F.when(cond, c).otherwise(cluster)
+    return cluster
+
+
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations, k=4, init = vectors 0..3; output
+    (vec_id, cluster).
+
+    Centroid update is quantized: sum(floor(x * 1e9)) as bigint (exact,
+    order-independent), then /1e9/count in double — identical in DuckDB.
+    Centroids (k x dim doubles) are collected to the driver between
+    rounds and re-broadcast as literals, exactly KMR's replicated
+    centroid state (ex/kmeans-kmr.c) and the right pattern at scale
+    (state is tiny; data never moves to the driver).
+    """
+    from kmr_spark.functions.vectors import to_double_array
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", to_double_array("embedding").alias("vd")).persist()
+    init = {r["vec_id"]: list(r["vd"]) for r in emb.filter(F.col("vec_id") < KM_K).collect()}
+    cents = [init[i] for i in range(KM_K)]
+    for _ in range(KM_ITERS):
+        assigned = emb.select("vec_id", "vd", _assign_expr(cents).alias("cluster"))
+        dims = assigned.select(
+            "cluster", F.posexplode(
+                F.transform(F.col("vd"),
+                            lambda x: F.floor(x * KM_Q).cast("long"))
+            ).alias("pos", "q"))
+        sums = dims.groupBy("cluster", "pos").agg(
+            F.sum("q").alias("s"), F.count("*").alias("n"))
+        rows = sums.collect()
+        new_cents = [[0.0] * KM_DIM for _ in range(KM_K)]
+        for r in rows:
+            new_cents[r["cluster"]][r["pos"]] = (float(r["s"]) / KM_Q) / r["n"]
+        cents = new_cents
+    return emb.select("vec_id", _assign_expr(cents).alias("cluster")).orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    def dist(emb_col: str, cent_list: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {KM_DIM} + 1), "
+            f"i -> (CAST({emb_col}[i] AS DOUBLE) - {cent_list}[i]) "
+            f"* (CAST({emb_col}[i] AS DOUBLE) - {cent_list}[i]))), (x, y) -> x + y)"
+        )
+
+    def argmin_case(prefix: str) -> str:
+        case = "3"
+        for c in range(KM_K - 2, -1, -1):
+            conds = [f"{prefix}{c} <= {prefix}{o}" for o in range(c + 1, KM_K)]
+            conds += [f"{prefix}{c} < {prefix}{o}" for o in range(c)]
+            case = f"CASE WHEN {' AND '.join(conds)} THEN {c} ELSE {case} END"
+        return case
+
+    cte = f"""
+emb AS (SELECT vec_id, embedding FROM embeddings),
+cent0 AS (
+  SELECT vec_id AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM embeddings WHERE vec_id < {KM_K})"""
+    for i in range(KM_ITERS):
+        cte += f""",
+d{i} AS (
+  SELECT e.vec_id, e.embedding,
+         {', '.join(f'MAX(CASE WHEN c.cluster = {c} THEN ' + dist('e.embedding', 'c.cent') + f' END) AS dd{c}' for c in range(KM_K))}
+  FROM emb e CROSS JOIN cent{i} c GROUP BY e.vec_id, e.embedding),
+a{i} AS (
+  SELECT vec_id, embedding, {argmin_case('dd')} AS cluster FROM d{i}),
+q{i} AS (
+  SELECT cluster, i - 1 AS pos,
+         SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {KM_Q}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{i}, unnest(range(1, {KM_DIM} + 1)) AS t(i)
+  GROUP BY cluster, pos),
+cent{i + 1} AS (
+  SELECT cluster, list((CAST(s AS DOUBLE) / {KM_Q}) / n ORDER BY pos) AS cent
+  FROM q{i} GROUP BY cluster)"""
+    # final assignment with cent{KM_ITERS}
+    cte += f""",
+df AS (
+  SELECT e.vec_id, e.embedding,
+         {', '.join(f'MAX(CASE WHEN c.cluster = {c} THEN ' + dist('e.embedding', 'c.cent') + f' END) AS dd{c}' for c in range(KM_K))}
+  FROM emb e CROSS JOIN cent{KM_ITERS} c GROUP BY e.vec_id, e.embedding)
+"""
+    return (
+        f"WITH {cte}\nSELECT vec_id, {argmin_case('dd')} AS cluster "
+        f"FROM df ORDER BY vec_id"
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+QUERIES = {
+    "iter_pagerank": pagerank,
+    "iter_kmeans": kmeans,
+}
+
+ORACLE_SQL = {
+    "iter_pagerank": PAGERANK_SQL,
+    "iter_kmeans": KMEANS_SQL,
+}
