@@ -42,6 +42,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.linalg as linalg
+        modules.append(linalg)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

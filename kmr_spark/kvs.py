@@ -130,6 +130,29 @@ class KVS:
         order = F.col(self.key).desc() if descending else F.col(self.key).asc()
         return self._wrap(so.top_k(self.df, k, order))
 
+    def map_for_some(self, fn: Callable[[Any, Any], Iterable[tuple[Any, Any]]],
+                     schema: str = "key long, value string") -> "KVS":
+        """Stop once any output exists (kmr_map_for_some,
+        src/kmrmoreops.c:1170) — lazy limit(1) over the mapped stream;
+        Spark only computes the partitions needed to satisfy it."""
+        return self.map(fn, schema).limit(1)
+
+    def reduce_for_some(self, fn: Callable[[Any, list], list[tuple[Any, Any]]],
+                        schema: str = "key long, value long") -> "KVS":
+        """First reduce output only (kmr_reduce_for_some,
+        src/kmrmoreops.c:1183)."""
+        return self.reduce(fn, schema).limit(1)
+
+    def shuffle_leveling(self, num_partitions: int | None = None) -> "KVS":
+        """Skew-aware exchange (kmr_shuffle_leveling_pair_count,
+        src/kmrmoreops.c:1074): range partitioning balances row counts
+        while keeping equal keys together."""
+        return self._wrap(ex.shuffle_leveling_pair_count(self.df, self.key, num_partitions))
+
+    def histogram_by_partition(self) -> DataFrame:
+        """Per-partition counts (kmr_histogram_count_by_ranks)."""
+        return ex.histogram_count_by_ranks(self.df)
+
     # ---- search ----
 
     def find_key(self, k: Any) -> list:
