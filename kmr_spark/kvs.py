@@ -161,6 +161,16 @@ class KVS:
     def take_one(self):
         return search.take_one(self.df)
 
+    def checkpoint(self, eager: bool = True) -> "KVS":
+        """Truncate lineage (kmrckpt.c parity — reference checkpoints
+        every KVS to disk per operation, src/kmrckpt.c). Spark's
+        lineage makes routine checkpointing unnecessary; use this at
+        iteration boundaries of long loops where lineage growth or
+        recompute cost matters. Requires spark.sparkContext.setCheckpointDir
+        for cluster-durable checkpoints; localCheckpoint here trades
+        durability for speed exactly like KMR's no-fsync mode."""
+        return self._wrap(self.df.localCheckpoint(eager=eager))
+
     # ---- persistence (kmr_save_kvs / kmr_restore_kvs, src/kmrbase.c:1026) ----
 
     def save(self, path: str) -> None:
