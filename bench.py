@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_stats",
     "sim_knn_bruteforce",
+    "linalg_matmul",
+    "iter_pagerank",
 ]
 
 

@@ -49,14 +49,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five fixed-point PageRank iterations; output (node, rank)."""
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # join out-degrees into the edge list ONCE; the edge table then never
+    # moves again — each iteration shuffles only the per-dst partial sums
+    edges2 = edges.join(outdeg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
+        # rank state is node-sized (dimension-like) -> broadcast it to the
+        # edge partitions; map-side combine shrinks the groupBy input.
+        # (Web-scale graphs where ranks can't broadcast co-partition
+        # edges and ranks by src instead — see sources/bucketing.py.)
         contribs = (
-            ranks.join(edges, ranks["node"] == edges["src"])
-            .join(outdeg, "src")
+            edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
