@@ -122,12 +122,71 @@ FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
 """
 
 
+EMB_DEDUP_THRESHOLD = 0.4
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with IVF-cell blocking.
+
+    Candidate pairs are generated only within a vector's IVF cell (the
+    same coarse quantizer as ann_ivf), so the comparison count is
+    sum-of-cell-sizes-squared, not corpus-squared — the property that
+    makes embedding dedup feasible at 100 TB. Single-probe blocking
+    trades recall for that bound (multi-probe raises it); the oracle
+    implements the identical blocking so results match exactly.
+    """
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vd", F.col("cent_id").alias("cell"))
+        .persist()  # both sides of the in-cell self-join
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", V.cosine(F.col("a.vd"), F.col("b.vd")))
+        .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMB_DEDUP_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {V.sql_cosine('e.embedding', 'c.cv')} AS csim
+  FROM emb e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM assign0) WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {V.sql_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= {EMB_DEDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_ivf": ann_ivf,
+    "dedup_embedding": embedding_near_dup,
 }
 
 ORACLE_SQL = {
     "sim_knn_bruteforce": KNN_SQL,
     "sim_ann_ivf": ANN_IVF_SQL,
+    "dedup_embedding": EMB_DEDUP_SQL,
 }
