@@ -54,6 +54,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.generate as generate
+        modules.append(generate)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -186,6 +186,42 @@ ORDER BY tag, custkey
 """
 
 
+def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style as-of join: each 'click' event matched to the
+    user's most recent prior-or-simultaneous 'view' event (operator:
+    kmr_spark.operators.asof.asof_join — union+window, one shuffle on
+    user_id, no range self-join)."""
+    from kmr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    out = asof_join(clicks, views, on="ts", by="user_id", right_cols=["view_id"])
+    return out.select(
+        "event_id", "user_id", F.col("asof_view_id").alias("view_event_id")
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS view_id, 1 AS tag
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, event_id AS view_id, 0 AS tag
+  FROM events WHERE event_type = 'view'),
+filled AS (
+  SELECT user_id, ts, event_id, tag,
+         last_value(view_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, tag ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id
+  FROM u)
+SELECT event_id, user_id, view_event_id
+FROM filled WHERE tag = 1 ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -193,6 +229,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
     "set_ops_customers": set_ops_customers,
+    "events_asof_view": events_asof_view,
 }
 
 ORACLE_SQL = {
@@ -202,4 +239,5 @@ ORACLE_SQL = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "set_ops_customers": SET_OPS_SQL,
+    "events_asof_view": EVENTS_ASOF_SQL,
 }

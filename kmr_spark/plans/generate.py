@@ -1,0 +1,78 @@
+"""R-MAT graph generation (reference ex/mrmpi-crmat.c, SURVEY.md §2.12)
+— the map_once/generator pattern: data from nothing, distributed.
+
+Each edge id independently walks LEVELS quadrant choices of the
+recursive matrix (probabilities a=0.57 b=0.19 c=0.19 d=0.05, the
+Graph500 defaults the reference's MR-MPI port uses). The "random"
+stream is a deterministic integer hash of (edge_id, level), so Spark
+and DuckDB generate the identical graph — spark.range is the engine
+surface (kmr_map_once parity, reference src/kmrbase.c:1460).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEVELS = 10  # 2^10 x 2^10 adjacency matrix
+N_EDGES = 20_000
+BIGP = 1_000_003
+H_A = 427_799
+H_B = 40_503
+H_C = 12_345
+H_MOD = 10_000
+TH_A, TH_B, TH_C = 5_700, 7_600, 9_500  # cumulative a/b/c thresholds
+
+
+def _bits(level: int):
+    # square-and-multiply mixing: a purely linear hash of (id, level)
+    # keeps its arithmetic-progression structure through the mods and
+    # collapses the bit patterns to a handful of arcs; the quadratic
+    # step breaks it while every intermediate stays under 2^63
+    x = (F.col("id") + F.lit(level * H_B)) % BIGP
+    x = (x * x) % BIGP
+    h = ((x * H_A + H_C) % BIGP) % H_MOD
+    row_bit = (h >= TH_B).cast("long")
+    col_bit = (((h >= TH_A) & (h < TH_B)) | (h >= TH_C)).cast("long")
+    return row_bit * (1 << level), col_bit * (1 << level)
+
+
+def rmat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate the R-MAT multigraph and return (src, dst, multiplicity).
+
+    ``sf_dir`` is unused (generator), kept for the queries() signature.
+    """
+    ids = spark.range(N_EDGES)
+    src = sum((_bits(l)[0] for l in range(LEVELS)), F.lit(0))
+    dst = sum((_bits(l)[1] for l in range(LEVELS)), F.lit(0))
+    return (
+        ids.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("multiplicity"))
+        .orderBy("src", "dst")
+    )
+
+
+def _rmat_sql() -> str:
+    src_terms = []
+    dst_terms = []
+    for level in range(LEVELS):
+        x = f"((id + {level * H_B}) % {BIGP})"
+        h = f"(((({x} * {x}) % {BIGP}) * {H_A} + {H_C}) % {BIGP} % {H_MOD})"
+        src_terms.append(f"(CASE WHEN {h} >= {TH_B} THEN {1 << level} ELSE 0 END)")
+        dst_terms.append(
+            f"(CASE WHEN ({h} >= {TH_A} AND {h} < {TH_B}) OR {h} >= {TH_C} "
+            f"THEN {1 << level} ELSE 0 END)")
+    return f"""
+SELECT {' + '.join(src_terms)} AS src,
+       {' + '.join(dst_terms)} AS dst,
+       COUNT(*) AS multiplicity
+FROM range({N_EDGES}) t(id)
+GROUP BY 1, 2 ORDER BY src, dst
+"""
+
+
+RMAT_SQL = _rmat_sql()
+
+QUERIES = {"gen_rmat": rmat_edges}
+ORACLE_SQL = {"gen_rmat": RMAT_SQL}
