@@ -222,6 +222,24 @@ FROM filled WHERE tag = 1 ORDER BY event_id
 """
 
 
+def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed through Structured
+    Streaming (bounded AvailableNow replay of the events table with a
+    1-hour watermark) rather than batch — same oracle as
+    events_tumbling_window proves stream/batch equivalence inside the
+    driver's correctness gate."""
+    import tempfile
+
+    from kmr_spark.streaming.windows import (
+        run_available_now, stream_events, tumbling_counts_stream)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    out = run_available_now(
+        tumbling_counts_stream(stream_events(spark, sf_dir)),
+        "events_tumbling_streamed_sink", ck)
+    return out.orderBy("window_start", "event_type")
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -230,6 +248,7 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "set_ops_customers": set_ops_customers,
     "events_asof_view": events_asof_view,
+    "events_tumbling_streamed": events_tumbling_streamed,
 }
 
 ORACLE_SQL = {
@@ -240,4 +259,5 @@ ORACLE_SQL = {
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "events_asof_view": EVENTS_ASOF_SQL,
+    "events_tumbling_streamed": EVENTS_TUMBLING_SQL,
 }
