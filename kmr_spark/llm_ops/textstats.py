@@ -166,14 +166,98 @@ FROM t1 ORDER BY doc_id
 """
 
 
+QUALITY_MIN = 0.5
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection pipeline the stats exist for: keep documents whose
+    quality score clears the bar — the shape of a corpus-cleaning pass
+    (filter composes with dedup keepers downstream)."""
+    stats = doc_textstats(spark, sf_dir)
+    return (
+        stats.filter(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, quality FROM ({TEXTSTATS_SQL.replace(';', ' ')}) s
+WHERE quality >= {QUALITY_MIN} ORDER BY doc_id
+"""
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Log-free formulation so values are IEEE-identical across engines:
+    score = (term_count / doc_len) * (N_docs / doc_freq) — every factor
+    an exact integer ratio, multiplied in fixed order. Plan: one explode
+    + two groupBys (term stats partial-aggregate map-side); doc-frequency
+    table is term-sized and broadcast back.
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    terms = docs.select(
+        "doc_id",
+        F.explode(H.tokens_col("text")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    doclen = terms.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id", "term",
+            ((F.col("c") / F.col("len")) * (F.lit(float(n_docs)) / F.col("df")))
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+TFIDF_SQL = f"""
+WITH t0 AS (SELECT doc_id, {H.sql_tokens('text')} AS toks FROM documents),
+terms AS (SELECT doc_id, t.term FROM t0, unnest(toks) AS t(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY doc_id, term),
+doclen AS (SELECT doc_id, COUNT(*) AS len FROM terms GROUP BY doc_id),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.c AS DOUBLE) / doclen.len)
+           * (CAST(n.n_docs AS DOUBLE) / dft.df) AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN dft USING (term) CROSS JOIN n)
+SELECT doc_id, rn, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
+  FROM scored)
+WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
 QUERIES = {
     "text_stats": doc_textstats,
     "text_langid": doc_langid,
     "text_fingerprint": doc_fingerprint,
+    "text_quality_filter": doc_quality_filter,
+    "text_tfidf_top_terms": doc_tfidf_top_terms,
 }
 
 ORACLE_SQL = {
     "text_stats": TEXTSTATS_SQL,
     "text_langid": LANGID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_quality_filter": QUALITY_FILTER_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
 }

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: the physical plans we audited and want
+to keep (SCALE.md). If one of these fails after a change, the change
+altered a scale-critical plan property, not just a constant."""
+
+import contextlib
+import io
+
+from kmr_spark.plans import tpch, wordcount
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q7_broadcasts_dims_and_pushes_dates(spark):
+    plan = _plan(tpch.q7(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to scan
+    assert "SortMergeJoin" not in plan  # everything broadcastable at test SF
+
+
+def test_q9_pushes_name_filter_to_part_scan(spark):
+    plan = _plan(tpch.q9(spark, SF))
+    assert "StringContains(p_name,red)" in plan.replace(" ", "")
+
+
+def test_q13_prunes_customer_to_single_column(spark):
+    plan = _plan(tpch.q13(spark, SF))
+    assert "struct<c_custkey:bigint>" in plan  # ReadSchema pruned to 1 col
+
+
+def test_q21_single_pushdown_of_status_filter(spark):
+    plan = _plan(tpch.q21(spark, SF))
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+    assert "EqualTo(n_name,NATION_3)" in plan.replace(" ", "")
+
+
+def test_wordcount_uses_take_ordered(spark):
+    plan = _plan(wordcount.wordcount_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort+limit
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Partitioned sink + pruned read: the 100 TB date-partition layout."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF)["events"]
+    path = str(tmp_path / "events_by_day")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+       .write.mode("overwrite").partitionBy("day").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # pruned read touches only the selected partition's rows
+    total = ev.count()
+    got = back.count()
+    assert 0 < got < total
