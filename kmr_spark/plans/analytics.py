@@ -240,6 +240,132 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bin = floor(value/10))
+    — the binning aggregate every profiling pass needs; floor on doubles
+    is IEEE-identical across engines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_type", F.floor(F.col("value") / 10).cast("long").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 per event_type by rank selection (the value at
+    ceil(q*n), no interpolation — deterministic and engine-identical;
+    approximate sketches in operators/skew.py are the 100 TB variant).
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    return (
+        ranked.filter(
+            (F.col("r") == F.ceil(F.col("n") * 0.5)) | (F.col("r") == F.ceil(F.col("n") * 0.9)))
+        .select(
+            "event_type",
+            F.when(F.col("r") == F.ceil(F.col("n") * 0.5), F.lit("p50"))
+            .otherwise(F.lit("p90")).alias("quantile"),
+            F.col("value"),
+        )
+        .orderBy("event_type", "quantile")
+    )
+
+
+EVENTS_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CASE WHEN r = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END AS quantile,
+       value
+FROM ranked
+WHERE r = ceil(n * 0.5) OR r = ceil(n * 0.9)
+ORDER BY event_type, quantile
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding windows (1h window, 15-min slide): each event lands
+    in 4 overlapping windows, generated with sequence+explode (a narrow
+    4x row expansion, no self-join) then a plain groupBy."""
+    ev = _events(spark, sf_dir)
+    slide_us = 15 * 60 * 1_000_000
+    win_us = 4 * slide_us
+    with_us = ev.select("event_type", F.unix_micros("ts").alias("us"))
+    slots = with_us.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("us") / slide_us) - 3) * slide_us,
+                F.floor(F.col("us") / slide_us) * slide_us,
+                F.lit(slide_us),
+            )
+        ).alias("w_start_us"),
+    ).filter(F.col("w_start_us") >= 0)
+    return (
+        slots.groupBy("event_type", "w_start_us")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("timestamp_micros(w_start_us)").alias("window_start"),
+            "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH slots AS (
+  SELECT event_type, s.w_start_us
+  FROM events, unnest(generate_series(
+         (CAST(floor(epoch_us(ts) / {15*60*1_000_000}) AS BIGINT) - 3) * {15*60*1_000_000},
+         CAST(floor(epoch_us(ts) / {15*60*1_000_000}) AS BIGINT) * {15*60*1_000_000},
+         {15*60*1_000_000})) AS s(w_start_us)
+  WHERE s.w_start_us >= 0)
+SELECT make_timestamp(w_start_us) AS window_start, event_type, COUNT(*) AS n
+FROM slots GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-nation customer and supplier counts,
+    keeping nations that have only one side (NULL-safe zero fill)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = t["supplier"].groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+NATION_BALANCE_SQL = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -249,6 +375,10 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "events_asof_view": events_asof_view,
     "events_tumbling_streamed": events_tumbling_streamed,
+    "events_value_histogram": events_value_histogram,
+    "events_exact_percentiles": events_exact_percentiles,
+    "events_sliding_window": events_sliding_window,
+    "nation_balance_full_outer": nation_customer_supplier_balance,
 }
 
 ORACLE_SQL = {
@@ -260,4 +390,8 @@ ORACLE_SQL = {
     "set_ops_customers": SET_OPS_SQL,
     "events_asof_view": EVENTS_ASOF_SQL,
     "events_tumbling_streamed": EVENTS_TUMBLING_SQL,
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "events_exact_percentiles": EVENTS_PERCENTILES_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
+    "nation_balance_full_outer": NATION_BALANCE_SQL,
 }
