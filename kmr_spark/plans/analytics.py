@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kmr_spark.plans.tpch import SQL_VOLUME_I, _rev_double, _volume_i
 from kmr_spark.session import load_tables
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
@@ -366,6 +367,65 @@ ORDER BY nationkey
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts with one column per event type
+    (fixed type list so the schema is static — the scalable form; a
+    dynamic pivot needs a driver-side distinct first). Oracle uses the
+    equivalent conditional aggregation."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out.orderBy("user_id")
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT user_id,
+       {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (grouping sets) — absent from the reference
+    (SURVEY.md §2.5 'not present'), native in Spark: revenue by
+    (supplier nation, ship year) with per-nation and grand totals."""
+    t = load_tables(spark, sf_dir)
+    nat = F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("nation")))
+    joined = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("nation", F.year("l_shipdate").cast("int").alias("l_year"),
+                _volume_i().alias("rev_i"))
+    )
+    return (
+        joined.rollup("nation", "l_year")
+        .agg(F.sum("rev_i").alias("sum_i"))
+        .select("nation", "l_year", _rev_double("sum_i").alias("revenue"))
+        .orderBy(F.col("nation").asc_nulls_first(), F.col("l_year").asc_nulls_first())
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""
+SELECT nation, l_year, CAST(SUM(rev_i) AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         {SQL_VOLUME_I} AS rev_i
+  FROM lineitem, supplier, nation
+  WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey)
+GROUP BY ROLLUP (nation, l_year)
+ORDER BY nation ASC NULLS FIRST, l_year ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -379,6 +439,8 @@ QUERIES = {
     "events_exact_percentiles": events_exact_percentiles,
     "events_sliding_window": events_sliding_window,
     "nation_balance_full_outer": nation_customer_supplier_balance,
+    "events_pivot_by_type": events_pivot_by_type,
+    "revenue_rollup": revenue_rollup,
 }
 
 ORACLE_SQL = {
@@ -394,4 +456,6 @@ ORACLE_SQL = {
     "events_exact_percentiles": EVENTS_PERCENTILES_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "nation_balance_full_outer": NATION_BALANCE_SQL,
+    "events_pivot_by_type": EVENTS_PIVOT_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
 }

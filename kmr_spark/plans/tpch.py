@@ -18,10 +18,11 @@ Schema adaptations (FIXTURES.md "Gaps vs the reference queries"):
 - Q10: projects only the customer columns that exist.
 - Q7: nation pair NATION_1 / NATION_2 (testdata nation names).
 
-Determinism note: every monetary aggregate is computed in DECIMAL (exact,
-bit-identical across engines) and cast to DOUBLE only in the final
+Determinism note: every monetary aggregate is computed in exact integer
+1e-4-dollars (see ``_volume_i``) and converted to DOUBLE only in the final
 projection, so the driver's value-hash comparison against DuckDB cannot be
-broken by floating-point summation order.
+broken by floating-point summation order, decimal scale-down rounding-mode
+differences, or wide-decimal->double conversion past 2^53.
 """
 
 from __future__ import annotations
@@ -36,18 +37,31 @@ NATION_B = "NATION_2"
 Q21_NATION = "NATION_3"
 
 
-def _dec(col: str | Column) -> Column:
-    """Exact fixed-point view of a price/discount column (see module doc)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(18,4)")
+def _volume_i() -> Column:
+    """The same revenue term as an exact integer in 1e-4 dollars.
 
-
-def _volume() -> Column:
-    """revenue term l_extendedprice * (1 - l_discount), exact decimal.
-
-    Reference computes this in the scan mapfn (ex/tpch.c:2079-2081).
+    Source prices/discounts carry two decimals, so round(x*100) recovers
+    the exact integer cents in both engines (no .5 boundaries exist);
+    all downstream sums are int64 (exact, order-free) and the single
+    int64->double conversion at output is correctly rounded identically
+    everywhere. This dodges the one divergence decimals can't: engines
+    disagree on decimal scale-down rounding (HALF_UP vs not) and on
+    wide-decimal->double conversion once the scaled value passes 2^53.
     """
-    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return price_c * (F.lit(100).cast("long") - disc_c)
+
+
+def _rev_double(sum_col: str = "rev_i") -> Column:
+    """exact int 1e-4-dollar sum -> output dollars as double."""
+    return (F.col(sum_col).cast("double") / F.lit(10000.0))
+
+
+SQL_VOLUME_I = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
 
 
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,21 +96,21 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
-            _volume().alias("volume"),
+            _volume_i().alias("rev_i"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .agg(F.sum("rev_i").alias("sum_i"))
+        .select("supp_nation", "cust_nation", "l_year", _rev_double("sum_i").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_SQL = f"""
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume_i) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(18,4))
-           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume
+         SQLVOL AS volume_i
   FROM supplier, lineitem, orders, customer, nation n1, nation n2
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -109,6 +123,7 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """
+Q7_SQL = Q7_SQL.replace("SQLVOL", SQL_VOLUME_I)
 
 
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,20 +149,20 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             "nation",
             F.year("o_orderdate").cast("int").alias("o_year"),
-            _volume().alias("amount"),
+            _volume_i().alias("rev_i"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg(F.sum("rev_i").alias("sum_i"))
+        .select("nation", "o_year", _rev_double("sum_i").alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
 
 Q9_SQL = """
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(SUM(amount_i) AS DOUBLE) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,4))
-           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS amount
+         SQLVOL AS amount_i
   FROM part, supplier, lineitem, orders, nation
   WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
     AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -156,6 +171,7 @@ FROM (
 GROUP BY nation, o_year
 ORDER BY nation ASC, o_year DESC
 """
+Q9_SQL = Q9_SQL.replace("SQLVOL", SQL_VOLUME_I)
 
 
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,25 +195,22 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_volume()).alias("rev_exact"))
+        .agg(F.sum(_volume_i()).alias("sum_i"))
         .select(
             "c_custkey", "c_name",
-            F.col("rev_exact").cast("double").alias("revenue"),
-            "c_acctbal", "n_name", "rev_exact",
+            _rev_double("sum_i").alias("revenue"),
+            "c_acctbal", "n_name", "sum_i",
         )
-        .orderBy(F.col("rev_exact").desc(), F.col("c_custkey").asc())
+        .orderBy(F.col("sum_i").desc(), F.col("c_custkey").asc())
         .limit(20)
-        .drop("rev_exact")
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, CAST(rev_exact AS DOUBLE) AS revenue, c_acctbal, n_name
+SELECT c_custkey, c_name, CAST(sum_i AS DOUBLE) / 10000.0 AS revenue, c_acctbal, n_name
 FROM (
-  SELECT c_custkey, c_name, c_acctbal, n_name,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_exact
+  SELECT c_custkey, c_name, c_acctbal, n_name, SUM(SQLVOL) AS sum_i
   FROM customer, orders, lineitem, nation
   WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
     AND o_orderdate >= TIMESTAMP '1995-10-01'
@@ -205,9 +218,10 @@ FROM (
     AND l_returnflag = 'R' AND c_nationkey = n_nationkey
   GROUP BY c_custkey, c_name, c_acctbal, n_name
 ) g
-ORDER BY rev_exact DESC, c_custkey ASC
+ORDER BY sum_i DESC, c_custkey ASC
 LIMIT 20
 """
+Q10_SQL = Q10_SQL.replace("SQLVOL", SQL_VOLUME_I)
 
 
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
