@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "sim_knn_bruteforce",
     "linalg_matmul",
     "iter_pagerank",
+    "revenue_rollup",
 ]
 
 
