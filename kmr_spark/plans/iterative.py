@@ -49,7 +49,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five fixed-point PageRank iterations; output (node, rank)."""
-    edges = _edges(spark, sf_dir)
+    # one materialization of the (join + distinct) edge build; outdeg,
+    # the co-located edge table, and the node list all read the cache
+    edges = _edges(spark, sf_dir).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # join out-degrees into the edge list ONCE; the edge table then never
     # moves again — each iteration shuffles only the per-dst partial sums
