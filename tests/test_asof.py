@@ -1,0 +1,46 @@
+"""as-of join operator edge cases (unit level; query-level parity is
+covered by events_asof_view in tests/test_plans.py)."""
+
+from kmr_spark.operators.asof import asof_join
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_prior_match(spark):
+    left = _mk(spark, [(1, 100, "L1"), (1, 200, "L2")], "k int, t long, lv string")
+    right = _mk(spark, [(1, 50, "R1"), (1, 150, "R2")], "k int, t long, rv string")
+    out = {r["lv"]: r["asof_rv"] for r in
+           asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()}
+    assert out == {"L1": "R1", "L2": "R2"}
+
+
+def test_asof_no_prior_gives_null(spark):
+    left = _mk(spark, [(1, 10, "early")], "k int, t long, lv string")
+    right = _mk(spark, [(1, 50, "late")], "k int, t long, rv string")
+    rows = asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()
+    assert rows[0]["asof_rv"] is None
+
+
+def test_asof_simultaneous_matches(spark):
+    left = _mk(spark, [(1, 100, "L")], "k int, t long, lv string")
+    right = _mk(spark, [(1, 100, "R")], "k int, t long, rv string")
+    rows = asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()
+    assert rows[0]["asof_rv"] == "R"  # ts' <= ts includes equality
+
+
+def test_asof_respects_by_groups(spark):
+    left = _mk(spark, [(1, 100, "L1"), (2, 100, "L2")], "k int, t long, lv string")
+    right = _mk(spark, [(1, 50, "R1")], "k int, t long, rv string")
+    out = {r["lv"]: r["asof_rv"] for r in
+           asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()}
+    assert out == {"L1": "R1", "L2": None}  # no cross-group leakage
+
+
+def test_asof_latest_of_many(spark):
+    left = _mk(spark, [(1, 1000, "L")], "k int, t long, lv string")
+    right = _mk(spark, [(1, t, f"R{t}") for t in (10, 500, 999, 1001)],
+                "k int, t long, rv string")
+    rows = asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()
+    assert rows[0]["asof_rv"] == "R999"  # latest prior, later rows ignored
