@@ -135,8 +135,8 @@ WITH gaps AS (
   FROM events),
 sess AS (
   SELECT user_id, event_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps)
 SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id

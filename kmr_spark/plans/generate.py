@@ -64,8 +64,8 @@ def _rmat_sql() -> str:
             f"(CASE WHEN ({h} >= {TH_A} AND {h} < {TH_B}) OR {h} >= {TH_C} "
             f"THEN {1 << level} ELSE 0 END)")
     return f"""
-SELECT {' + '.join(src_terms)} AS src,
-       {' + '.join(dst_terms)} AS dst,
+SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src,
+       CAST({' + '.join(dst_terms)} AS BIGINT) AS dst,
        COUNT(*) AS multiplicity
 FROM range({N_EDGES}) t(id)
 GROUP BY 1, 2 ORDER BY src, dst

@@ -99,7 +99,8 @@ c{i + 1} AS (
   FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
   GROUP BY e.dst),
 r{i + 1} AS (
-  SELECT n.node, {base} // 100 + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+  SELECT n.node,
+         CAST({base} // 100 + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.dst)"""
     return f"WITH {cte}\nSELECT node, rank FROM r{PR_ITERS} ORDER BY node"
 

@@ -60,7 +60,7 @@ b AS (
   SELECT l_partkey % {INNER} AS k, l_suppkey % {B_COLS} AS j,
          SUM(CAST(l_quantity AS BIGINT) % 7 + 1) AS vb
   FROM lineitem GROUP BY 1, 2)
-SELECT a.i, b.j, SUM(a.va * b.vb) AS c
+SELECT a.i, b.j, CAST(SUM(a.va * b.vb) AS BIGINT) AS c
 FROM a JOIN b ON a.k = b.k
 GROUP BY a.i, b.j ORDER BY a.i, b.j
 """
