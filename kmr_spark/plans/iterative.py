@@ -56,24 +56,24 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join out-degrees into the edge list ONCE; the edge table then never
     # moves again — each iteration shuffles only the per-dst partial sums
     edges2 = edges.join(outdeg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
         # rank state is node-sized (dimension-like) -> broadcast it to the
         # edge partitions; map-side combine shrinks the groupBy input.
         # (Web-scale graphs where ranks can't broadcast co-partition
         # edges and ranks by src instead — see sources/bucketing.py.)
-        contribs = (
+        # The graph is symmetric (every edge has its reverse), so every
+        # node receives inflow — the dangling-node left-join the oracle
+        # writes is a provable no-op here and is elided: one broadcast
+        # join + one keyed aggregation per iteration, nothing else.
+        ranks = (
             edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left_outer")
-            .select("node", F.coalesce(F.col("inflow"), F.lit(0)).alias("inflow"))
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 (F.expr(f"{15 * PR_SCALE} DIV 100")
                  + F.expr("(85 * inflow) DIV 100")).alias("rank"),
             )

@@ -268,11 +268,14 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order has another supplier (EXISTS l2) and no OTHER supplier was
     late (NOT EXISTS l3). The reference evaluates both predicates inside a
     per-orderkey cogroup reduce (q21_join_lnos_l2/_l3,
-    ex/tpch.c:3417-3503). Spark-first rewrite: a single per-order
-    aggregation — distinct suppliers overall >= 2 and distinct LATE
-    suppliers == 1 — replaces both self-joins, turning two shuffles of
-    lineitem into one groupBy(orderkey). This is the scale-friendly form:
-    no O(n^2) per-key products, map-side partial aggregation applies.
+    ex/tpch.c:3417-3503). Spark-first rewrite: aggregate lineitem by
+    (order, supplier) then by order — distinct suppliers overall >= 2,
+    LATE suppliers == 1 — which replaces both self-joins AND the
+    join-back of l1: when exactly one supplier is late, that supplier's
+    late-row count IS the order's contribution to numwait. One scan of
+    lineitem, one shuffle on (orderkey, suppkey), then order-level and
+    name-level regroups over already-reduced data; no countDistinct
+    Expand, no O(n^2) per-key products, map-side partials throughout.
     """
     t = load_tables(spark, sf_dir)
     nat = F.broadcast(t["nation"].filter(F.col("n_name") == Q21_NATION).select("n_nationkey"))
@@ -284,17 +287,20 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_o = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate")).alias("is_late"))
-    per_order = li_o.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = li_o.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("long")).alias("late_cnt"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_cnt") > 0).cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("late_cnt") > 0, F.col("l_suppkey"))).alias("late_suppkey"),
+        F.max(F.when(F.col("late_cnt") > 0, F.col("late_cnt"))).alias("late_rows"),
     )
     qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-    late_l1 = li_o.filter(F.col("is_late"))
-    waiting = late_l1.join(qualifying, "l_orderkey").join(
-        F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+    waiting = qualifying.join(
+        F.broadcast(supp), F.col("s_suppkey") == F.col("late_suppkey"))
     return (
         waiting.groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )
