@@ -54,8 +54,11 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # join out-degrees into the edge list ONCE; the edge table then never
-    # moves again — each iteration shuffles only the per-dst partial sums
-    edges2 = edges.join(outdeg, "src").persist()
+    # moves again — each iteration shuffles only the per-dst partial sums.
+    # outdeg is node-sized (same state-fits-in-memory assumption as the
+    # rank broadcast below), so broadcast it rather than shuffling the
+    # full edge list through a sort-merge join.
+    edges2 = edges.join(F.broadcast(outdeg), "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
