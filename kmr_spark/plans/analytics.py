@@ -426,6 +426,63 @@ ORDER BY nation ASC NULLS FIRST, l_year ASC NULLS FIRST
 """
 
 
+def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization executed through the CUSTOM stateful
+    streaming operator (applyInPandasWithState, see
+    kmr_spark.streaming.windows.sessionize_stateful_stream) on a bounded
+    AvailableNow replay — same oracle as the batch events_sessionize
+    proves the stateful operator's stream/batch equivalence inside the
+    driver's correctness gate."""
+    import tempfile
+
+    from kmr_spark.streaming.windows import (
+        run_available_now, sessionize_stateful_stream, stream_events)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    emitted = run_available_now(
+        sessionize_stateful_stream(stream_events(spark, sf_dir)),
+        "events_sessionize_streamed_sink", ck, output_mode="update")
+    # collapse cumulative re-emissions: the final emission of a session
+    # has the largest n_events (and max end, min start)
+    return (
+        emitted.groupBy("user_id", "session_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.min("start_us").alias("start_us"),
+             F.max("end_us").alias("end_us"))
+        .select("user_id", "session_id", "n_events",
+                F.timestamp_micros("start_us").alias("t_start"),
+                F.timestamp_micros("end_us").alias("t_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 subtotal combinations of
+    (event_type, event day) in one pass (absent from the reference,
+    SURVEY.md §2.5 'not present'; native in Spark via df.cube). Value
+    sums quantized to exact integers so subtotals hash-match DuckDB."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("mv"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("mv").alias("sum_mv"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("day").asc_nulls_first())
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, day, COUNT(*) AS n, CAST(SUM(mv) AS BIGINT) AS sum_mv
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS mv
+  FROM events)
+GROUP BY CUBE (event_type, day)
+ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -441,6 +498,8 @@ QUERIES = {
     "nation_balance_full_outer": nation_customer_supplier_balance,
     "events_pivot_by_type": events_pivot_by_type,
     "revenue_rollup": revenue_rollup,
+    "events_sessionize_streamed": events_sessionize_streamed,
+    "events_cube_type_day": events_cube_type_day,
 }
 
 ORACLE_SQL = {
@@ -458,4 +517,6 @@ ORACLE_SQL = {
     "nation_balance_full_outer": NATION_BALANCE_SQL,
     "events_pivot_by_type": EVENTS_PIVOT_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "events_sessionize_streamed": EVENTS_SESSIONIZE_SQL,
+    "events_cube_type_day": EVENTS_CUBE_SQL,
 }

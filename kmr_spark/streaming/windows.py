@@ -94,15 +94,83 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches plans.analytics
+
+
+def sessionize_stateful_stream(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the arbitrary-stateful-operator surface the built-in
+    ``session_window`` can't express (per-user session *numbering* that
+    matches the batch lag+cumsum form in plans.analytics).
+
+    Per-user state is one open session: (last event time, session id,
+    event count, start, end), all in integer microseconds. Each batch
+    emits final summaries for sessions it closed plus the cumulative
+    summary of the still-open session; re-emissions across batches are
+    resolved downstream by keeping the row with the largest n_events per
+    (user, session). State is O(1) per user, keyed state partitions
+    across executors — the 100 TB form of this operator.
+
+    Deterministic equality with the batch twin requires per-user event
+    order across micro-batches; the bounded single-file replay used by
+    the correctness gate guarantees it (one AvailableNow batch, rows
+    sorted per group inside the operator).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"])
+        if state.exists:
+            last_us, sid, n, start_us, end_us = state.get
+        else:
+            last_us, sid, n, start_us, end_us = None, 0, 0, 0, 0
+        uid = key[0]
+        out = []
+        for us in rows["us"].tolist():
+            us = int(us)
+            if last_us is None or us - last_us > gap_us:
+                if n > 0:
+                    out.append((uid, sid, n, start_us, end_us))
+                sid += 1
+                n, start_us, end_us = 1, us, us
+            else:
+                n += 1
+                end_us = us
+            last_us = us
+        if n > 0:
+            out.append((uid, sid, n, start_us, end_us))
+        state.update((last_us, sid, n, start_us, end_us))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"])
+
+    keyed = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_id long, n_events long, "
+                         "start_us long, end_us long",
+        stateStructType="last_us long, session_id long, n long, "
+                        "start_us long, end_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str,
+                      output_mode: str | None = None) -> DataFrame:
     """Execute a bounded replay to a memory sink and return the result
     as a batch DataFrame (test/verification harness)."""
-    # aggregations need complete/update output; plain transforms use append
-    is_agg = any(c in stream_df.columns for c in ("n", "n_events"))
+    if output_mode is None:
+        # aggregations need complete/update output; plain transforms append
+        is_agg = any(c in stream_df.columns for c in ("n", "n_events"))
+        output_mode = "complete" if is_agg else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if is_agg else "append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -35,6 +35,31 @@ def test_session_stream_matches_batch_counts(spark, tmp_path):
     assert g == b
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState custom operator reproduces the batch
+    lag+cumsum sessionization exactly, including session NUMBERING
+    (which the built-in session_window cannot express)."""
+    from kmr_spark.plans.analytics import events_sessionize
+    from kmr_spark.streaming.windows import (
+        run_available_now, sessionize_stateful_stream, stream_events)
+
+    emitted = run_available_now(
+        sessionize_stateful_stream(stream_events(spark, SF_SMALL)),
+        "stateful_session_test", str(tmp_path / "ck_state"), output_mode="update")
+    got = (
+        emitted.groupBy("user_id", "session_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.min("start_us").alias("start_us"), F.max("end_us").alias("end_us"))
+        .select("user_id", "session_id", "n_events",
+                F.timestamp_micros("start_us").alias("t_start"),
+                F.timestamp_micros("end_us").alias("t_end"))
+    )
+    batch = events_sessionize(spark, SF_SMALL)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b
+
+
 def test_streaming_dedup(spark, tmp_path):
     from kmr_spark.streaming.windows import (
         run_available_now, stream_events, streaming_dedup)
