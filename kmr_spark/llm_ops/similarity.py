@@ -122,6 +122,70 @@ FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
 """
 
 
+N_PROBES = 3
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query probes its N_PROBES nearest cells
+    instead of one. Vectors still live in exactly one cell (the probe
+    side fans out, the data side doesn't), so cost is N_PROBES ×
+    cell-size per query — still bounded, recall close to brute force
+    (see test_llm_ops recall assertions). This is the knob SCALE.md
+    names for raising single-probe recall without changing plan shape.
+    """
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(wc)).persist()
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "vd", F.col("cent_id").alias("cell"))
+    probes = ranked.filter((F.col("rn") <= N_PROBES) & (F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        F.col("cent_id").alias("cell"))
+    cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    rescored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+ANN_MULTIPROBE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {V.sql_cosine('e.embedding', 'c.cv')} AS csim
+  FROM emb e CROSS JOIN cents c),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, cent_id ASC) AS rn
+  FROM assign0),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+  FROM ranked WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {V.sql_cosine('q.qv', 'a.embedding')} AS cosine
+  FROM probes q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn,
+       neighbor_id, cosine
+FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
+"""
+
+
 EMB_DEDUP_THRESHOLD = 0.4
 
 
@@ -182,11 +246,13 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_ivf": ann_ivf,
+    "sim_ann_ivf_multiprobe": ann_ivf_multiprobe,
     "dedup_embedding": embedding_near_dup,
 }
 
 ORACLE_SQL = {
     "sim_knn_bruteforce": KNN_SQL,
     "sim_ann_ivf": ANN_IVF_SQL,
+    "sim_ann_ivf_multiprobe": ANN_MULTIPROBE_SQL,
     "dedup_embedding": EMB_DEDUP_SQL,
 }
