@@ -159,6 +159,29 @@ def sessionize_stateful_stream(events: DataFrame, gap_us: int = SESSION_GAP_US) 
     )
 
 
+def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
+                                 checkpoint_dir: str) -> DataFrame:
+    """Bounded replay into a checkpointed parquet file sink (append
+    mode) and return the written table. The checkpoint gives the sink
+    exactly-once file-commit semantics across restarts — the streaming
+    counterpart of KVS save/restore (kmr_save_kvs, reference
+    src/kmrbase.c:1026). Append mode suits row transforms (maps, dedup,
+    stateful emissions); watermark-closed aggregations flush only what
+    the watermark passed — bounded-replay tails stay in state, so gate
+    aggregates through the memory sink instead.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str,
                       output_mode: str | None = None) -> DataFrame:
     """Execute a bounded replay to a memory sink and return the result

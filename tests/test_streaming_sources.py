@@ -70,6 +70,23 @@ def test_streaming_dedup(spark, tmp_path):
     assert n == 1000  # event_ids are unique in the testdata; none dropped
 
 
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """Checkpointed file sink: a bounded replay writes each input row
+    exactly once, and re-running the same query against the same
+    checkpoint writes nothing new (restart idempotence)."""
+    from kmr_spark.streaming.windows import (
+        run_available_now_to_parquet, stream_events, streaming_dedup)
+
+    out, ck = str(tmp_path / "sink_out"), str(tmp_path / "sink_ck")
+    got = run_available_now_to_parquet(
+        streaming_dedup(stream_events(spark, SF_SMALL)), out, ck)
+    assert got.count() == 1000
+    # same checkpoint -> source offsets already committed -> no new rows
+    again = run_available_now_to_parquet(
+        streaming_dedup(stream_events(spark, SF_SMALL)), out, ck)
+    assert again.count() == 1000
+
+
 def test_enumerate_and_text_lines(spark, tmp_path):
     from kmr_spark.sources.files import enumerate_files, read_text_lines
 
