@@ -31,6 +31,48 @@ def _emb(spark, sf_dir):
     return e.select("vec_id", V.to_double_array("embedding").alias("vd"))
 
 
+def _collect_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the coarse-quantizer centroids to the driver — k x dim
+    doubles, the same tiny replicated-state assumption kmeans makes
+    (plans/iterative.py). At 100 TB the centroids come from a sampled
+    k-means and are still driver-sized; the corpus itself never moves.
+    """
+    rows = emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    byid = {r["vec_id"]: list(r["vd"]) for r in rows}
+    return [(i, byid[i]) for i in sorted(byid)]
+
+
+def assign_cells(df: DataFrame, cents: list[tuple[int, list[float]]],
+                 n_cells: int = 1) -> DataFrame:
+    """Append `cells`: the n_cells nearest centroid ids for column `vd`,
+    ordered by (csim DESC, cent_id ASC).
+
+    This is a NARROW column expression over literal centroids (argmax via
+    array_sort of (csim, cent_id) structs) — no crossJoin explode, no
+    window, no Exchange. The round-1 form hash-partitioned an 8x-exploded
+    copy of the whole corpus on vec_id just to take an argmax over 8
+    values; at scale that exchange dominates the query. Same pattern as
+    the k-means assignment expression (plans/iterative.py _assign_expr).
+    Exactness: literal centroid doubles are bit-identical to the stored
+    vectors, and cosine uses the same left-fold order as the oracle's
+    sql_cosine, so the assignment matches DuckDB's crossJoin+row_number
+    form exactly, tie-break included.
+    """
+    structs = []
+    for cid, vec in cents:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        structs.append(F.struct(
+            V.cosine(F.col("vd"), lit).alias("csim"),
+            F.lit(int(cid)).alias("cent_id")))
+    ordered = F.array_sort(
+        F.array(*structs),
+        lambda a, b: F.when(a["csim"] > b["csim"], F.lit(-1))
+                      .when(a["csim"] < b["csim"], F.lit(1))
+                      .otherwise(a["cent_id"] - b["cent_id"]))
+    return df.withColumn(
+        "cells", F.slice(F.transform(ordered, lambda s: s["cent_id"]), 1, n_cells))
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -70,19 +112,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
     centroid, then answer each query inside its own cell only."""
     emb = _emb(spark, sf_dir)
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vd", F.col("cent_id").alias("cell"))
-    )
+    cents = _collect_centroids(emb)
+    assigned = assign_cells(emb, cents, 1).select(
+        "vec_id", "vd", F.col("cells")[0].alias("cell"))
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("cell"))
-    cand = queries.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cand = F.broadcast(queries).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id"))
     rescored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
@@ -134,18 +170,16 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     names for raising single-probe recall without changing plan shape.
     """
     emb = _emb(spark, sf_dir)
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    ranked = scored.withColumn("rn", F.row_number().over(wc)).persist()
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "vd", F.col("cent_id").alias("cell"))
-    probes = ranked.filter((F.col("rn") <= N_PROBES) & (F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
-        F.col("cent_id").alias("cell"))
-    cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cents = _collect_centroids(emb)
+    assigned = assign_cells(emb, cents, 1).select(
+        "vec_id", "vd", F.col("cells")[0].alias("cell"))
+    probes = (
+        assign_cells(emb.filter(F.col("vec_id") < N_QUERIES), cents, N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+                F.explode("cells").alias("cell"))
+    )
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id"))
     rescored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
@@ -200,15 +234,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     implements the identical blocking so results match exactly.
     """
     emb = _emb(spark, sf_dir)
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vd").alias("cv"))
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "vd", "cent_id", V.cosine(F.col("vd"), F.col("cv")).alias("csim"))
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    cents = _collect_centroids(emb)
     assigned = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vd", F.col("cent_id").alias("cell"))
+        assign_cells(emb, cents, 1)
+        .select("vec_id", "vd", F.col("cells")[0].alias("cell"))
         .persist()  # both sides of the in-cell self-join
     )
     a, b = assigned.alias("a"), assigned.alias("b")

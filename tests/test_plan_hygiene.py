@@ -45,6 +45,20 @@ def test_wordcount_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort+limit
 
 
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment must be a narrow literal-centroid expression:
+    no Exchange, no Window, no crossJoin explode of the corpus (the
+    round-1 crossJoin+row_number form shuffled the whole corpus on a
+    unique key just to argmax over 8 values)."""
+    from kmr_spark.llm_ops import similarity as S
+
+    emb = S._emb(spark, SF)
+    cents = S._collect_centroids(emb)
+    plan = _plan(S.assign_cells(emb, cents, 1))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     """Partitioned sink + pruned read: the 100 TB date-partition layout."""
     from pyspark.sql import functions as F
