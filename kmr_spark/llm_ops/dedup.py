@@ -188,8 +188,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_SQL = f"""
-WITH ths AS (
+_SIMHASH_CANDS_CTE = f"""ths AS (
   SELECT doc_id, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
   FROM documents),
 bits AS (
@@ -210,11 +209,79 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sh_a, b.simhash AS sh_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CANDS_CTE}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
+
+
+# The simhash pair graph at sf0.01 contains chains (a~b~c...), not just
+# quasi-cliques: plain min-propagation converges in 12 rounds there; 16
+# gives margin and the convergence test pins it. (Log-round
+# large-star/small-star is the swap-in for high-diameter graphs.)
+CC_ITERS = 16
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS + keeper selection over the SimHash pair
+    graph: connected components (operators/graph.py min-label
+    propagation), cluster id = min doc_id of the component, keeper =
+    the doc whose id IS the cluster id, plus cluster size.
+
+    This is the step a training-data pipeline runs after LSH: pairs say
+    "a~b, b~c"; deduping must drop {b, c} and keep a even though (a, c)
+    was never a candidate pair. Output: one row per clustered doc
+    (doc_id, cluster_id, cluster_size, is_keeper).
+
+    Oracle: an unrolled CTE chain performing the identical CC_ITERS
+    integer-min rounds (fixed iteration count both sides — bit-exact by
+    construction; test_llm_ops asserts the count converges).
+    """
+    from pyspark.sql import Window
+
+    from kmr_spark.operators.graph import connected_components
+
+    pairs = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", n_iters=CC_ITERS)
+    w = Window.partitionBy("label")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_keeper"))
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _clusters_sql() -> str:
+    cte = f"""{_SIMHASH_CANDS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+adj AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs
+        UNION ALL SELECT node AS s, node AS d FROM nodes),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    for i in range(CC_ITERS):
+        cte += f""",
+l{i + 1} AS (SELECT a.d AS node, MIN(l.label) AS label
+             FROM l{i} l JOIN adj a ON l.node = a.s GROUP BY a.d)"""
+    return f"""
+WITH {cte}
+SELECT node AS doc_id, label AS cluster_id,
+       COUNT(*) OVER (PARTITION BY label) AS cluster_size,
+       node = label AS is_keeper
+FROM l{CC_ITERS} ORDER BY cluster_id, doc_id
+"""
+
+
+CLUSTERS_SQL = _clusters_sql()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,9 +332,11 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_clusters": duplicate_clusters,
 }
 
 ORACLE_SQL = {
+    "dedup_clusters": CLUSTERS_SQL,
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,

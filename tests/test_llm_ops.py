@@ -47,3 +47,34 @@ def test_minhash_finds_near_dupes_nonempty(spark, duck):
     n = len(duck.execute(MINHASH_SQL).fetchall())
     # informational: if 0, thresholds need tuning for the synthetic corpus
     print(f"minhash candidate near-dup pairs at sf0.01: {n}")
+
+
+def test_cc_iteration_count_converges(spark):
+    """CC_ITERS min-label rounds must reach the fixed point on the test
+    corpus: one extra round changes nothing. (The oracle unrolls exactly
+    CC_ITERS rounds, so convergence makes the count semantically `the
+    components`, not an arbitrary prefix.)"""
+    from kmr_spark.llm_ops.dedup import CC_ITERS, simhash_pairs
+    from kmr_spark.operators.graph import connected_components
+
+    pairs = simhash_pairs(spark, "/root/testdata/sf0.01").select("doc_a", "doc_b")
+    at_k = connected_components(pairs, n_iters=CC_ITERS)
+    at_k1 = connected_components(pairs, n_iters=CC_ITERS + 1)
+    assert sorted(map(tuple, at_k.collect())) == sorted(map(tuple, at_k1.collect()))
+
+
+def test_cluster_labels_consistent_with_pairs(spark):
+    """Every near-dup pair must land in the same cluster, and each
+    cluster's keeper must be its minimum doc_id."""
+    from kmr_spark.llm_ops.dedup import duplicate_clusters, simhash_pairs
+
+    sf = "/root/testdata/sf0.01"
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in duplicate_clusters(spark, sf).collect()}
+    for p in simhash_pairs(spark, sf).collect():
+        assert labels[p["doc_a"]] == labels[p["doc_b"]]
+    by_cluster = {}
+    for doc, cl in labels.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
