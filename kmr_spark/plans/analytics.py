@@ -199,7 +199,8 @@ def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_id"))
-    out = asof_join(clicks, views, on="ts", by="user_id", right_cols=["view_id"])
+    out = asof_join(clicks, views, on="ts", by="user_id", right_cols=["view_id"],
+                    left_key="event_id", right_order="view_id")
     return out.select(
         "event_id", "user_id", F.col("asof_view_id").alias("view_event_id")
     ).orderBy("event_id")
@@ -215,7 +216,8 @@ WITH u AS (
 filled AS (
   SELECT user_id, ts, event_id, tag,
          last_value(view_id IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts ASC, tag ASC
+           PARTITION BY user_id
+           ORDER BY ts ASC, tag ASC, COALESCE(view_id, 0) ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id
   FROM u)
 SELECT event_id, user_id, view_event_id
@@ -229,15 +231,21 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour watermark) rather than batch — same oracle as
     events_tumbling_window proves stream/batch equivalence inside the
     driver's correctness gate."""
+    import shutil
     import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, stream_events, tumbling_counts_stream)
 
     ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
-    out = run_available_now(
-        tumbling_counts_stream(stream_events(spark, sf_dir)),
-        "events_tumbling_streamed_sink", ck)
+    try:
+        out = run_available_now(
+            tumbling_counts_stream(stream_events(spark, sf_dir)),
+            "events_tumbling_streamed_sink", ck, output_mode="complete")
+    finally:
+        # the memory sink holds the result; the replay checkpoint is
+        # single-use scratch — don't leak one dir per invocation
+        shutil.rmtree(ck, ignore_errors=True)
     return out.orderBy("window_start", "event_type")
 
 
@@ -264,37 +272,49 @@ def events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90 per event_type by rank selection (the value at
     ceil(q*n), no interpolation — deterministic and engine-identical;
     approximate sketches in operators/skew.py are the 100 TB variant).
+
+    Scale shape: first a map-side-combinable aggregation to per-(type,
+    value) COUNTS, then the rank arithmetic runs over the count table —
+    the window input is |distinct values| per type (bounded by value
+    cardinality), never |rows|. The round-1 form ran row_number over the
+    raw rows with ~5 distinct types, serializing 1/5 of the corpus
+    through one task; this form's per-type work is the same at any
+    corpus size. The selected value for quantile q is the one whose
+    cumulative count first reaches ceil(q*n) — identical to ranking the
+    raw (value, event_id)-sorted rows, because equal values are adjacent
+    there.
     """
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    ranked = ev.select(
-        "event_type", "value",
-        F.row_number().over(w).alias("r"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
-    return (
-        ranked.filter(
-            (F.col("r") == F.ceil(F.col("n") * 0.5)) | (F.col("r") == F.ceil(F.col("n") * 0.9)))
-        .select(
-            "event_type",
-            F.when(F.col("r") == F.ceil(F.col("n") * 0.5), F.lit("p50"))
-            .otherwise(F.lit("p90")).alias("quantile"),
-            F.col("value"),
-        )
-        .orderBy("event_type", "quantile")
-    )
+    counts = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    cum = counts.select(
+        "event_type", "value", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"))
+    parts = []
+    for qname, qv in (("p50", 0.5), ("p90", 0.9)):
+        t = F.ceil(F.col("n") * qv)
+        parts.append(
+            cum.filter((F.col("cum") - F.col("cnt") < t) & (t <= F.col("cum")))
+            .select("event_type", F.lit(qname).alias("quantile"), "value"))
+    return parts[0].unionByName(parts[1]).orderBy("event_type", "quantile")
 
 
 EVENTS_PERCENTILES_SQL = """
-WITH ranked AS (
-  SELECT event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS r,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events)
-SELECT event_type,
-       CASE WHEN r = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END AS quantile,
-       value
-FROM ranked
-WHERE r = ceil(n * 0.5) OR r = ceil(n * 0.9)
+WITH counts AS (
+  SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM counts)
+SELECT event_type, 'p50' AS quantile, value FROM cum
+WHERE cum - cnt < ceil(n * 0.5) AND ceil(n * 0.5) <= cum
+UNION ALL
+SELECT event_type, 'p90' AS quantile, value FROM cum
+WHERE cum - cnt < ceil(n * 0.9) AND ceil(n * 0.9) <= cum
 ORDER BY event_type, quantile
 """
 
@@ -433,15 +453,19 @@ def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow replay — same oracle as the batch events_sessionize
     proves the stateful operator's stream/batch equivalence inside the
     driver's correctness gate."""
+    import shutil
     import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, sessionize_stateful_stream, stream_events)
 
     ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
-    emitted = run_available_now(
-        sessionize_stateful_stream(stream_events(spark, sf_dir)),
-        "events_sessionize_streamed_sink", ck, output_mode="update")
+    try:
+        emitted = run_available_now(
+            sessionize_stateful_stream(stream_events(spark, sf_dir)),
+            "events_sessionize_streamed_sink", ck, output_mode="update")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     # collapse cumulative re-emissions: the final emission of a session
     # has the largest n_events (and max end, min start)
     return (

@@ -187,9 +187,17 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
     """Execute a bounded replay to a memory sink and return the result
     as a batch DataFrame (test/verification harness)."""
     if output_mode is None:
-        # aggregations need complete/update output; plain transforms append
-        is_agg = any(c in stream_df.columns for c in ("n", "n_events"))
-        output_mode = "complete" if is_agg else "append"
+        # infer from the logical plan, not column names: stateful
+        # flat-map operators need update, aggregations need complete
+        # (an append aggregation would drop the un-flushed watermark
+        # tail of a bounded replay), plain transforms append
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            output_mode = "update"
+        elif "Aggregate" in plan:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

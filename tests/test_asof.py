@@ -44,3 +44,29 @@ def test_asof_latest_of_many(spark):
                 "k int, t long, rv string")
     rows = asof_join(left, right, on="t", by="k", right_cols=["rv"]).collect()
     assert rows[0]["asof_rv"] == "R999"  # latest prior, later rows ignored
+
+
+def test_asof_simultaneous_right_ties_deterministic(spark):
+    """Several right rows at the identical (by, on): the largest
+    right_order value must win, every run."""
+    left = _mk(spark, [(1, 100, "L")], "k int, t long, lv string")
+    right = _mk(spark, [(1, 100, 7, "a"), (1, 100, 9, "b"), (1, 100, 8, "c")],
+                "k int, t long, rid long, rv string")
+    for _ in range(3):
+        rows = asof_join(left, right, on="t", by="k",
+                         right_cols=["rv", "rid"], right_order="rid").collect()
+        assert rows[0]["asof_rv"] == "b" and rows[0]["asof_rid"] == 9
+
+
+def test_asof_left_key_spine_matches_inline(spark):
+    """The pruned-spine form (payload re-attached by left_key join) must
+    return exactly what the payload-through-window form returns."""
+    left = _mk(spark, [(i, 1, 100 + 10 * i, f"L{i}") for i in range(20)],
+               "lid long, k int, t long, payload string")
+    right = _mk(spark, [(1, t, f"R{t}") for t in (95, 105, 155, 250)],
+                "k int, t long, rv string")
+    inline = sorted(map(tuple, asof_join(
+        left, right, on="t", by="k", right_cols=["rv"]).collect()))
+    spine = sorted(map(tuple, asof_join(
+        left, right, on="t", by="k", right_cols=["rv"], left_key="lid").collect()))
+    assert spine == inline
