@@ -20,21 +20,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt(salt_cols: list[str], n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): pmod(xxhash64(row columns)).
+
+    NOT F.rand: rand is re-evaluated per task attempt, so an upstream
+    recompute (AQE re-plan, retry after a fetch failure) can change a
+    row's salt mid-join — rows silently dropped or duplicated exactly at
+    the scale where retries are routine. A content hash gives every
+    attempt the same salt.
+    """
+    return F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join resilient to hot keys in ``big``.
 
-    big gets a random salt in [0, n_salts); small is replicated
+    big gets a deterministic per-row salt in [0, n_salts) (hash of
+    ``salt_cols``, default: all of big's columns); small is replicated
     n_salts times with every salt value; join on (key, salt). The hot
     key's rows spread over n_salts tasks instead of one straggler.
     Output drops the salt column.
+
+    Only big-side-preserving joins are allowed (inner/left/left_semi/
+    left_anti): the replicated small side would emit n_salts copies of
+    every unmatched small-side row under right/full outer semantics.
     """
-    b = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}")
+    b = big.withColumn("__salt", _salt(salt_cols or big.columns, n_salts))
     s = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
@@ -44,12 +66,13 @@ def salted_join(
     return out.drop("__salt")
 
 
-def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+def salted_count(df: DataFrame, key: str, n_salts: int = 8,
+                 salt_cols: list[str] | None = None) -> DataFrame:
     """Two-phase count for a skewed key: pre-aggregate on (key, salt),
     then final-aggregate on key — the explicit form of map-side partial
     aggregation when a single reducer key would overflow."""
     pre = (
-        df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+        df.withColumn("__salt", _salt(salt_cols or df.columns, n_salts))
         .groupBy(key, "__salt")
         .agg(F.count("*").alias("c"))
     )

@@ -50,3 +50,31 @@ def test_checkpoint_truncates_lineage(spark):
     ck = long_lineage.checkpoint()
     assert "LogicalRDD" in ck.df._jdf.queryExecution().logical().toString()
     assert sorted(k for k, _ in ck.collect_pairs()) == list(range(5, 105))
+
+
+def test_salt_is_deterministic_across_recompute(spark):
+    """The salt must be a pure function of row content: recomputing the
+    DataFrame (fresh plan, different partitioning) yields identical
+    salts, so a task retry can never re-salt a row mid-join."""
+    from kmr_spark.operators.skew import _salt
+
+    big = _skewed(spark)
+    a = sorted(map(tuple, big.withColumn(
+        "s", _salt(big.columns, 8)).collect()))
+    redistributed = big.repartition(7)
+    b = sorted(map(tuple, redistributed.withColumn(
+        "s", _salt(redistributed.columns, 8)).collect()))
+    assert a == b
+    assert all(0 <= r[2] < 8 for r in a)
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest as _pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.0)], "key string, weight double")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "key", how="full_outer")
+    left = sorted(map(tuple, salted_join(big, small, "key", how="left").collect()))
+    plain = sorted(map(tuple, big.join(small, "key", "left").collect()))
+    assert left == plain
