@@ -47,8 +47,19 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
-def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five fixed-point PageRank iterations; output (node, rank)."""
+PR_CHECKPOINT_EVERY = 5
+
+
+def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank iterations; output (node, rank).
+
+    Iteration hygiene: each round's rank state is materialized, then the
+    superseded round is unpersisted — executor storage holds one rank
+    snapshot, not `iters` of them; lineage is truncated with an eager
+    localCheckpoint every PR_CHECKPOINT_EVERY rounds (and on the last)
+    so analysis cost stays flat and the edge caches can be dropped
+    before returning. 50 rounds at 100x data leaks nothing.
+    """
     # one materialization of the (join + distinct) edge build; outdeg,
     # the co-located edge table, and the node list all read the cache
     edges = _edges(spark, sf_dir).persist()
@@ -61,7 +72,8 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges2 = edges.join(F.broadcast(outdeg), "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(PR_ITERS):
+    prev = None
+    for i in range(iters):
         # rank state is node-sized (dimension-like) -> broadcast it to the
         # edge partitions; map-side combine shrinks the groupBy input.
         # (Web-scale graphs where ranks can't broadcast co-partition
@@ -80,8 +92,17 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.expr(f"{15 * PR_SCALE} DIV 100")
                  + F.expr("(85 * inflow) DIV 100")).alias("rank"),
             )
-            .persist()
         )
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint()  # eager: materialize + cut lineage
+        else:
+            ranks = ranks.persist()
+            ranks.count()  # materialize before freeing the predecessor
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    edges2.unpersist()
+    edges.unpersist()
     return ranks.orderBy("node")
 
 

@@ -24,3 +24,18 @@ def test_kmeans_clusters_nontrivial(spark):
     out = iterative.kmeans(spark, "/root/testdata/sf0.001")
     counts = {r["cluster"]: 1 for r in out.collect()}
     assert len(counts) > 1  # more than one cluster used
+
+
+def test_pagerank_many_iterations_no_cache_leak(spark):
+    """20+ rounds must not accumulate cached state: superseded rank
+    snapshots are unpersisted and the edge caches dropped on return.
+    (Checkpoint RDDs from the periodic lineage cut are reclaimed by the
+    context cleaner; the bound allows those plus one live snapshot.)"""
+    from kmr_spark.plans.iterative import pagerank
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = pagerank(spark, "/root/testdata/sf0.001", iters=21)
+    assert out.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 6, f"persistent RDDs grew {before} -> {after}"
