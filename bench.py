@@ -38,6 +38,15 @@ BENCH_QUERIES = [
     "sim_knn_bruteforce",
     "linalg_matmul",
     "revenue_rollup",
+    # round-2 widening: previously-untimed heavy plans, appended so the
+    # original 15 keep their relative order and stay round-comparable
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding",
+    "events_sliding_window",
+    "events_running_sum",
+    "gen_rmat",
+    "multimodal_decode",
 ]
 
 

@@ -161,15 +161,45 @@ class KVS:
     def take_one(self):
         return search.take_one(self.df)
 
-    def checkpoint(self, eager: bool = True) -> "KVS":
+    def checkpoint(self, eager: bool = True, durable: bool = False,
+                   path: str | None = None) -> "KVS":
         """Truncate lineage (kmrckpt.c parity — reference checkpoints
         every KVS to disk per operation, src/kmrckpt.c). Spark's
         lineage makes routine checkpointing unnecessary; use this at
         iteration boundaries of long loops where lineage growth or
-        recompute cost matters. Requires spark.sparkContext.setCheckpointDir
-        for cluster-durable checkpoints; localCheckpoint here trades
-        durability for speed exactly like KMR's no-fsync mode."""
+        recompute cost matters.
+
+        ``durable=False``: executor-local localCheckpoint — fast, lost
+        with the process, exactly KMR's no-fsync mode.
+
+        ``durable=True`` (requires ``path``): materialize to parquet on
+        shared storage and re-read — the state survives a full
+        application restart and any session can restore it, which is
+        kmrckpt's restart guarantee (src/kmrckpt.c restart-and-merge).
+        Parquet's _SUCCESS marker doubles as the commit record:
+        ``checkpoint_or_build`` consults it to skip recompute on
+        restart. (Spark's own reliable RDD checkpoint files are not
+        readable across applications, so a self-describing columnar
+        write is the Spark-first durable form.)"""
+        if durable:
+            if not path:
+                raise ValueError("durable checkpoint requires a path")
+            self.save(path)
+            return KVS.restore(self.df.sparkSession, path)
         return self._wrap(self.df.localCheckpoint(eager=eager))
+
+    @classmethod
+    def checkpoint_or_build(cls, spark: SparkSession, path: str,
+                            build: Callable[[], "KVS"]) -> "KVS":
+        """Restart semantics (kmrckpt.c): if ``path`` holds a COMMITTED
+        durable checkpoint (parquet _SUCCESS marker), restore it and
+        skip the computation entirely; otherwise run ``build``, commit
+        its result to ``path``, and return the restored copy."""
+        import os
+
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return cls.restore(spark, path)
+        return build().checkpoint(durable=True, path=path)
 
     # ---- persistence (kmr_save_kvs / kmr_restore_kvs, src/kmrbase.c:1026) ----
 

@@ -140,7 +140,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
     """Near-duplicate pairs via 32-bit frequency-weighted SimHash with
     banded candidate generation (4 bands of 8 bits; pigeonhole guarantees
     hamming <= 3 is always caught) and exact hamming verification.
@@ -180,12 +180,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 _SIMHASH_CANDS_CTE = f"""ths AS (
@@ -245,7 +245,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kmr_spark.operators.graph import connected_components
 
-    pairs = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = simhash_pairs(spark, sf_dir, sort=False).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b", n_iters=CC_ITERS)
     w = Window.partitionBy("label")
     return (

@@ -74,14 +74,20 @@ def assign_cells(df: DataFrame, cents: list[tuple[int, list[float]]],
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # vector norms are precomputed ONCE per vector (persist is the
+    # CollapseProject barrier) so the O(queries x corpus) scoring pays
+    # one dot product per pair, not dot + two norm folds — bit-identical
+    # to the oracle's per-pair form: same doubles, same multiply/divide
+    # order, only the reuse differs
+    emb = _emb(spark, sf_dir).withColumn("nv", V.norm(F.col("vd"))).persist()
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        F.col("nv").alias("nq"))
     pairs = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"),
+        (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -113,15 +119,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, then answer each query inside its own cell only."""
     emb = _emb(spark, sf_dir)
     cents = _collect_centroids(emb)
-    assigned = assign_cells(emb, cents, 1).select(
-        "vec_id", "vd", F.col("cells")[0].alias("cell"))
+    assigned = (
+        assign_cells(emb, cents, 1)
+        .select("vec_id", "vd", F.col("cells")[0].alias("cell"))
+        .withColumn("nv", V.norm(F.col("vd")))  # one norm per vector
+        .persist()
+    )
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("cell"))
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        F.col("cell"), F.col("nv").alias("nq"))
     cand = F.broadcast(queries).join(assigned, "cell").filter(
         F.col("vec_id") != F.col("query_id"))
     rescored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
+        (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         rescored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -171,18 +182,22 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb(spark, sf_dir)
     cents = _collect_centroids(emb)
-    assigned = assign_cells(emb, cents, 1).select(
-        "vec_id", "vd", F.col("cells")[0].alias("cell"))
+    assigned = (
+        assign_cells(emb, cents, 1)
+        .select("vec_id", "vd", F.col("cells")[0].alias("cell"))
+        .withColumn("nv", V.norm(F.col("vd")))  # one norm per vector
+        .persist()
+    )
     probes = (
         assign_cells(emb.filter(F.col("vec_id") < N_QUERIES), cents, N_PROBES)
         .select(F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
-                F.explode("cells").alias("cell"))
+                V.norm(F.col("vd")).alias("nq"), F.explode("cells").alias("cell"))
     )
     cand = F.broadcast(probes).join(assigned, "cell").filter(
         F.col("vec_id") != F.col("query_id"))
     rescored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("vd")).alias("cosine"))
+        (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         rescored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -238,13 +253,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         assign_cells(emb, cents, 1)
         .select("vec_id", "vd", F.col("cells")[0].alias("cell"))
+        .withColumn("nv", V.norm(F.col("vd")))  # one norm per vector
         .persist()  # both sides of the in-cell self-join
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine", V.cosine(F.col("a.vd"), F.col("b.vd")))
+        .withColumn("cosine", V.dot(F.col("a.vd"), F.col("b.vd"))
+                    / (F.col("a.nv") * F.col("b.nv")))
         .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
         .orderBy("vec_a", "vec_b")

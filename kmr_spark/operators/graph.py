@@ -38,6 +38,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                          checkpoint_every: int = 4) -> DataFrame:
     """Labels each node of the undirected pair graph with the minimum
     node id of its connected component. Returns (node, label)."""
+    # materialize the (possibly expensive) pair source ONCE: the
+    # adjacency build scans it three times (fwd, rev, self-loop
+    # branches) and those union branches run as separate stages that
+    # would each recompute an uncached upstream (e.g. a full LSH
+    # pipeline) in parallel past an unfilled cache
+    pairs = pairs.persist()
+    pairs.count()
     nodes = (
         pairs.select(F.col(src).alias("node"))
         .unionByName(pairs.select(F.col(dst).alias("node")))
@@ -49,7 +56,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .unionByName(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
         .persist()
     )
-    labels = nodes.select("node", F.col("node").alias("label"))
+    # initial labels from the adjacency's self-loop rows (reads the adj
+    # cache instead of re-deriving the node set from the pair source)
+    labels = adj.filter(F.col("s") == F.col("d")).select(
+        F.col("s").alias("node"), F.col("s").alias("label"))
     for i in range(n_iters):
         labels = (
             adj.join(labels, adj["s"] == labels["node"])
@@ -58,6 +68,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         )
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
-    labels = labels.localCheckpoint()  # materialize, then drop the adjacency cache
+    labels = labels.localCheckpoint()  # materialize, then drop the caches
     adj.unpersist()
+    pairs.unpersist()
     return labels

@@ -53,12 +53,14 @@ PR_CHECKPOINT_EVERY = 5
 def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFrame:
     """Fixed-point PageRank iterations; output (node, rank).
 
-    Iteration hygiene: each round's rank state is materialized, then the
-    superseded round is unpersisted — executor storage holds one rank
-    snapshot, not `iters` of them; lineage is truncated with an eager
-    localCheckpoint every PR_CHECKPOINT_EVERY rounds (and on the last)
-    so analysis cost stays flat and the edge caches can be dropped
-    before returning. 50 rounds at 100x data leaks nothing.
+    Iteration hygiene: rounds chain LAZILY (each round's output feeds
+    exactly one consumer, so caching intermediates would only add
+    materialization jobs); an eager localCheckpoint every
+    PR_CHECKPOINT_EVERY rounds (and on the last) materializes the chain
+    since the previous cut and truncates lineage, so analysis cost
+    stays flat, nothing but the bounded checkpoint snapshots is ever
+    persisted, and the edge caches are dropped before returning. 50
+    rounds at 100x data leaks nothing.
     """
     # one materialization of the (join + distinct) edge build; outdeg,
     # the co-located edge table, and the node list all read the cache
@@ -72,7 +74,6 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     edges2 = edges.join(F.broadcast(outdeg), "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    prev = None
     for i in range(iters):
         # rank state is node-sized (dimension-like) -> broadcast it to the
         # edge partitions; map-side combine shrinks the groupBy input.
@@ -95,12 +96,6 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
         )
         if (i + 1) % PR_CHECKPOINT_EVERY == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint()  # eager: materialize + cut lineage
-        else:
-            ranks = ranks.persist()
-            ranks.count()  # materialize before freeing the predecessor
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
     edges2.unpersist()
     edges.unpersist()
     return ranks.orderBy("node")

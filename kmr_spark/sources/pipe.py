@@ -48,3 +48,39 @@ def pipe_per_key_reduce(df: DataFrame, command: str, key: str = "key", value: st
     out = piped.map(lambda s: s.split("\t", 1)).map(
         lambda kv: (kv[0], kv[1] if len(kv) > 1 else ""))
     return spark.createDataFrame(out, "key string, value string")
+
+
+def kmrrun_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    mapper: str,
+    kvgen: str | None = None,
+    reducer: str | None = None,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """One-command kmrrun parity (reference kmrrun/kmrrun.c:4-63):
+    mapper program -> key-value generator program -> shuffle -> reducer
+    program -> per-key sink. Map-only when no reducer (the reference
+    supports the same). Lines are TAB-separated "key<TAB>value" (the
+    reference uses space-separated per-key files; TAB matches this
+    package's pipe operators and survives keys with spaces).
+
+    Each program runs once per partition with that partition's lines on
+    stdin (kmrrun amortizes the same way, batching per rank); the
+    shuffle before the reducer guarantees every key's lines reach
+    exactly one reducer invocation contiguously.
+    """
+    lines = spark.read.text(input_path).rdd.map(lambda r: r["value"])
+    mapped = lines.pipe(mapper)
+    if kvgen:
+        mapped = mapped.pipe(kvgen)
+    kv = mapped.map(lambda s: s.split("\t", 1)).map(
+        lambda p: (p[0], p[1] if len(p) > 1 else ""))
+    df = spark.createDataFrame(kv, "key string, value string")
+    if reducer:
+        df = pipe_per_key_reduce(df, reducer)
+    if out_dir:
+        from kmr_spark.sources.files import save_partitioned_by_key
+
+        save_partitioned_by_key(df, out_dir)
+    return df

@@ -181,3 +181,49 @@ def test_map_skipping(spark):
     kvs = KVS.from_pairs(spark, [(i, i) for i in range(20)], "key long, value long")
     out = map_skipping(kvs.df, ["key"], start=1, stride=5)
     assert sorted(k for k, _ in [(r["key"], r["value"]) for r in out.collect()]) == [1, 6, 11, 16]
+
+
+def test_durable_checkpoint_survives_fresh_session(spark, tmp_path):
+    """kmrckpt restart parity: a checkpoint written by one Spark
+    APPLICATION must be restorable by another, and restart must skip
+    the recompute (committed-marker check)."""
+    import subprocess
+    import sys
+
+    from kmr_spark.kvs import KVS
+
+    ck = str(tmp_path / "durable_ck")
+    script = f"""
+import sys; sys.path.insert(0, {repr("/root/repo")})
+from pyspark.sql import SparkSession
+from kmr_spark.kvs import KVS
+spark = SparkSession.builder.master("local[2]").appName("ck-writer").getOrCreate()
+kvs = KVS.from_pairs(spark, [(i, i * i) for i in range(50)], "key long, value long")
+kvs.map_expr(__import__("pyspark.sql.functions", fromlist=["col"]).col("key") + 1,
+             __import__("pyspark.sql.functions", fromlist=["col"]).col("value"))\\
+   .checkpoint(durable=True, path={repr(ck)})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", script], check=True,
+                   capture_output=True, timeout=300)
+
+    def must_not_run():
+        raise AssertionError("restart recomputed instead of restoring")
+
+    restored = KVS.checkpoint_or_build(spark, ck, must_not_run)
+    pairs = sorted(restored.collect_pairs())
+    assert pairs == [(i + 1, i * i) for i in range(50)]
+
+
+def test_checkpoint_or_build_builds_when_absent(spark, tmp_path):
+    from kmr_spark.kvs import KVS
+
+    ck = str(tmp_path / "fresh_ck")
+    built = KVS.checkpoint_or_build(
+        spark, ck,
+        lambda: KVS.from_pairs(spark, [(1, 10), (2, 20)], "key long, value long"))
+    assert sorted(built.collect_pairs()) == [(1, 10), (2, 20)]
+    # second call restores the committed copy
+    again = KVS.checkpoint_or_build(
+        spark, ck, lambda: (_ for _ in ()).throw(AssertionError("recompute")))
+    assert sorted(again.collect_pairs()) == [(1, 10), (2, 20)]

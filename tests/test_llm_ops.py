@@ -78,3 +78,15 @@ def test_cluster_labels_consistent_with_pairs(spark):
         by_cluster.setdefault(cl, []).append(doc)
     for cl, members in by_cluster.items():
         assert cl == min(members)
+
+
+def test_bmp_decoder_rejects_malformed(spark):
+    """The real codec must fail loudly on garbage, not emit junk rows."""
+    import pytest as _pytest
+
+    from kmr_spark.llm_ops.multimodal import decode_bmp
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOTABMP" * 10))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="bad magic"):
+        decode_bmp(bad).collect()
