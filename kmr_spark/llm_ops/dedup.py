@@ -219,34 +219,29 @@ ORDER BY doc_a, doc_b
 """
 
 
-# The simhash pair graph at sf0.01 contains chains (a~b~c...), not just
-# quasi-cliques: plain min-propagation converges in 12 rounds there; 16
-# gives margin and the convergence test pins it. (Log-round
-# large-star/small-star is the swap-in for high-diameter graphs.)
-CC_ITERS = 16
-
-
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS + keeper selection over the SimHash pair
     graph: connected components (operators/graph.py min-label
-    propagation), cluster id = min doc_id of the component, keeper =
-    the doc whose id IS the cluster id, plus cluster size.
+    propagation with pointer jumping, run to convergence), cluster id =
+    min doc_id of the component, keeper = the doc whose id IS the
+    cluster id, plus cluster size.
 
     This is the step a training-data pipeline runs after LSH: pairs say
     "a~b, b~c"; deduping must drop {b, c} and keep a even though (a, c)
     was never a candidate pair. Output: one row per clustered doc
     (doc_id, cluster_id, cluster_size, is_keeper).
 
-    Oracle: an unrolled CTE chain performing the identical CC_ITERS
-    integer-min rounds (fixed iteration count both sides — bit-exact by
-    construction; test_llm_ops asserts the count converges).
+    Oracle: a recursive min-reachability CTE. Both sides compute the
+    same unique fixed point (minimum node id per component), so the
+    comparison is bit-exact without coupling the engines' iteration
+    schedules.
     """
     from pyspark.sql import Window
 
     from kmr_spark.operators.graph import connected_components
 
     pairs = simhash_pairs(spark, sf_dir, sort=False).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b", n_iters=CC_ITERS)
+    labels = connected_components(pairs, "doc_a", "doc_b")
     w = Window.partitionBy("label")
     return (
         labels.withColumn("cluster_size", F.count("*").over(w))
@@ -259,29 +254,28 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_sql() -> str:
-    cte = f"""{_SIMHASH_CANDS_CTE},
+CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SIMHASH_CANDS_CTE},
 pairs AS (SELECT doc_a, doc_b FROM cand
           WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
 nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
 adj AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs
-        UNION ALL SELECT node AS s, node AS d FROM nodes),
-l0 AS (SELECT node, node AS label FROM nodes)"""
-    for i in range(CC_ITERS):
-        cte += f""",
-l{i + 1} AS (SELECT a.d AS node, MIN(l.label) AS label
-             FROM l{i} l JOIN adj a ON l.node = a.s GROUP BY a.d)"""
-    return f"""
-WITH {cte}
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+-- min-reachability: label m reaches node v iff a path m->...->v exists;
+-- the component minimum m satisfies m < d for every hop target d, so it
+-- reaches every node of its component and MIN() recovers it — the same
+-- fixed point the Spark propagation loop converges to
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.d, r.label FROM reach r JOIN adj a ON a.s = r.node
+  WHERE r.label < a.d),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
 SELECT node AS doc_id, label AS cluster_id,
        COUNT(*) OVER (PARTITION BY label) AS cluster_size,
        node = label AS is_keeper
-FROM l{CC_ITERS} ORDER BY cluster_id, doc_id
+FROM labels ORDER BY cluster_id, doc_id
 """
-
-
-CLUSTERS_SQL = _clusters_sql()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

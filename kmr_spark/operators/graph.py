@@ -1,4 +1,4 @@
-"""Connected components via iterative min-label propagation.
+"""Connected components via iterated min-neighbor contraction.
 
 Reference parity: KMR runs graph algorithms as fixed-point map/shuffle/
 reduce loops with materialized KVS state per round (ex/pagerank.c:1-30);
@@ -7,24 +7,40 @@ purpose: turn near-duplicate PAIRS (llm_ops/dedup.py band joins) into
 duplicate CLUSTERS so a pipeline can keep one document per group —
 the step every training-data dedup needs after LSH.
 
-Algorithm: label(v) starts as v; each round label(v) <- min(label(u))
-over u in N(v) ∪ {v} (self-loops make the update monotone). After
-enough rounds every node carries the minimum id of its component.
-Rounds are a FIXED count so the DuckDB oracle (an unrolled CTE chain
-doing the identical integer mins) is bit-deterministic; a convergence
-test asserts the count suffices on the test corpora. Near-dup graphs
-from banded LSH have small diameter (bands create quasi-cliques), so a
-small constant works; general graphs would use the alternating
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce and Beyond") — same join/groupBy building blocks, fewer
-rounds on high-diameter graphs.
+Algorithm (contraction + pointer-jumping, the family of Kiveris et
+al., "Connected Components in MapReduce and Beyond"): each round
+computes f(v) = min(N(v) ∪ {v}) — one min-aggregation over the edge
+list — whose (v, f(v)) rows form a forest rooted at the local minima.
+Pointer jumping squares that mapping (f ← f∘f, one node-sized
+self-join per step) until it is IDEMPOTENT — log2(tree depth) steps,
+detected by a zero changed-row count — so every node points at its
+tree root. The round then CONTRACTS the graph, replacing every edge
+(u, v) with (f(u), f(v)) and dropping self-loops and duplicates:
+every non-root node disappears, so each round at least shrinks every
+component with an edge, and the loop ends when the edge set is EMPTY
+(one count per round — no fixed iteration budget). A near-dup
+quasi-clique collapses onto its minimum in round one; a monotone
+chain — the worst case for bare min-contraction, which shortens it
+O(1) edges/round — is a single forest tree and also collapses in
+round one. Final labels compose the per-round mappings back down:
+label(v) = f_k(...f_1(f_0(v))). Total rounds are O(log n) (each
+surviving root absorbed ≥1 non-root), versus Ω(diameter) for plain
+min-label propagation, which is why this survives both dense pair
+graphs (LSH cliques: E ≈ 30× nodes here) and long chains.
 
-Scale shape per round: one shuffle of (node, label) against the
-persisted adjacency (both keyed on the node id — at cluster scale the
-adjacency would be bucketed on src so the join is co-located, see
-sources/bucketing.py), one map-side-combined min aggregation. Label
-state is node-sized. Lineage is truncated with localCheckpoint every
-few rounds (same iteration hygiene as plans/iterative.py pagerank).
+Determinism: every step is an integer min / distinct — the result is
+the unique component-minimum labeling regardless of round count,
+partitioning, or schedule, which is what lets a SQL oracle (recursive
+min-reachability CTE, llm_ops/dedup.py CLUSTERS_SQL) reproduce it
+bit-for-bit.
+
+Scale shape per round: one edge-sized shuffle for the min-aggregation,
+two edge-sized joins against the node-sized mapping (broadcast-able
+while the mapping fits, and AQE picks that up at this scale; hash
+joins co-partitioned on the edge key otherwise), one distinct. Mapping
+state is node-sized and localCheckpoint-ed per round (same iteration
+hygiene as plans/iterative.py pagerank) so lineage stays flat and the
+convergence count is free.
 """
 
 from __future__ import annotations
@@ -34,41 +50,77 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", n_iters: int = 8,
-                         checkpoint_every: int = 4) -> DataFrame:
+                         dst: str = "doc_b", max_rounds: int = 30,
+                         max_jumps: int = 40) -> DataFrame:
     """Labels each node of the undirected pair graph with the minimum
-    node id of its connected component. Returns (node, label)."""
-    # materialize the (possibly expensive) pair source ONCE: the
-    # adjacency build scans it three times (fwd, rev, self-loop
-    # branches) and those union branches run as separate stages that
-    # would each recompute an uncached upstream (e.g. a full LSH
+    node id of its connected component. Returns (node, label).
+
+    Raises RuntimeError if the edge set is not exhausted within
+    ``max_rounds`` rounds of ``max_jumps`` pointer-jump squarings:
+    rounds grow O(log n) and jumps O(log depth), so the defaults
+    cover any graph that fits in storage (2^40-deep trees don't).
+    """
+    # materialize the (possibly expensive) pair source ONCE: the first
+    # round reads it twice (both edge directions) as separate stages
+    # that would each recompute an uncached upstream (e.g. a full LSH
     # pipeline) in parallel past an unfilled cache
     pairs = pairs.persist()
     pairs.count()
-    nodes = (
-        pairs.select(F.col(src).alias("node"))
-        .unionByName(pairs.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    adj = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .unionByName(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
-        .persist()
-    )
-    # initial labels from the adjacency's self-loop rows (reads the adj
-    # cache instead of re-deriving the node set from the pair source)
-    labels = adj.filter(F.col("s") == F.col("d")).select(
-        F.col("s").alias("node"), F.col("s").alias("label"))
-    for i in range(n_iters):
-        labels = (
-            adj.join(labels, adj["s"] == labels["node"])
-            .groupBy("d").agg(F.min("label").alias("label"))
-            .select(F.col("d").alias("node"), "label")
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    mappings: list[DataFrame] = []
+    for r in range(max_rounds):
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        f = (
+            und.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("fv"))  # f(v) = min(N(v) ∪ {v})
+            .localCheckpoint()
         )
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
-    labels = labels.localCheckpoint()  # materialize, then drop the caches
-    adj.unpersist()
+        # pointer-jump the mapping to idempotence before contracting:
+        # bare min-neighbor contraction shortens a chain by only O(1)
+        # edges per round; squaring f until f∘f = f (zero changed rows
+        # — the count reads the mapping just checkpointed, so it's
+        # node-sized and cheap) collapses every forest tree onto its
+        # root in log2(depth) self-joins. f's image is within its
+        # domain, so the self-join is total.
+        for _ in range(max_jumps):
+            jmp = f.select(F.col("u").alias("__n"), F.col("fv").alias("__l"))
+            f2 = (
+                f.join(jmp, f["fv"] == jmp["__n"])
+                .select("u", F.col("fv").alias("__prev"),
+                        F.col("__l").alias("fv"))
+                .localCheckpoint()
+            )
+            f = f2.select("u", "fv")
+            if f2.filter(F.col("fv") != F.col("__prev")).count() == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: pointer jump not idempotent in {max_jumps} steps")
+        mappings.append(f)
+        fu = f.select(F.col("u").alias("__u"), F.col("fv").alias("__fu"))
+        fv = f.select(F.col("u").alias("__v"), F.col("fv").alias("__fv"))
+        edges = (
+            edges.join(fu, edges["u"] == fu["__u"])
+            .join(fv, F.col("v") == fv["__v"])
+            .select(F.least("__fu", "__fv").alias("u"),
+                    F.greatest("__fu", "__fv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if edges.count() == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: not contracted in {max_rounds} rounds")
     pairs.unpersist()
-    return labels
+    # compose the mappings top-down: nodes whose component collapsed at
+    # an earlier level have no row at later levels — left join + keep
+    labels = mappings[0].select(F.col("u").alias("node"), F.col("fv").alias("label"))
+    for f in mappings[1:]:
+        jump = f.select(F.col("u").alias("__n"), F.col("fv").alias("__l"))
+        labels = (
+            labels.join(jump, labels["label"] == jump["__n"], "left")
+            .select("node", F.coalesce("__l", "label").alias("label"))
+        )
+    return labels.localCheckpoint()

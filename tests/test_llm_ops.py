@@ -49,18 +49,31 @@ def test_minhash_finds_near_dupes_nonempty(spark, duck):
     print(f"minhash candidate near-dup pairs at sf0.01: {n}")
 
 
-def test_cc_iteration_count_converges(spark):
-    """CC_ITERS min-label rounds must reach the fixed point on the test
-    corpus: one extra round changes nothing. (The oracle unrolls exactly
-    CC_ITERS rounds, so convergence makes the count semantically `the
-    components`, not an arbitrary prefix.)"""
-    from kmr_spark.llm_ops.dedup import CC_ITERS, simhash_pairs
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """Idempotent pointer jumping must collapse a 200-node path graph
+    (diameter 199 — the worst case for plain propagation, which would
+    need 199 rounds, and for fixed-step jumping, which shortens it
+    2^steps edges/round) in ~one contraction round: the monotone chain
+    is a single min-forest tree, so jumping to the root empties the
+    edge set immediately. max_rounds=2 pins that."""
     from kmr_spark.operators.graph import connected_components
 
-    pairs = simhash_pairs(spark, "/root/testdata/sf0.01").select("doc_a", "doc_b")
-    at_k = connected_components(pairs, n_iters=CC_ITERS)
-    at_k1 = connected_components(pairs, n_iters=CC_ITERS + 1)
-    assert sorted(map(tuple, at_k.collect())) == sorted(map(tuple, at_k1.collect()))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(pairs, max_rounds=2).collect()}
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_cc_disjoint_components(spark):
+    """Two separate components keep separate minimum labels."""
+    from kmr_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_cluster_labels_consistent_with_pairs(spark):
