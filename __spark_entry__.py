@@ -29,6 +29,11 @@ def _registries():
 
     modules = [tpch]
     try:
+        import kmr_spark.plans.tpch_extra as tpch_extra
+        modules.append(tpch_extra)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.plans.wordcount as wordcount
         modules.append(wordcount)
     except ImportError:

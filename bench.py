@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "events_running_sum",
     "gen_rmat",
     "multimodal_decode",
+    # round-2 TPC-H widening (plans/tpch_extra.py): the two heaviest —
+    # Q1 full-scan 9-aggregate and Q18 orderkey-shuffle having-join
+    "tpch_q1",
+    "tpch_q18",
 ]
 
 

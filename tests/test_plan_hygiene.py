@@ -40,6 +40,48 @@ def test_q21_single_pushdown_of_status_filter(spark):
     assert "EqualTo(n_name,NATION_3)" in plan.replace(" ", "")
 
 
+def test_q1_scan_bound_single_pass(spark):
+    """Q1 is one lineitem scan into a 6-group aggregate: date filter
+    pushed to parquet, no join anywhere in the plan."""
+    from kmr_spark.plans import tpch_extra
+
+    plan = _plan(tpch_extra.q1(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "Join" not in plan
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    from kmr_spark.plans import tpch_extra
+
+    plan = _plan(tpch_extra.q6(spark, SF)).replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05" in plan
+
+
+def test_q5_broadcasts_region_side(spark):
+    plan = _plan(__import__("kmr_spark.plans.tpch_extra", fromlist=["q5"]).q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "")
+
+
+def test_q17_no_lineitem_sized_shuffle(spark):
+    """The correlated threshold must ride broadcast joins — a
+    SortMergeJoin here would mean lineitem shuffles on partkey."""
+    from kmr_spark.plans import tpch_extra
+
+    plan = _plan(tpch_extra.q17(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_take_ordered_cut(spark):
+    from kmr_spark.plans import tpch_extra
+
+    plan = _plan(tpch_extra.q18(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_wordcount_uses_take_ordered(spark):
     plan = _plan(wordcount.wordcount_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort+limit
