@@ -1,4 +1,5 @@
-"""TPC-H beyond the reference's five: Q1/Q3/Q4/Q5/Q6/Q8/Q14/Q15/Q17/Q18/Q22.
+"""TPC-H beyond the reference's five:
+Q1/Q3/Q4/Q5/Q6/Q8/Q12/Q14/Q15/Q17/Q18/Q19/Q22.
 
 The reference hand-builds only Q7/Q9/Q10/Q13/Q21 (ex/tpch.c; SURVEY.md
 §2.12) — these eleven widen the engine's query surface to everything the
@@ -18,8 +19,15 @@ Schema adaptations (testdata lacks some TPC-H columns, FIXTURES.md):
 - Q8: p_type values are single words -> ``p_type = 'ECONOMY'``; the
   market-share nation is NATION_1 (an AMERICA nation in the testdata).
 - Q14: promo parts are ``p_type = 'PROMO'`` (no multi-word types).
+- Q12: no ``l_shipmode`` -> ``l_returnflag IN ('A','N')`` is the
+  two-mode surrogate group key; "committed/received" dates absent ->
+  the ship-year window filters ``l_shipdate`` and late means
+  ``l_shipdate > o_orderdate``.
 - Q17: no ``p_container`` -> brand filter only; the 0.2*avg(qty)
   correlated threshold is kept.
+- Q19: no ``p_container`` -> each OR branch pairs a brand with a
+  ``p_size`` range instead; quantity ranges kept; brands picked from
+  the testdata's Brand#1..25 domain.
 - Q22: no ``c_phone`` -> country code is ``c_nationkey`` and "no
   orders" means no orders on/after 2000-01-01 (every testdata customer
   has at least one order overall).
@@ -369,6 +377,53 @@ ORDER BY o_year
 """
 
 
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 Shipping Modes and Order Priority (adapted — see module doc).
+
+    For the two surrogate "modes" (l_returnflag A/N) shipped late within
+    one year, count critical- vs non-critical-priority orders. lineitem
+    is cut by the pushed year+flag filters before the one orderkey
+    shuffle against orders; priorities fold into two conditional sums
+    (no second aggregation or distinct).
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & F.col("l_returnflag").isin("A", "N")
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = li.join(
+        orders,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(crit, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(crit, zero).otherwise(one)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag AS ship_mode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('A', 'N')
+  AND l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 Promotion Effect: percent of one month's revenue from PROMO
     parts. Part is the only join (broadcast); numerator and denominator
@@ -522,6 +577,60 @@ LIMIT 100
 """
 
 
+Q19_BRANCHES = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#15", 1, 15, 20, 30),
+)
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 Discounted Revenue (adapted — p_size ranges stand in for the
+    missing p_container).
+
+    The disjunction's hull (3 brands, qty <= 30) pushes into both
+    scans: part shrinks to a broadcast of three brands' rows and
+    lineitem prunes quantity at the parquet reader, so the exact OR —
+    which no optimizer can push through a join — evaluates on the
+    already-small joined stream.
+    """
+    t = load_tables(spark, sf_dir)
+    brands = sorted({b for b, *_ in Q19_BRANCHES})
+    qty_hull = max(hi for *_, hi in Q19_BRANCHES)
+    parts = F.broadcast(
+        t["part"].filter(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand", "p_size"))
+    li = t["lineitem"].filter(
+        (F.col("l_quantity") >= min(lo for *_, lo, _hi in Q19_BRANCHES))
+        & (F.col("l_quantity") <= qty_hull)
+    ).select("l_partkey", "l_quantity", _volume_i().alias("vol_i"))
+    branch = None
+    for b, slo, shi, qlo, qhi in Q19_BRANCHES:
+        c = ((F.col("p_brand") == b)
+             & F.col("p_size").between(slo, shi)
+             & F.col("l_quantity").between(qlo, qhi))
+        branch = c if branch is None else (branch | c)
+    return (
+        li.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(F.sum("vol_i").alias("s"))
+        .select(_rev_double("s").alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({SQL_VOLUME_I}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 Global Sales Opportunity, adapted: dormant customers (no
     order since 2000-01-01) with above-average positive balances, by
@@ -579,10 +688,12 @@ QUERIES = {
     "tpch_q5": q5,
     "tpch_q6": q6,
     "tpch_q8": q8,
+    "tpch_q12": q12,
     "tpch_q14": q14,
     "tpch_q15": q15,
     "tpch_q17": q17,
     "tpch_q18": q18,
+    "tpch_q19": q19,
     "tpch_q22": q22,
 }
 
@@ -593,9 +704,11 @@ ORACLE_SQL = {
     "tpch_q5": Q5_SQL,
     "tpch_q6": Q6_SQL,
     "tpch_q8": Q8_SQL,
+    "tpch_q12": Q12_SQL,
     "tpch_q14": Q14_SQL,
     "tpch_q15": Q15_SQL,
     "tpch_q17": Q17_SQL,
     "tpch_q18": Q18_SQL,
+    "tpch_q19": Q19_SQL,
     "tpch_q22": Q22_SQL,
 }

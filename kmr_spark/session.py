@@ -34,7 +34,9 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Timestamp columns per table (stored as TIMESTAMP(NANOS) in the parquet).
+#: Timestamp columns per table. Driver testdata generations have used
+#: both TIMESTAMP(NANOS) (round 1) and TIMESTAMP(MICROS, naive) (round 2);
+#: load_tables normalizes either to Spark TimestampType in UTC.
 TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -82,22 +84,32 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     free — the declarative equivalent of KMR's scan-time filter/project
     idiom (``select_by_fields``, reference ex/tpch.c:1655).
     """
-    # The driver may hand us a session built without our configs; the
-    # nanos-as-long switch is runtime-settable, so pin it here too.
+    # The driver may hand us a session built without our configs; these
+    # are runtime-settable, so pin them here too. UTC makes the
+    # NTZ->TimestampType cast below wall-clock-preserving everywhere.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            # TIMESTAMP(NANOS) columns arrive as long ns (see get_spark);
-            # truncate to micros exactly like DuckDB's TIMESTAMP_NS ->
-            # TIMESTAMP cast so oracle comparisons see identical values.
+            # Normalize whatever the parquet stores to TimestampType:
+            #  - TIMESTAMP(NANOS) arrives as long ns (nanosAsLong above);
+            #    truncate to micros exactly like DuckDB's TIMESTAMP_NS ->
+            #    TIMESTAMP cast so oracle comparisons see identical values.
+            #  - naive TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; cast to
+            #    TimestampType (tz pinned UTC, so the wall clock is kept)
+            #    because functions like unix_micros and the oracle compare
+            #    path expect TimestampType.
             for col in TS_COLS.get(name, ()):
-                if dict(df.dtypes).get(col) == "bigint":
+                dt = dict(df.dtypes).get(col)
+                if dt == "bigint":
                     df = df.withColumn(
                         col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
                     )
+                elif dt == "timestamp_ntz":
+                    df = df.withColumn(col, F.col(col).cast("timestamp"))
             out[name] = df
     return out
 

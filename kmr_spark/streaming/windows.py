@@ -30,14 +30,21 @@ WATERMARK = "1 hour"
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (bounded replay of the stream).
 
-    The testdata stores TIMESTAMP(NANOS) (read as long ns — see
-    kmr_spark.session); the stream converts to a proper event-time
-    column before any watermarking.
+    Testdata generations have stored ``ts`` as TIMESTAMP(NANOS) (read as
+    long ns under nanosAsLong) or naive TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ); a cheap batch footer read picks the stream schema,
+    and either form normalizes to TimestampType (UTC) before any
+    watermarking — same contract as kmr_spark.session.load_tables.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+    ts_dt = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            f"event_id long, ts {ts_dt}, user_id long, event_type string, "
             "value double, props string"
         )
         # the streaming file source wants a directory; the testdata table
@@ -45,7 +52,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    if ts_dt == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
