@@ -64,6 +64,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.sampling as sampling
+        modules.append(sampling)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -1,0 +1,64 @@
+"""Bucketed range (interval) join — points into [lo, hi) intervals.
+
+Spark has no native range-join strategy: ``points.join(intervals,
+(p >= lo) & (p < hi))`` compiles to BroadcastNestedLoopJoin (every
+point × every interval) — O(|P|·|I|) work that dies long before
+100 TB. The scalable form used here is the standard bucketing
+rewrite (the same family as Databricks' range-join hint and Flink's
+interval join): pick a bucket width W, give every point the single
+bucket floor(p/W), explode every interval into the buckets its span
+covers, equi-join on the bucket id, then apply the exact [lo, hi)
+predicate. Each qualifying (point, interval) pair meets in EXACTLY
+one bucket — the point's — so no post-join distinct is needed.
+
+Scale shape: one hash shuffle on the bucket id (or a broadcast when
+the exploded interval side is small, which AQE picks automatically);
+interval fanout is bounded by span/W + 1. Choose W near the typical
+interval span: fanout stays O(1) while each bucket pairs a point only
+with the few intervals overlapping its W-neighborhood. Skewed buckets
+(a hot hour) are ordinary join skew — AQE skew-join splits them.
+
+Reference parity: KMR expresses joins as key-match over sorted KVS
+(kmr_match, /root/reference/src/kmrmoreops.c:391) and has no interval
+form; this is a beyond-reference operator per the build brief
+(sessionized attribution, campaign windows, time-range enrichment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``lo <= point < hi``. All three bound columns must be integral
+    (cast timestamps to epoch micros first); ``bucket_width`` is in
+    the same unit. Output carries all columns of both inputs.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    p = points.withColumn("__bk", F.expr(f"{point_col} DIV {bucket_width}"))
+    iv = intervals.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo_col} DIV {bucket_width}"),
+                # hi is exclusive: an interval ending exactly on a bucket
+                # boundary never reaches into that bucket
+                F.expr(f"({hi_col} - 1) DIV {bucket_width}"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bk")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("__bk")
+    )

@@ -1,0 +1,76 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB pipeline samples constantly — holdout splits, per-source
+mixture weights, debug slices — and at that scale the sample must be a
+PURE FUNCTION of the row, not of the task attempt: ``df.sample()``
+draws from a per-partition RNG stream, so a fetch-failure retry or an
+AQE re-plan can change which rows survive mid-job (the same class of
+bug the skew salts had before ee595e4). These operators decide
+keep/drop from a multiplicative hash of the row's own key, so every
+re-execution, every engine, and the DuckDB oracle agree row-for-row.
+
+Reference parity: KMR has no sampling surface (SURVEY §2 gap); its
+closest idiom is kmr_map with a caller-side filter. Beyond-reference
+per the build brief (mixture/holdout construction).
+
+Scale shape: a narrow filter expression — no shuffle, no UDF, fully
+whole-stage-codegen, pushed to the scan where the key columns allow.
+Stratified rates compile to a CASE chain over the stratum column, so
+the per-stratum thresholds ride the same single pass.
+
+Hash: h(x) = ((x mod 999983) * 2654435761) mod 1000000007, mapped to
+[0, 1) by /1e9+7. Knuth's multiplicative constant; the pre-reduction
+keeps the product < 2^53 so the arithmetic is exact in int64 under
+Spark's ANSI mode (no overflow exception) and bit-identical in any
+engine with 64-bit integers. Not cryptographic — fine for sampling,
+NOT for adversarial splits. A ``salt`` decorrelates repeated draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P_PRE = 999983          # largest prime < 1e6: keeps the product exact
+_A = 2654435761          # Knuth multiplicative hashing constant (2^32 * phi)
+_P_MOD = 1000000007      # hash range; also the rate denominator
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 1000000007) from a non-negative
+    integer key column. Same formula the oracle SQL writes out."""
+    return ((key % _P_PRE + F.lit(salt)) * _A) % _P_MOD
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * _P_MOD)
+
+
+def hash_sample(df: DataFrame, rate: float, key: str, salt: int = 0) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, decided by the
+    hash of ``key`` alone — stable under retries and re-partitioning."""
+    return df.filter(hash_bucket(F.col(key), salt) < F.lit(_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum: str,
+    key: str,
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: rows whose ``stratum`` value
+    maps to rate r keep a ~r hash-fraction; unlisted strata keep
+    ``default_rate``. One codegen'd filter pass, no shuffle."""
+    thr: Column = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key), salt) < thr)
+
+
+def sql_bucket(key_expr: str, salt: int = 0) -> str:
+    """The oracle-side twin of :func:`hash_bucket` (ANSI SQL)."""
+    return f"((({key_expr} % {_P_PRE}) + {salt}) * {_A}) % {_P_MOD}"

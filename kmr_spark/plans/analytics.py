@@ -507,6 +507,58 @@ ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
 """
 
 
+CAMPAIGN_STRIDE_H = 28   # window i starts at 2024-01-01 + i*28h
+CAMPAIGN_SPAN_H = 42     # each window lasts 42h (windows overlap)
+_EPOCH_2024_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
+_H_US = 3_600 * 1_000_000
+
+
+def events_campaign_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/interval.py): events into 25
+    overlapping 42-hour "campaign" windows derived from nation (window
+    i starts at 2024-01-01 + i*28h), then count + event-id checksum per
+    window. The bucket width (6h) bounds each window's fanout at 8
+    buckets, so the join is one equi-shuffle — not the nested-loop plan
+    a raw BETWEEN join would get. sum(event_id) makes the oracle
+    sensitive to any mis-joined row, not just miscounts."""
+    from kmr_spark.operators.interval import range_join
+
+    t = load_tables(spark, sf_dir)
+    wins = t["nation"].select(
+        F.col("n_nationkey").alias("win_id"),
+        (F.lit(_EPOCH_2024_US)
+         + F.col("n_nationkey") * F.lit(CAMPAIGN_STRIDE_H * _H_US)).alias("lo_us"),
+        (F.lit(_EPOCH_2024_US)
+         + F.col("n_nationkey") * F.lit(CAMPAIGN_STRIDE_H * _H_US)
+         + F.lit(CAMPAIGN_SPAN_H * _H_US)).alias("hi_us"),
+    )
+    ev = t["events"].select(
+        "event_id", F.unix_micros("ts").alias("ts_us"))
+    joined = range_join(ev, wins, "ts_us", "lo_us", "hi_us",
+                        bucket_width=6 * _H_US)
+    return (
+        joined.groupBy("win_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("event_id").alias("sum_event_id"))
+        .orderBy("win_id")
+    )
+
+
+EVENTS_CAMPAIGN_SQL = f"""
+WITH w AS (
+  SELECT n_nationkey AS win_id,
+         TIMESTAMP '2024-01-01'
+           + to_hours(n_nationkey * {CAMPAIGN_STRIDE_H}) AS lo,
+         TIMESTAMP '2024-01-01'
+           + to_hours(n_nationkey * {CAMPAIGN_STRIDE_H} + {CAMPAIGN_SPAN_H}) AS hi
+  FROM nation)
+SELECT win_id, COUNT(*) AS n_events, SUM(event_id) AS sum_event_id
+FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+GROUP BY win_id
+ORDER BY win_id
+"""
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -524,6 +576,7 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "events_sessionize_streamed": events_sessionize_streamed,
     "events_cube_type_day": events_cube_type_day,
+    "events_campaign_windows": events_campaign_windows,
 }
 
 ORACLE_SQL = {
@@ -543,4 +596,5 @@ ORACLE_SQL = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "events_sessionize_streamed": EVENTS_SESSIONIZE_SQL,
     "events_cube_type_day": EVENTS_CUBE_SQL,
+    "events_campaign_windows": EVENTS_CAMPAIGN_SQL,
 }

@@ -1,0 +1,70 @@
+"""Sampling queries over the driver testdata (operators/sample.py).
+
+Two pipeline staples:
+- ``sample_events_stratified`` — per-event-type mixture weights (the
+  "rebalance sources before training" step): keep 50% of purchases,
+  25% of clicks, 10% of views, drop the rest.
+- ``sample_docs_holdout`` — a deterministic ~20% held-out document
+  split with a salt decorrelating it from any other draw on doc_id.
+
+Both return the surviving rows themselves (not counts) so the oracle
+comparison is row-for-row: the DuckDB twin recomputes the identical
+hash arithmetic, proving the sample is a pure function of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.operators.sample import (_P_MOD, hash_sample, sql_bucket,
+                                        stratified_sample)
+from kmr_spark.session import load_tables
+
+EVENT_RATES = {"purchase": 0.5, "click": 0.25, "view": 0.1}
+HOLDOUT_RATE = 0.2
+HOLDOUT_SALT = 7
+
+
+def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    out = stratified_sample(
+        ev, EVENT_RATES, stratum="event_type", key="event_id")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def sample_docs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = hash_sample(docs, HOLDOUT_RATE, key="doc_id", salt=HOLDOUT_SALT)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _case_thresholds() -> str:
+    arms = "\n    ".join(
+        f"WHEN event_type = '{v}' THEN {int(r * _P_MOD)}"
+        for v, r in sorted(EVENT_RATES.items()))
+    return f"CASE {arms} ELSE 0 END"
+
+
+SAMPLE_EVENTS_SQL = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE {sql_bucket('event_id')} < {_case_thresholds()}
+"""
+
+SAMPLE_DOCS_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sql_bucket('doc_id', HOLDOUT_SALT)} < {int(HOLDOUT_RATE * _P_MOD)}
+"""
+
+
+QUERIES = {
+    "sample_events_stratified": sample_events_stratified,
+    "sample_docs_holdout": sample_docs_holdout,
+}
+
+ORACLE_SQL = {
+    "sample_events_stratified": SAMPLE_EVENTS_SQL,
+    "sample_docs_holdout": SAMPLE_DOCS_SQL,
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Driver-sim oracle check for a subset of queries (or all).
+
+Usage: python scripts/check_queries.py [name ...]
+Mirrors the driver's compare: sorted columns, rounded floats,
+None-safe row sort. Prints MATCH/MISMATCH per query and a BAD total.
+"""
+
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("check-queries").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+    qs, osql = e.queries(), e.oracle_sql()
+    names = sys.argv[1:] or sorted(qs)
+    keyf = lambda row: tuple((v is None, v) for v in row)
+    bad = 0
+    for name in names:
+        sdf = qs[name](spark, "/root/testdata/sf0.01")
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            [tuple(round(r[c], 6) if isinstance(r[c], float) else r[c]
+                   for c in scols) for r in sdf.collect()], key=keyf)
+        if name not in osql:
+            print(name, "rows", len(srows), "(rows-only, no oracle)")
+            continue
+        rel = con.execute(osql[name])
+        dcols = [d[0] for d in rel.description]
+        idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        drows = sorted(
+            [tuple(round(r[i], 6) if isinstance(r[i], float) else r[i]
+                   for i in idx) for r in rel.fetchall()], key=keyf)
+        ok = srows == drows
+        bad += not ok
+        print(name, "rows", len(srows), "MATCH" if ok else "MISMATCH")
+        if not ok and srows and drows:
+            print("  spark cols", scols, "oracle cols", sorted(dcols))
+            print("  spark[0]", srows[0])
+            print("  duck [0]", drows[0])
+    print("BAD:", bad)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Unit tests: chunking, deterministic sampling, bucketed range join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmr_spark.llm_ops.chunking import chunk_documents
+from kmr_spark.operators.interval import range_join
+from kmr_spark.operators.sample import (hash_bucket, hash_sample,
+                                        stratified_sample)
+
+
+# ---------------------------------------------------------------- chunking
+
+def test_chunk_covers_text_with_overlap(spark):
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=40, overlap=10).orderBy("chunk_id").collect()
+    # stride 30: starts 0, 30, 60, 90
+    assert [r.chunk_start for r in rows] == [0, 30, 60, 90]
+    assert [r.chunk_len for r in rows] == [40, 40, 40, 10]
+    # reassembling from strides reproduces the text exactly
+    assert "".join(r.chunk_text[: 30] if r.chunk_id < len(rows) - 1
+                   else r.chunk_text for r in rows) == text
+    # consecutive chunks agree on the overlap region
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text[-10:] == b.chunk_text[:10] or len(b.chunk_text) < 10
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "")], "doc_id long, text string")
+    rows = chunk_documents(df, size=100, overlap=0).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 2  # one chunk each; empty doc still appears
+    assert by_id[1].chunk_text == "short" and by_id[1].chunk_len == 5
+    assert by_id[2].chunk_text == "" and by_id[2].chunk_len == 0
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, 0.3, "k").collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(17), 0.3, "k").collect())
+    assert a == b and a  # same rows regardless of partitioning
+    frac = len(a) / 5000
+    assert 0.25 < frac < 0.35
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = set(r.k for r in hash_sample(df, 0.5, "k", salt=0).collect())
+    b = set(r.k for r in hash_sample(df, 0.5, "k", salt=99).collect())
+    assert a != b
+    # overlap near rate product, far from identical
+    assert len(a & b) < 0.8 * len(a)
+
+
+def test_stratified_rates(spark):
+    df = spark.range(0, 9000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s"))
+    out = stratified_sample(df, {"0": 1.0, "1": 0.2}, "s", "k").collect()
+    per = {str(i): sum(1 for r in out if r.s == str(i)) for i in range(3)}
+    assert per["0"] == 3000           # rate 1.0 keeps everything
+    assert 450 < per["1"] < 750       # ~600
+    assert per["2"] == 0              # default rate 0
+
+
+def test_hash_bucket_matches_oracle_formula(spark):
+    from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
+    df = spark.createDataFrame([(123456789,)], "k long")
+    got = df.select(hash_bucket(F.col("k"), salt=7).alias("h")).first().h
+    assert got == ((123456789 % _P_PRE + 7) * _A) % _P_MOD
+
+
+# --------------------------------------------------------------- range join
+
+def _pts(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                 "pid long, p long")
+
+
+def _ivs(spark, spans):
+    return spark.createDataFrame([(i, lo, hi) for i, (lo, hi) in enumerate(spans)],
+                                 "iid long, lo long, hi long")
+
+
+def test_range_join_basic_and_boundaries(spark):
+    pts = _pts(spark, [5, 10, 19, 20, 35])
+    ivs = _ivs(spark, [(10, 20), (30, 40)])
+    got = sorted((r.p, r.iid) for r in
+                 range_join(pts, ivs, "p", "lo", "hi", 7).collect())
+    # lo inclusive (10), hi exclusive (20 out), 5 matches nothing
+    assert got == [(10, 0), (19, 0), (35, 1)]
+
+
+def test_range_join_overlapping_intervals_no_duplicates(spark):
+    pts = _pts(spark, list(range(0, 100)))
+    ivs = _ivs(spark, [(0, 50), (25, 75), (40, 41)])
+    out = range_join(pts, ivs, "p", "lo", "hi", 13).collect()
+    pairs = [(r.p, r.iid) for r in out]
+    assert len(pairs) == len(set(pairs))  # each pair meets in exactly 1 bucket
+    # exhaustive check against the naive definition
+    want = {(p, i) for p in range(100)
+            for i, (lo, hi) in enumerate([(0, 50), (25, 75), (40, 41)])
+            if lo <= p < hi}
+    assert set(pairs) == want
+
+
+def test_range_join_interval_on_bucket_boundary(spark):
+    # hi == bucket edge: the interval must NOT reach into the next bucket
+    pts = _pts(spark, [10])
+    ivs = _ivs(spark, [(0, 10)])
+    assert range_join(pts, ivs, "p", "lo", "hi", 10).count() == 0
+
+
+def test_range_join_rejects_bad_width(spark):
+    pts = _pts(spark, [1])
+    ivs = _ivs(spark, [(0, 2)])
+    with pytest.raises(ValueError):
+        range_join(pts, ivs, "p", "lo", "hi", 0)
