@@ -174,6 +174,24 @@ def encode_docs_as_bmp(docs: DataFrame) -> DataFrame:
         run, schema="doc_id long, payload binary")
 
 
+def _parse_bmp(raw: bytes, ctx: object = "") -> dict:
+    """Parse one BMP byte string: magic, header unpack, stride
+    arithmetic, padding-free pixel sum. Raises on malformed input."""
+    if raw[:2] != b"BM":
+        raise ValueError(f"{ctx}: not a BMP (bad magic)")
+    size, _, _, off = struct.unpack_from("<IHHI", raw, 2)
+    hdr_sz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
+    if size != len(raw) or planes != 1 or hdr_sz < 40:
+        raise ValueError(f"{ctx}: malformed BMP header")
+    stride = ((w * (bpp // 8) + 3) // 4) * 4
+    psum = 0
+    for y in range(abs(h)):
+        start = off + y * stride
+        psum += sum(raw[start:start + w * (bpp // 8)])
+    return {"width": w, "height": abs(h), "bpp": bpp, "stride": stride,
+            "n_bytes": len(raw), "pixel_sum": psum}
+
+
 def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL BMP decode over Arrow batches: validates the 'BM' magic,
     unpacks the file/info headers, recomputes the 4-byte row stride,
@@ -186,25 +204,10 @@ def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 "doc_id", "width", "height", "bpp", "stride",
                 "n_bytes", "pixel_sum")}
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                raw = bytes(payload)
-                if raw[:2] != b"BM":
-                    raise ValueError(f"doc {did}: not a BMP (bad magic)")
-                size, _, _, off = struct.unpack_from("<IHHI", raw, 2)
-                hdr_sz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
-                if size != len(raw) or planes != 1 or hdr_sz < 40:
-                    raise ValueError(f"doc {did}: malformed BMP header")
-                stride = ((w * (bpp // 8) + 3) // 4) * 4
-                psum = 0
-                for y in range(abs(h)):
-                    start = off + y * stride
-                    psum += sum(raw[start:start + w * (bpp // 8)])
+                f = _parse_bmp(bytes(payload), f"doc {did}")
                 out["doc_id"].append(int(did))
-                out["width"].append(w)
-                out["height"].append(abs(h))
-                out["bpp"].append(bpp)
-                out["stride"].append(stride)
-                out["n_bytes"].append(len(raw))
-                out["pixel_sum"].append(psum)
+                for k, v in f.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=BMP_DECODED_SCHEMA)
@@ -217,6 +220,233 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     return decode_bmp(encode_docs_as_bmp(docs)).orderBy("doc_id")
+
+
+# ------------------------------------------------------- real WAV codec
+
+WAV_DECODED_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits int, "
+    "n_samples long, duration_ms long, sample_sum long"
+)
+
+_WAV_RATE = 8000
+
+
+def encode_docs_as_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 mono RIFF/WAVE file per document. The sample
+    count derives from the text length, the (constant) amplitude from
+    doc_id — simple arithmetic so the DuckDB oracle predicts every
+    decoded field. A LIST/INFO chunk is deliberately placed between fmt
+    and data so decoders can't shortcut to fixed offsets: they must
+    walk the chunk list like a real reader."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                did, tlen = int(did), int(tlen)
+                n = (tlen % 256) + 32
+                amp = (did % 199) - 99
+                data = struct.pack(f"<{n}h", *([amp] * n))
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                info = b"INFO" + bytes([did % 251]) * (4 * ((did % 7) + 1))
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(info)) + info
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(bytearray(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                    + chunks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL RIFF/WAVE decode: validates RIFF/WAVE magic and the declared
+    size, then walks the chunk list (skipping unknown chunks by their
+    declared length, honoring RIFF even-byte padding) to find fmt and
+    data; unpacks PCM16 samples and reports format fields, duration,
+    and the exact sample sum. Raises on malformed payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "bits",
+                "n_samples", "duration_ms", "sample_sum")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"doc {did}: not a RIFF/WAVE file")
+                (riff_sz,) = struct.unpack_from("<I", raw, 4)
+                if riff_sz + 8 != len(raw):
+                    raise ValueError(f"doc {did}: RIFF size mismatch")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(raw):
+                    cid = raw[pos:pos + 4]
+                    (sz,) = struct.unpack_from("<I", raw, pos + 4)
+                    body = raw[pos + 8:pos + 8 + sz]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack_from("<HHIIHH", body, 0)
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)  # chunks pad to even length
+                if fmt is None or data is None:
+                    raise ValueError(f"doc {did}: missing fmt or data chunk")
+                audio_fmt, channels, rate, _brate, _align, bits = fmt
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError(f"doc {did}: not PCM16")
+                n = len(data) // 2
+                samples = struct.unpack(f"<{n}h", data)
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["bits"].append(bits)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["sample_sum"].append(sum(samples))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=WAV_DECODED_SCHEMA)
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as a real WAV, decode with the real RIFF
+    chunk-walker, return format fields + duration + sample checksum."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return decode_wav(encode_docs_as_wav(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         (length(text) % 256) + 32 AS n,
+         (doc_id % 199) - 99 AS amp
+  FROM documents)
+SELECT doc_id,
+       CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(amp * n AS BIGINT) AS sample_sum
+FROM m ORDER BY doc_id
+"""
+
+
+# -------------------------------------- video container + frame sampling
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, pixel_sum long"
+)
+
+
+def encode_docs_as_video(docs: DataFrame) -> DataFrame:
+    """Deterministic toy video per document: a KVID container (magic,
+    frame count, then length-prefixed frames) whose frames are REAL BMP
+    images. Frame geometry/fill derive from (doc_id, frame_idx) by the
+    same arithmetic style as the BMP/WAV encoders so the oracle can
+    predict every sampled frame's decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                did, tlen = int(did), int(tlen)
+                n_frames = (did % 5) + 2
+                w = (tlen % 31) + 2
+                frames = []
+                for f in range(n_frames):
+                    h = ((did + f) % 17) + 2
+                    fill = (did * 7 + f) % 251
+                    stride = ((w * 3 + 3) // 4) * 4
+                    row = bytes([fill]) * (w * 3) + b"\0" * (stride - w * 3)
+                    pixels = row * h
+                    size = _BMP_HEADER_SIZE + len(pixels)
+                    header = (
+                        b"BM"
+                        + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
+                        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                      len(pixels), 2835, 2835, 0, 0)
+                    )
+                    frames.append(header + pixels)
+                body = b"".join(
+                    struct.pack("<I", len(fr)) + fr for fr in frames)
+                payloads.append(bytearray(
+                    b"KVID" + struct.pack("<I", n_frames) + body))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 2,
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL frame sampling: walk the KVID container by its length
+    prefixes, decode every ``every_n``-th frame with the real BMP
+    parser, emit one row per sampled frame (UDTF shape: 0..n out per
+    row in). Unsampled frames are skipped by length without decoding —
+    the point of frame sampling at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "pixel_sum")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"KVID":
+                    raise ValueError(f"doc {did}: not a KVID container")
+                (n_frames,) = struct.unpack_from("<I", raw, 4)
+                pos = 8
+                for idx in range(n_frames):
+                    (flen,) = struct.unpack_from("<I", raw, pos)
+                    pos += 4
+                    if idx % every_n == 0:
+                        f = _parse_bmp(raw[pos:pos + flen],
+                                       f"doc {did} frame {idx}")
+                        out["doc_id"].append(int(did))
+                        out["frame_idx"].append(idx)
+                        out["width"].append(f["width"])
+                        out["height"].append(f["height"])
+                        out["pixel_sum"].append(f["pixel_sum"])
+                    pos += flen
+                if pos != len(raw):
+                    raise ValueError(f"doc {did}: trailing bytes in container")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as a KVID video of real BMP frames, sample
+    every 2nd frame with the real demuxer, return per-frame decodes."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return sample_video_frames(
+        encode_docs_as_video(docs), every_n=2).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         (doc_id % 5) + 2 AS n_frames,
+         (length(text) % 31) + 2 AS w
+  FROM documents)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(((doc_id + f) % 17) + 2 AS INTEGER) AS height,
+       CAST(((doc_id * 7 + f) % 251) * w * 3 * (((doc_id + f) % 17) + 2) AS BIGINT)
+         AS pixel_sum
+FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 2)) AS f)
+ORDER BY doc_id, frame_idx
+"""
 
 
 MULTIMODAL_DECODE_SQL = """
@@ -237,5 +467,13 @@ FROM m ORDER BY doc_id
 """
 
 
-QUERIES = {"multimodal_decode": multimodal_decode}
-ORACLE_SQL = {"multimodal_decode": MULTIMODAL_DECODE_SQL}
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+    "multimodal_audio": multimodal_audio,
+    "multimodal_frames": multimodal_frames,
+}
+ORACLE_SQL = {
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_audio": MULTIMODAL_AUDIO_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+}

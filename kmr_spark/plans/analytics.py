@@ -507,6 +507,40 @@ ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
 """
 
 
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: fan every event out to two copies, then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses them back to
+    exactly one row each — the stream-side twin of dedup_exact. State is
+    per-key and watermark-evicted, so a 100 TB replay holds only the
+    horizon's keys, not the corpus. Duplicate rows are bit-identical, so
+    first-seen-wins is deterministic regardless of arrival order and the
+    batch oracle is simply the events table itself."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (
+        run_available_now, stream_events, streaming_dedup)
+
+    dup = (
+        stream_events(spark, sf_dir)
+        .withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("__copy")
+    )
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            streaming_dedup(dup), "events_dedup_streamed_sink", ck,
+            output_mode="append")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+EVENTS_DEDUP_STREAMED_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 CAMPAIGN_STRIDE_H = 28   # window i starts at 2024-01-01 + i*28h
 CAMPAIGN_SPAN_H = 42     # each window lasts 42h (windows overlap)
 _EPOCH_2024_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
@@ -577,6 +611,7 @@ QUERIES = {
     "events_sessionize_streamed": events_sessionize_streamed,
     "events_cube_type_day": events_cube_type_day,
     "events_campaign_windows": events_campaign_windows,
+    "events_dedup_streamed": events_dedup_streamed,
 }
 
 ORACLE_SQL = {
@@ -597,4 +632,5 @@ ORACLE_SQL = {
     "events_sessionize_streamed": EVENTS_SESSIONIZE_SQL,
     "events_cube_type_day": EVENTS_CUBE_SQL,
     "events_campaign_windows": EVENTS_CAMPAIGN_SQL,
+    "events_dedup_streamed": EVENTS_DEDUP_STREAMED_SQL,
 }

@@ -103,3 +103,64 @@ def test_bmp_decoder_rejects_malformed(spark):
         [(1, bytearray(b"NOTABMP" * 10))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="bad magic"):
         decode_bmp(bad).collect()
+
+
+def test_wav_decoder_walks_chunks_and_rejects_malformed(spark):
+    """The RIFF walker must skip unknown chunks to reach fmt/data, and
+    fail loudly on bad magic / size mismatch instead of emitting junk."""
+    import struct
+
+    import pytest as _pytest
+
+    from kmr_spark.llm_ops.multimodal import decode_wav
+
+    # hand-built: fmt AFTER two unknown chunks, one with odd length
+    # (exercises the even-padding rule)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 5, -5, 7, -7)
+    chunks = (
+        b"junk" + struct.pack("<I", 3) + b"abc" + b"\0"  # odd size, padded
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = decode_wav(df).first()
+    assert (row.sample_rate, row.channels, row.bits) == (8000, 1, 16)
+    assert row.n_samples == 4 and row.sample_sum == 0 and row.duration_ms == 0
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"RIFX" + wav[4:]))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="not a RIFF"):
+        decode_wav(bad).collect()
+    short = spark.createDataFrame(
+        [(3, bytearray(wav[:-2]))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="size mismatch"):
+        decode_wav(short).collect()
+
+
+def test_video_sampler_skips_unsampled_frames(spark):
+    """every_n=3 over 7 frames decodes exactly frames 0,3,6; a
+    corrupted UNSAMPLED frame is never touched (skip-by-length)."""
+    from kmr_spark.llm_ops.multimodal import (encode_docs_as_video,
+                                              sample_video_frames)
+
+    docs = spark.createDataFrame(
+        [(12, "x" * 40)], "doc_id long, text string")  # did%5+2 = 4 frames
+    vid = encode_docs_as_video(docs)
+    rows = sample_video_frames(vid, every_n=3).collect()
+    assert [r.frame_idx for r in rows] == [0, 3]
+
+    # corrupt frame 1's BMP magic in the raw container; frames 0 and 3
+    # must still decode because frame 1 is skipped by its length prefix
+    import struct
+
+    raw = bytearray(bytes(vid.first().payload))
+    pos = 8
+    (flen0,) = struct.unpack_from("<I", raw, pos)
+    f1_hdr = pos + 4 + flen0          # offset of frame 1's length prefix
+    raw[f1_hdr + 4:f1_hdr + 6] = b"XX"  # clobber frame 1 magic
+    df = spark.createDataFrame([(12, raw)], "doc_id long, payload binary")
+    rows = sample_video_frames(df, every_n=3).collect()
+    assert [r.frame_idx for r in rows] == [0, 3]
