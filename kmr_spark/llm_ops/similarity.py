@@ -27,8 +27,17 @@ IVF_TOP_K = 3
 
 
 def _emb(spark, sf_dir):
+    # the testdata table is one small parquet file -> one input split;
+    # every downstream broadcast join would inherit single-task map-side
+    # parallelism (measured 8s+ single-core at sf0.1). Spread the vector
+    # table across the cluster first: the shuffle moves ~|corpus| rows
+    # once, and all per-vector work (assignment folds, pair products)
+    # then runs wide. At real scale the source has many splits and this
+    # repartition collapses into the scan's own partitioning choice.
     e = load_tables(spark, sf_dir)["embeddings"]
-    return e.select("vec_id", V.to_double_array("embedding").alias("vd"))
+    n = spark.sparkContext.defaultParallelism
+    return e.repartition(n, "vec_id").select(
+        "vec_id", V.to_double_array("embedding").alias("vd"))
 
 
 def _collect_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
@@ -236,6 +245,7 @@ FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
 
 
 EMB_DEDUP_THRESHOLD = 0.4
+EMB_DEDUP_BLOCKS = 8  # triangle sub-blocks per cell (see below)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,23 +257,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes embedding dedup feasible at 100 TB. Single-probe blocking
     trades recall for that bound (multi-probe raises it); the oracle
     implements the identical blocking so results match exactly.
+
+    Parallelism: a plain self-join on ``cell`` has only N_CENTROIDS
+    distinct keys, so a shuffle join caps at 8 tasks no matter how many
+    executors exist. The self-join is therefore TRIANGLE-BLOCKED: each
+    vector gets a content-hash sub-block blk in [0, B); the left side
+    fans out to block pairs (blk, j>=blk), the right side to (i<=blk,
+    blk), and the join keys on (cell, i, j) — 8*B*(B+1)/2 keys. Every
+    unordered in-cell pair meets in EXACTLY one key (i<j once by
+    construction; i==j deduped by vec_a < vec_b), so the output is
+    bit-identical to the naive join while the key space scales with
+    B^2. Fanout costs (B+1)/2 extra copies of each row — the standard
+    trade of the triangle/block nested-loop family.
     """
+    B = EMB_DEDUP_BLOCKS
     emb = _emb(spark, sf_dir)
     cents = _collect_centroids(emb)
     assigned = (
         assign_cells(emb, cents, 1)
         .select("vec_id", "vd", F.col("cells")[0].alias("cell"))
         .withColumn("nv", V.norm(F.col("vd")))  # one norm per vector
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
         .persist()  # both sides of the in-cell self-join
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    a = (
+        assigned.withColumn("bj", F.explode(F.sequence(F.col("blk"), F.lit(B - 1))))
+        .select(F.col("vec_id").alias("vec_a"), F.col("vd").alias("vda"),
+                F.col("nv").alias("nva"), "cell",
+                F.col("blk").alias("bi"), "bj")
+    )
+    b = (
+        assigned.withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("blk"))))
+        .select(F.col("vec_id").alias("vec_b"), F.col("vd").alias("vdb"),
+                F.col("nv").alias("nvb"), "cell",
+                "bi", F.col("blk").alias("bj"))
+    )
     return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine", V.dot(F.col("a.vd"), F.col("b.vd"))
-                    / (F.col("a.nv") * F.col("b.nv")))
+        a.join(b, ["cell", "bi", "bj"])
+        # a cross-block pair meets in exactly one key and always with
+        # bi < bj (the lower-block vector lands on the a side); only
+        # same-block matches appear in both orientations and need the
+        # id-order dedup
+        .filter((F.col("bi") < F.col("bj")) | (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", V.dot(F.col("vda"), F.col("vdb"))
+                    / (F.col("nva") * F.col("nvb")))
         .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
+        # canonicalize pair order (cross-block matches arrive
+        # block-ordered, not id-ordered); cosine is bitwise symmetric —
+        # zip_with multiplies elementwise and the fold order is fixed —
+        # so only the id columns need swapping
+        .select(F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"),
+                "cosine")
         .orderBy("vec_a", "vec_b")
     )
 

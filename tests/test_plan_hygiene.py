@@ -94,11 +94,26 @@ def test_ivf_assignment_is_narrow(spark):
     unique key just to argmax over 8 values)."""
     from kmr_spark.llm_ops import similarity as S
 
-    emb = S._emb(spark, SF)
-    cents = S._collect_centroids(emb)
-    plan = _plan(S.assign_cells(emb, cents, 1))
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions import vectors as V
+    from kmr_spark.session import load_tables
+
+    # raw vector table WITHOUT _emb's deliberate input-spread
+    # repartition, so any Exchange below must come from assign_cells
+    raw = load_tables(spark, SF)["embeddings"].select(
+        "vec_id", V.to_double_array("embedding").alias("vd"))
+    cents = S._collect_centroids(raw)
+    plan = _plan(S.assign_cells(raw, cents, 1))
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+    # _emb itself spreads the single-file table exactly once (map-side
+    # parallelism for the broadcast joins downstream), nothing more
+    # (formatted explain prints each node twice: tree + details)
+    emb_plan = _plan(S._emb(spark, SF))
+    assert emb_plan.count("REPARTITION_BY_NUM") == 1
+    assert emb_plan.count("Exchange") <= 2
 
 
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
