@@ -48,6 +48,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: pointer-jump squarings between convergence checks (see loop comment)
+JUMPS_PER_CHECK = 3
+
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_rounds: int = 30,
@@ -74,29 +77,39 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         f = (
             und.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("fv"))  # f(v) = min(N(v) ∪ {v})
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # pointer-jump the mapping to idempotence before contracting:
         # bare min-neighbor contraction shortens a chain by only O(1)
-        # edges per round; squaring f until f∘f = f (zero changed rows
-        # — the count reads the mapping just checkpointed, so it's
-        # node-sized and cheap) collapses every forest tree onto its
-        # root in log2(depth) self-joins. f's image is within its
-        # domain, so the self-join is total.
-        for _ in range(max_jumps):
-            jmp = f.select(F.col("u").alias("__n"), F.col("fv").alias("__l"))
-            f2 = (
-                f.join(jmp, f["fv"] == jmp["__n"])
-                .select("u", F.col("fv").alias("__prev"),
-                        F.col("__l").alias("fv"))
-                .localCheckpoint()
-            )
-            f = f2.select("u", "fv")
+        # edges per round; squaring f until f∘f = f collapses every
+        # forest tree onto its root in log2(depth) self-joins. f's
+        # image is within its domain, so the self-join is total.
+        #
+        # Convergence is CHECKED only every JUMPS_PER_CHECK squarings:
+        # checking just the last jump is sound (a squaring that changes
+        # nothing proves idempotence, and further squarings of an
+        # idempotent map are no-ops), and each check is the only action
+        # in the batch — the lazy-checkpointed jump joins in between
+        # all materialize inside that one count job. Cuts the loop's
+        # blocking round-trips ~3x for the dense LSH graphs where one
+        # or two squarings already converge.
+        jumped = 0
+        while True:
+            for _ in range(JUMPS_PER_CHECK):
+                jmp = f.select(F.col("u").alias("__n"), F.col("fv").alias("__l"))
+                f2 = (
+                    f.join(jmp, f["fv"] == jmp["__n"])
+                    .select("u", F.col("fv").alias("__prev"),
+                            F.col("__l").alias("fv"))
+                    .localCheckpoint(eager=False)
+                )
+                f = f2.select("u", "fv")
+                jumped += 1
             if f2.filter(F.col("fv") != F.col("__prev")).count() == 0:
                 break
-        else:
-            raise RuntimeError(
-                f"connected_components: pointer jump not idempotent in {max_jumps} steps")
+            if jumped >= max_jumps:
+                raise RuntimeError(
+                    f"connected_components: pointer jump not idempotent in {max_jumps} steps")
         mappings.append(f)
         fu = f.select(F.col("u").alias("__u"), F.col("fv").alias("__fu"))
         fv = f.select(F.col("u").alias("__v"), F.col("fv").alias("__fv"))
@@ -107,7 +120,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     F.greatest("__fu", "__fv").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count
         )
         if edges.count() == 0:
             break
