@@ -133,3 +133,30 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     total = ev.count()
     got = back.count()
     assert 0 < got < total
+
+
+def test_pagerank_iteration_has_no_exchange(spark):
+    """The per-iteration plan must be: broadcast join + partial/final
+    aggregate with NO Exchange — edges2 is cached pre-partitioned by
+    dst, so groupBy(dst) finds its distribution satisfied. (The cached
+    relation's own build plan, after 'InMemoryRelation', contains the
+    one deliberate up-front repartition.)"""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.iterative import PR_SCALE, _edges
+
+    edges = _edges(spark, SF).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges2 = edges.join(F.broadcast(outdeg), "src").repartition("dst").persist()
+    edges2.count()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    one = (edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
+           .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
+           .groupBy("dst").agg(F.sum("contrib").alias("inflow")))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    iteration_part = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in iteration_part
+    assert "BroadcastHashJoin" in iteration_part
+    edges2.unpersist()
+    edges.unpersist()
