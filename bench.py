@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     # Q1 full-scan 9-aggregate and Q18 orderkey-shuffle having-join
     "tpch_q1",
     "tpch_q18",
+    # round-2 second batch: new operator families (appended — earlier
+    # entries keep their order and stay round-comparable)
+    "doc_chunks",
+    "events_campaign_windows",
+    "sample_events_stratified",
+    "multimodal_frames",
+    "events_dedup_streamed",
 ]
 
 
