@@ -1,0 +1,102 @@
+"""Sequence packing: concatenate chunks into fixed-capacity context
+windows — the step between chunking and the trainer in an LLM
+pretraining pipeline (pack documents head-to-tail into CAPACITY-token
+sequences so no batch slot is wasted).
+
+Greedy bin packing is inherently sequential, so the scalable form is
+SHARDED GREEDY: the corpus is split into content-hash shards, and
+within each shard chunks are packed in deterministic (doc_id,
+chunk_id) order by running token count — bin = floor(cum_tokens_before
+/ capacity). One window function per shard, so the sort buffer is a
+shard, never the corpus, and shards pack on different executors. The
+price is at most one under-filled bin per shard (the classic sharded
+packing trade); pack quality is otherwise identical to single-stream
+greedy. Everything is expression-level (window sum + integer div): no
+UDF, no shuffle beyond the one hash exchange on shard id.
+
+A chunk longer than CAPACITY still lands in its own bin (floor-div
+advances past it) rather than being dropped — truncation is the
+tokenizer's decision, not the packer's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.operators.sample import hash_bucket, sql_bucket
+
+N_SHARDS = 32
+CAPACITY = 256  # tokens per packed sequence
+
+
+def pack_chunks(chunks: DataFrame, capacity: int = CAPACITY,
+                n_shards: int = N_SHARDS,
+                id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+                size_col: str = "chunk_len") -> DataFrame:
+    """Assign every chunk a (shard, bin_id, offset): bin_id groups the
+    chunks packed into one context window, offset is the chunk's start
+    position inside it. Deterministic: shard is a content hash of the
+    doc id, order within a shard is (doc_id, chunk_id)."""
+    d, c = id_cols
+    # portable multiplicative hash (operators/sample.py): deterministic,
+    # engine-independent, so the DuckDB oracle reproduces the sharding
+    sharded = chunks.withColumn(
+        "shard", (hash_bucket(F.col(d)) % n_shards).cast("int"))
+    w = (Window.partitionBy("shard").orderBy(d, c)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        sharded
+        .withColumn("cum_before",
+                    F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long"))
+        .withColumn("bin_id", F.expr(f"cum_before DIV {capacity}"))
+        .withColumn("offset", F.expr(f"cum_before % {capacity}"))
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the documents table, pack the chunks into 256-char context
+    windows across 32 shards, and report each packed bin: how many
+    chunks it holds, its fill, and an id-checksum proving WHICH chunks
+    landed in it."""
+    from kmr_spark.llm_ops.chunking import chunk_documents
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    packed = pack_chunks(chunk_documents(docs, size=200, overlap=20))
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum("chunk_len").alias("fill"),
+             F.sum(F.col("doc_id") * 7 + F.col("chunk_id")).alias("id_sum"))
+        .orderBy("shard", "bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         CAST(g // 180 AS BIGINT) AS chunk_id,
+         CAST(length(substr(text, g + 1, 200)) AS BIGINT) AS chunk_len
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0), 180)) AS g)),
+sharded AS (
+  SELECT *, CAST(({sql_bucket('doc_id')}) % {N_SHARDS} AS INTEGER) AS shard
+  FROM chunks),
+packed AS (
+  SELECT shard, doc_id, chunk_id, chunk_len,
+         COALESCE(SUM(chunk_len) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sharded)
+SELECT shard, cum_before // {CAPACITY} AS bin_id,
+       COUNT(*) AS n_chunks,
+       SUM(chunk_len) AS fill,
+       SUM(doc_id * 7 + chunk_id) AS id_sum
+FROM packed
+GROUP BY shard, bin_id
+ORDER BY shard, bin_id
+"""
+
+
+QUERIES = {"pack_sequences": pack_sequences}
+ORACLE_SQL = {"pack_sequences": PACK_SEQUENCES_SQL}

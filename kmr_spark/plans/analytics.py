@@ -541,6 +541,56 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join (the one streaming join shape the other
+    streamed queries don't cover): purchases joined to the same user's
+    clicks in the preceding hour, then summarized per user. The pair
+    emission runs in Structured Streaming (bounded AvailableNow
+    replay); the per-user rollup happens batch-side on the sink output,
+    keeping the streaming graph single-stateful-operator. Inner join →
+    deterministic pair set → exact batch oracle."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (attribution_join_stream,
+                                             run_available_now,
+                                             stream_events)
+
+    ev = stream_events(spark, sf_dir)
+    pairs = attribution_join_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"))
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            pairs, "events_attribution_streamed_sink", ck,
+            output_mode="append")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        out.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("purchase_id").alias("n_attributed"),
+             F.sum("click_id").alias("click_id_sum"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+SELECT p.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_attributed,
+       SUM(c.event_id) AS click_id_sum
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 CAMPAIGN_STRIDE_H = 28   # window i starts at 2024-01-01 + i*28h
 CAMPAIGN_SPAN_H = 42     # each window lasts 42h (windows overlap)
 _EPOCH_2024_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
@@ -612,6 +662,7 @@ QUERIES = {
     "events_cube_type_day": events_cube_type_day,
     "events_campaign_windows": events_campaign_windows,
     "events_dedup_streamed": events_dedup_streamed,
+    "events_attribution_streamed": events_attribution_streamed,
 }
 
 ORACLE_SQL = {
@@ -633,4 +684,5 @@ ORACLE_SQL = {
     "events_cube_type_day": EVENTS_CUBE_SQL,
     "events_campaign_windows": EVENTS_CAMPAIGN_SQL,
     "events_dedup_streamed": EVENTS_DEDUP_STREAMED_SQL,
+    "events_attribution_streamed": EVENTS_ATTRIBUTION_SQL,
 }

@@ -103,6 +103,31 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def attribution_join_stream(purchases: DataFrame, clicks: DataFrame,
+                            horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: every purchase paired with the same
+    user's clicks in the preceding ``horizon`` — streaming attribution.
+    Both sides are watermarked, and the time-range predicate bounds how
+    long a click is buffered (click state expires once the purchase
+    watermark passes its join horizon): state is O(events in horizon)
+    per user, not O(stream). Inner join, so a bounded replay emits
+    every qualifying pair exactly once regardless of arrival order.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value")).withWatermark("p_ts", horizon)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id")).withWatermark("c_ts", horizon)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches plans.analytics
 
 

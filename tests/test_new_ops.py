@@ -125,3 +125,74 @@ def test_range_join_rejects_bad_width(spark):
     ivs = _ivs(spark, [(0, 2)])
     with pytest.raises(ValueError):
         range_join(pts, ivs, "p", "lo", "hi", 0)
+
+
+# ----------------------------------------------------------------- packing
+
+def test_pack_chunks_fills_bins_in_order(spark):
+    from kmr_spark.llm_ops.packing import pack_chunks
+
+    rows = [(1, i, 100) for i in range(10)]  # one shard (single doc)
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_len long")
+    out = pack_chunks(df, capacity=256, n_shards=4).orderBy("chunk_id").collect()
+    # 100-char chunks, 256-cap bins, bin = cum_before DIV 256: chunks
+    # straddle bin edges (stream-concat semantics), so chunk i sits in
+    # bin 100i DIV 256
+    assert [r.bin_id for r in out] == [100 * i // 256 for i in range(10)]
+    assert [r.offset for r in out][:4] == [0, 100, 200, 44]
+    assert len({r.shard for r in out}) == 1  # same doc -> same shard
+
+
+def test_pack_chunks_oversized_chunk_gets_own_bin(spark):
+    from kmr_spark.llm_ops.packing import pack_chunks
+
+    rows = [(1, 0, 50), (1, 1, 999), (1, 2, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_len long")
+    out = {r.chunk_id: r for r in pack_chunks(df, capacity=256).collect()}
+    assert out[1].bin_id == 0          # starts in bin 0 at offset 50
+    assert out[2].bin_id == 4          # floor-div advanced past the giant
+    assert out[2].offset == (50 + 999) % 256
+
+
+def test_pack_shards_are_deterministic_and_partition_invariant(spark):
+    from kmr_spark.llm_ops.packing import pack_chunks
+
+    rows = [(d, c, 80) for d in range(40) for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_len long")
+    a = sorted(map(tuple, pack_chunks(df).collect()))
+    b = sorted(map(tuple, pack_chunks(df.repartition(13)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------- stream-stream attribution
+
+def test_attribution_join_matches_batch(spark, tmp_path):
+    """The streamed purchase<-click join over a bounded replay must equal
+    the batch join with the identical predicate."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.session import load_tables
+    from kmr_spark.streaming.windows import (attribution_join_stream,
+                                             run_available_now, stream_events)
+
+    sf = "/root/testdata/sf0.001"
+    ev = stream_events(spark, sf)
+    pairs = attribution_join_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"))
+    got = run_available_now(pairs, "attr_test_sink", str(tmp_path / "ck"),
+                            output_mode="append")
+    got_set = {(r.purchase_id, r.click_id) for r in got.collect()}
+
+    bev = load_tables(spark, sf)["events"]
+    p = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"))
+    c = bev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"))
+    want = p.join(c, (F.col("pu") == F.col("cu"))
+                  & (F.col("cts") < F.col("pts"))
+                  & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")))
+    want_set = {(r.pid, r.cid) for r in want.collect()}
+    assert got_set == want_set and got_set
