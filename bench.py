@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "sample_events_stratified",
     "multimodal_frames",
     "events_dedup_streamed",
+    "pack_sequences",
+    "events_attribution_streamed",
 ]
 
 
