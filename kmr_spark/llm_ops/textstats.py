@@ -246,8 +246,54 @@ WHERE rn <= 3 ORDER BY doc_id, rn
 """
 
 
+#: GPT-2-style pre-tokenizer classes, restricted to constructs that
+#: behave identically in Java regex (Spark) and RE2 (DuckDB): runs of
+#: letters, runs of digits, or a single other non-space character.
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the pre-tokenization pass of a BPE
+    tokenizer): per document, how many word / number / punctuation
+    tokens the split yields, plus the total. Pure regexp_extract_all
+    projection — scan-speed at any scale, no shuffle."""
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_SPLIT_RE}', 0)")
+    is_word = lambda t: t.rlike("^[A-Za-z]+$")
+    is_num = lambda t: t.rlike("^[0-9]+$")
+    return (
+        docs.select("doc_id", toks.alias("bt"))
+        .select(
+            "doc_id",
+            F.size("bt").cast("long").alias("n_tokens"),
+            F.size(F.filter("bt", is_word)).cast("long").alias("n_word"),
+            F.size(F.filter("bt", is_num)).cast("long").alias("n_number"),
+            (F.size("bt")
+             - F.size(F.filter("bt", is_word))
+             - F.size(F.filter("bt", is_num))).cast("long").alias("n_punct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{BPE_SPLIT_RE}') AS bt
+  FROM documents)
+SELECT doc_id,
+       CAST(len(bt) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(bt, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_word,
+       CAST(len(list_filter(bt, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_number,
+       CAST(len(bt)
+            - len(list_filter(bt, x -> regexp_matches(x, '^[A-Za-z]+$')))
+            - len(list_filter(bt, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_punct
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": doc_textstats,
+    "text_token_counts": doc_token_counts,
     "text_langid": doc_langid,
     "text_fingerprint": doc_fingerprint,
     "text_quality_filter": doc_quality_filter,
@@ -256,6 +302,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_stats": TEXTSTATS_SQL,
+    "text_token_counts": TOKEN_COUNTS_SQL,
     "text_langid": LANGID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "text_quality_filter": QUALITY_FILTER_SQL,
