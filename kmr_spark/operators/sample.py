@@ -18,12 +18,12 @@ whole-stage-codegen, pushed to the scan where the key columns allow.
 Stratified rates compile to a CASE chain over the stratum column, so
 the per-stratum thresholds ride the same single pass.
 
-Hash: h(x) = ((x mod 999983) * 2654435761) mod 1000000007, mapped to
-[0, 1) by /1e9+7. Knuth's multiplicative constant; the pre-reduction
-keeps the product < 2^53 so the arithmetic is exact in int64 under
-Spark's ANSI mode (no overflow exception) and bit-identical in any
-engine with 64-bit integers. Not cryptographic — fine for sampling,
-NOT for adversarial splits. A ``salt`` decorrelates repeated draws.
+Hash: h(x) = (((x mod 999983) + salt) * 2654435761) mod 1000000007.
+Knuth's multiplicative constant; the pre-reduction keeps the product
+well inside int64 so the arithmetic is exact under Spark's ANSI mode
+(no overflow exception) and bit-identical in any engine with 64-bit
+integers. Not cryptographic — fine for sampling, NOT for adversarial
+splits. The ``salt`` decorrelates repeated draws on the same key.
 """
 
 from __future__ import annotations
