@@ -47,7 +47,9 @@ def chunk_documents(
         F.lit(stride),
     )
     return (
-        docs.select(id_col, text_col)
+        # NULL text counts as empty (one empty chunk), not a vanished
+        # doc: explode(sequence(0, NULL)) would emit zero rows
+        docs.select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
         .withColumn("chunk_start", F.explode(starts))
         .withColumn("chunk_text",
                     F.expr(f"substring({text_col}, chunk_start + 1, {size})"))

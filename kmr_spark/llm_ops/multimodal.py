@@ -288,6 +288,9 @@ def decode_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 while pos + 8 <= len(raw):
                     cid = raw[pos:pos + 4]
                     (sz,) = struct.unpack_from("<I", raw, pos + 4)
+                    if sz > len(raw) - pos - 8:
+                        raise ValueError(
+                            f"doc {did}: chunk {cid!r} overruns the payload")
                     body = raw[pos + 8:pos + 8 + sz]
                     if cid == b"fmt ":
                         fmt = struct.unpack_from("<HHIIHH", body, 0)

@@ -88,10 +88,10 @@ packed AS (
          COALESCE(SUM(chunk_len) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM sharded)
-SELECT shard, cum_before // {CAPACITY} AS bin_id,
+SELECT shard, CAST(cum_before // {CAPACITY} AS BIGINT) AS bin_id,
        COUNT(*) AS n_chunks,
-       SUM(chunk_len) AS fill,
-       SUM(doc_id * 7 + chunk_id) AS id_sum
+       CAST(SUM(chunk_len) AS BIGINT) AS fill,
+       CAST(SUM(doc_id * 7 + chunk_id) AS BIGINT) AS id_sum
 FROM packed
 GROUP BY shard, bin_id
 ORDER BY shard, bin_id

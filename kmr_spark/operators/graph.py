@@ -95,7 +95,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # or two squarings already converge.
         jumped = 0
         while True:
-            for _ in range(JUMPS_PER_CHECK):
+            # clamp the batch so the documented max_jumps cap is exact
+            for _ in range(min(JUMPS_PER_CHECK, max_jumps - jumped)):
                 jmp = f.select(F.col("u").alias("__n"), F.col("fv").alias("__l"))
                 f2 = (
                     f.join(jmp, f["fv"] == jmp["__n"])

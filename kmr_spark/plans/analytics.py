@@ -580,7 +580,7 @@ EVENTS_ATTRIBUTION_SQL = """
 SELECT p.user_id,
        COUNT(*) AS n_pairs,
        COUNT(DISTINCT p.event_id) AS n_attributed,
-       SUM(c.event_id) AS click_id_sum
+       CAST(SUM(c.event_id) AS BIGINT) AS click_id_sum
 FROM events p JOIN events c
   ON c.user_id = p.user_id
  AND c.ts < p.ts
@@ -636,7 +636,7 @@ WITH w AS (
          TIMESTAMP '2024-01-01'
            + to_hours(n_nationkey * {CAMPAIGN_STRIDE_H} + {CAMPAIGN_SPAN_H}) AS hi
   FROM nation)
-SELECT win_id, COUNT(*) AS n_events, SUM(event_id) AS sum_event_id
+SELECT win_id, COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_event_id
 FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
 GROUP BY win_id
 ORDER BY win_id

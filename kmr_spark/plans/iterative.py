@@ -65,45 +65,55 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     # one materialization of the (join + distinct) edge build; outdeg,
     # the co-located edge table, and the node list all read the cache
     edges = _edges(spark, sf_dir).persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # join out-degrees into the edge list ONCE; the edge table then never
-    # moves again — and it is cached PRE-PARTITIONED BY dst: the rank
-    # broadcast join is narrow (preserves partitioning), so every
-    # iteration's groupBy(dst) finds its required distribution already
-    # satisfied and runs with NO Exchange at all. One edge-sized shuffle
-    # up front buys shuffle-free iterations — at web scale that is the
-    # difference between moving the edge list once and moving it every
-    # round. outdeg is node-sized (same state-fits-in-memory assumption
-    # as the rank broadcast below), so broadcast it rather than
-    # shuffling the full edge list through a sort-merge join.
-    edges2 = edges.join(F.broadcast(outdeg), "src").repartition("dst").persist()
+    edges2 = _prepare_edges(edges)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for i in range(iters):
-        # rank state is node-sized (dimension-like) -> broadcast it to the
-        # edge partitions; map-side combine shrinks the groupBy input.
-        # (Web-scale graphs where ranks can't broadcast co-partition
-        # edges and ranks by src instead — see sources/bucketing.py.)
-        # The graph is symmetric (every edge has its reverse), so every
-        # node receives inflow — the dangling-node left-join the oracle
-        # writes is a provable no-op here and is elided: one broadcast
-        # join + one keyed aggregation per iteration, nothing else.
-        ranks = (
-            edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.expr(f"{15 * PR_SCALE} DIV 100")
-                 + F.expr("(85 * inflow) DIV 100")).alias("rank"),
-            )
-        )
+        ranks = _pr_iteration(edges2, ranks)
         if (i + 1) % PR_CHECKPOINT_EVERY == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint()  # eager: materialize + cut lineage
     edges2.unpersist()
     edges.unpersist()
     return ranks.orderBy("node")
+
+
+def _prepare_edges(edges: DataFrame) -> DataFrame:
+    """Join out-degrees into the edge list ONCE; the edge table then
+    never moves again — and it is cached PRE-PARTITIONED BY dst: the
+    rank broadcast join is narrow (preserves partitioning), so every
+    iteration's groupBy(dst) finds its required distribution already
+    satisfied and runs with NO Exchange at all (plan-asserted in
+    tests/test_plan_hygiene.py against THIS function). One edge-sized
+    shuffle up front buys shuffle-free iterations — at web scale that
+    is the difference between moving the edge list once and moving it
+    every round. outdeg is node-sized (same state-fits-in-memory
+    assumption as the rank broadcast), so broadcast it rather than
+    shuffling the full edge list through a sort-merge join."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return edges.join(F.broadcast(outdeg), "src").repartition("dst").persist()
+
+
+def _pr_iteration(edges2: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One PageRank round. Rank state is node-sized (dimension-like) ->
+    broadcast it to the edge partitions; map-side combine shrinks the
+    groupBy input. (Web-scale graphs where ranks can't broadcast
+    co-partition edges and ranks by src instead — see
+    sources/bucketing.py.) The graph is symmetric (every edge has its
+    reverse), so every node receives inflow — the dangling-node
+    left-join the oracle writes is a provable no-op here and is
+    elided: one broadcast join + one keyed aggregation, nothing
+    else."""
+    return (
+        edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
+        .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("inflow"))
+        .select(
+            F.col("dst").alias("node"),
+            (F.expr(f"{15 * PR_SCALE} DIV 100")
+             + F.expr("(85 * inflow) DIV 100")).alias("rank"),
+        )
+    )
 
 
 def _pagerank_sql() -> str:

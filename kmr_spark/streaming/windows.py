@@ -17,13 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.session import TS_COLS
-
-EVENTS_SCHEMA = (
-    "event_id long, ts_ns long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 WATERMARK = "1 hour"
 
 

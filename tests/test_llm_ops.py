@@ -164,3 +164,22 @@ def test_video_sampler_skips_unsampled_frames(spark):
     df = spark.createDataFrame([(12, raw)], "doc_id long, payload binary")
     rows = sample_video_frames(df, every_n=3).collect()
     assert [r.frame_idx for r in rows] == [0, 3]
+
+
+def test_wav_decoder_rejects_chunk_overrun(spark):
+    """A chunk whose declared size exceeds the remaining payload must
+    raise, not silently truncate the sample data."""
+    import struct
+
+    import pytest as _pytest
+
+    from kmr_spark.llm_ops.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 1, 2, 3, 4)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data) + 64) + data)  # lies
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="overruns"):
+        decode_wav(df).collect()

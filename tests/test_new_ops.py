@@ -196,3 +196,9 @@ def test_attribution_join_matches_batch(spark, tmp_path):
                   & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")))
     want_set = {(r.pid, r.cid) for r in want.collect()}
     assert got_set == want_set and got_set
+
+
+def test_chunk_null_text_yields_empty_chunk(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = chunk_documents(df, size=100, overlap=0).collect()
+    assert len(rows) == 1 and rows[0].chunk_len == 0 and rows[0].chunk_text == ""

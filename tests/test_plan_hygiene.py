@@ -143,17 +143,15 @@ def test_pagerank_iteration_has_no_exchange(spark):
     one deliberate up-front repartition.)"""
     from pyspark.sql import functions as F
 
-    from kmr_spark.plans.iterative import PR_SCALE, _edges
+    from kmr_spark.plans.iterative import (PR_SCALE, _edges, _pr_iteration,
+                                           _prepare_edges)
 
     edges = _edges(spark, SF).persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges2 = edges.join(F.broadcast(outdeg), "src").repartition("dst").persist()
+    edges2 = _prepare_edges(edges)  # the PRODUCTION preparation
     edges2.count()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    one = (edges2.join(F.broadcast(ranks), edges2["src"] == ranks["node"])
-           .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
-           .groupBy("dst").agg(F.sum("contrib").alias("inflow")))
+    one = _pr_iteration(edges2, ranks)  # the PRODUCTION iteration step
     plan = one._jdf.queryExecution().executedPlan().toString()
     iteration_part = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in iteration_part
