@@ -71,6 +71,25 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key), salt) < thr)
 
 
+def sample_k_per_group(df: DataFrame, k: int, group: str, key: str,
+                       salt: int = 0) -> DataFrame:
+    """Deterministic uniform k-sample WITHIN each group (the reservoir-
+    sampling use case, made retry-stable): rank rows by their key hash
+    inside the group and keep the k smallest. One window per group key
+    — partitions across executors, state is the group's rows, and the
+    chosen k are a pure function of the data. Ties in the hash break by
+    the key itself, so the result is total-order deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(
+        hash_bucket(F.col(key), salt).asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def sql_bucket(key_expr: str, salt: int = 0) -> str:
     """The oracle-side twin of :func:`hash_bucket` (ANSI SQL)."""
     return f"((({key_expr} % {_P_PRE}) + {salt}) * {_A}) % {_P_MOD}"

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.operators.sample import (_P_MOD, hash_sample, sql_bucket,
+from kmr_spark.operators.sample import (_P_MOD, hash_sample,
+                                        sample_k_per_group, sql_bucket,
                                         stratified_sample)
 from kmr_spark.session import load_tables
 
@@ -59,12 +60,36 @@ WHERE {sql_bucket('doc_id', HOLDOUT_SALT)} < {int(HOLDOUT_RATE * _P_MOD)}
 """
 
 
+K_PER_USER = 5
+
+
+def sample_k_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 events per user, chosen by key hash — the per-group
+    reservoir-sample shape (e.g. 'at most k examples per source')."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = sample_k_per_group(ev, K_PER_USER, group="user_id", key="event_id")
+    return out.select("event_id", "user_id", "event_type")
+
+
+SAMPLE_K_PER_USER_SQL = f"""
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY {sql_bucket('event_id')} ASC, event_id ASC) AS rn
+  FROM events)
+WHERE rn <= {K_PER_USER}
+"""
+
+
 QUERIES = {
     "sample_events_stratified": sample_events_stratified,
     "sample_docs_holdout": sample_docs_holdout,
+    "sample_k_per_user": sample_k_per_user,
 }
 
 ORACLE_SQL = {
     "sample_events_stratified": SAMPLE_EVENTS_SQL,
     "sample_docs_holdout": SAMPLE_DOCS_SQL,
+    "sample_k_per_user": SAMPLE_K_PER_USER_SQL,
 }

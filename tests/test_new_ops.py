@@ -202,3 +202,28 @@ def test_chunk_null_text_yields_empty_chunk(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     rows = chunk_documents(df, size=100, overlap=0).collect()
     assert len(rows) == 1 and rows[0].chunk_len == 0 and rows[0].chunk_text == ""
+
+
+def test_sample_k_per_group_exact_k_and_stable(spark):
+    from kmr_spark.operators.sample import sample_k_per_group
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("k"))
+    out = sample_k_per_group(df, 7, "g", "k").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.g, []).append(r.k)
+    assert all(len(v) == 7 for v in per.values()) and len(per) == 10
+    out2 = sample_k_per_group(df.repartition(13), 7, "g", "k").collect()
+    assert sorted((r.g, r.k) for r in out) == sorted((r.g, r.k) for r in out2)
+
+
+def test_range_join_negative_domain(spark):
+    # truncating DIV gives uneven buckets around zero but the
+    # monotonicity argument still holds: exhaustive check on negatives
+    pts = _pts(spark, list(range(-30, 5)))
+    ivs = _ivs(spark, [(-25, -10), (-3, 4)])
+    got = {(r.p, r.iid) for r in range_join(pts, ivs, "p", "lo", "hi", 7).collect()}
+    want = {(p, i) for p in range(-30, 5)
+            for i, (lo, hi) in enumerate([(-25, -10), (-3, 4)]) if lo <= p < hi}
+    assert got == want
