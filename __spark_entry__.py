@@ -69,6 +69,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.layout as layout
+        modules.append(layout)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "events_dedup_streamed",
     "pack_sequences",
     "events_attribution_streamed",
+    "events_zorder_layout",
+    "profile_lineitem",
 ]
 
 

@@ -1,0 +1,44 @@
+"""Z-order (Morton) keys — multi-column data layout for 100 TB lakes.
+
+Sorting a table by the bit-interleaved key of two filter columns
+clusters rows so that a range predicate on EITHER column touches a
+contiguous-ish fraction of files: the standard lakehouse layout trick
+(Delta OPTIMIZE ZORDER, Iceberg sort orders) expressed as a plain
+column expression + orderBy, so it works on stock Spark parquet.
+
+The interleave is pure integer arithmetic (shift/mask/add), written as
+an unrolled sum so the identical expression runs in DuckDB — the
+oracle recomputes every key bit-for-bit. Values must be non-negative
+and fit ``bits`` bits (callers bucket/clamp first); the key of
+(a, b) places a's bit i at position 2i+1 and b's at 2i.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits per dimension -> 32-bit key, fits long with headroom
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """Morton-interleave two non-negative integer columns."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftright(a.cast("long"), i).bitwiseAND(1)
+                     * F.lit(1 << (2 * i + 1)))
+        parts.append(F.shiftright(b.cast("long"), i).bitwiseAND(1)
+                     * F.lit(1 << (2 * i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("long")
+
+
+def sql_zorder_key(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
+    """DuckDB twin of :func:`zorder_key` (same shifts, same order)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({b_expr}) >> {i}) & 1) * {1 << (2 * i)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -32,13 +32,13 @@ def test_no_duplicate_names_across_modules():
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, generate, graysort, iterative,
-                                 linalg, sampling, tpch, tpch_extra,
+                                 layout, linalg, sampling, tpch, tpch_extra,
                                  wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
              linalg.QUERIES, generate.QUERIES, sampling.QUERIES,
-             registry.QUERIES]
+             layout.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

@@ -227,3 +227,41 @@ def test_range_join_negative_domain(spark):
     want = {(p, i) for p in range(-30, 5)
             for i, (lo, hi) in enumerate([(-25, -10), (-3, 4)]) if lo <= p < hi}
     assert got == want
+
+
+# ------------------------------------------------------- zorder / profile
+
+def test_zorder_key_interleaves_bits(spark):
+    from kmr_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).first().z
+    # a bits -> odd positions, b bits -> even: a=101, b=011
+    want = (1 << 5) | (0 << 3) | (1 << 1) | (0 << 4) | (1 << 2) | (1 << 0)
+    assert got == want
+
+
+def test_zorder_clusters_quadrants(spark):
+    """All rows of the low quadrant (a<8, b<8) must sort before any row
+    with a>=16 and b>=16 — the locality property layout relies on."""
+    from kmr_spark.functions.zorder import zorder_key
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = {(r.a, r.b): r.z for r in
+         df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()}
+    lo = max(z[(a, b)] for a in range(8) for b in range(8))
+    hi = min(z[(a, b)] for a in range(16, 32) for b in range(16, 32))
+    assert lo < hi
+
+
+def test_profile_counts_nulls_and_distinct(spark):
+    from kmr_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "x")], "k long, s string")
+    out = {r.col_name: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 1
+    assert out["k"].n_distinct == 2            # NULL not counted
+    assert out["k"].min_s == "1" and out["k"].max_s == "2"
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
