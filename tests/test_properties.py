@@ -101,3 +101,69 @@ def test_twin_hash_generators_agree(spark, texts):
     con.close()
     for s, dd in zip(out, drows):
         assert (s["doc_id"], s["th"], s["sh"]) == tuple(dd)
+
+
+# ---------------------------------------------------- round-2 operators
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 40)),  # (lo, span)
+    min_size=1, max_size=12,
+)
+points_strategy = st.lists(st.integers(0, 240), min_size=1, max_size=40)
+
+
+@given(points=points_strategy, spans=intervals_strategy,
+       width=st.integers(1, 50))
+@SETTINGS
+def test_range_join_matches_naive(spark, points, spans, width):
+    """Bucketed range join == the O(n*m) definition, for any width."""
+    from kmr_spark.operators.interval import range_join
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long")
+    ivs = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(spans)],
+        "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in
+           range_join(pts, ivs, "p", "lo", "hi", width).collect()}
+    want = {(pi, ii) for pi, p in enumerate(points)
+            for ii, (lo, span) in enumerate(spans) if lo <= p < lo + span}
+    assert got == want
+
+
+@given(keys=st.lists(st.integers(0, 10**12), min_size=1, max_size=50,
+                     unique=True),
+       rate=st.floats(0.0, 1.0), salt=st.integers(0, 1000))
+@SETTINGS
+def test_hash_sample_matches_python_formula(spark, keys, rate, salt):
+    """The kept set == the pure-Python evaluation of the same hash."""
+    from kmr_spark.operators.sample import (_A, _P_MOD, _P_PRE,
+                                            hash_sample)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(r.k for r in hash_sample(df, rate, "k", salt).collect())
+    thr = int(rate * _P_MOD)
+    want = sorted(k for k in keys if ((k % _P_PRE + salt) * _A) % _P_MOD < thr)
+    assert got == want
+
+
+@given(sizes=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+       capacity=st.integers(1, 300))
+@SETTINGS
+def test_pack_matches_sequential_scan(spark, sizes, capacity):
+    """Packing == a sequential Python scan per shard (cum-sum DIV)."""
+    from kmr_spark.llm_ops.packing import pack_chunks
+    from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
+
+    rows = [(d, 0, sz) for d, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_len long")
+    out = {(r.doc_id): (r.shard, r.bin_id, r.offset)
+           for r in pack_chunks(df, capacity=capacity, n_shards=4).collect()}
+    # python twin
+    shard_of = lambda d: ((d % _P_PRE) * _A) % _P_MOD % 4
+    cum = {}
+    for d, sz in sorted(enumerate(sizes)):
+        sh = shard_of(d)
+        before = cum.get(sh, 0)
+        assert out[d] == (sh, before // capacity, before % capacity)
+        cum[sh] = before + sz
