@@ -83,7 +83,41 @@ def _registries():
     for m in modules:
         queries.update(getattr(m, "QUERIES", {}))
         oracles.update(getattr(m, "ORACLE_SQL", {}))
+    queries = _rotate_for_driver_window(queries)
+    oracles = {n: oracles[n] for n in queries if n in oracles}
     return queries, oracles
+
+
+# Queries that already have a driver-verified CORRECTNESS row (the r1/r2
+# first-50 window).  The driver checks only the first 50 registry entries,
+# so entries NOT in this set — never driver-checked, plus anything newly
+# added — are registered first; the already-green ones rotate behind in
+# reverse registration order (most recently added stay inside the window,
+# long-stable TPC-H falls out last).
+_DRIVER_CHECKED = frozenset({
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "wordcount_topk", "graysort_rank",
+    "events_type_stats", "events_running_sum", "events_topn_per_user",
+    "events_sessionize", "events_tumbling_window", "set_ops_customers",
+    "events_asof_view", "events_tumbling_streamed", "events_value_histogram",
+    "events_exact_percentiles", "events_sliding_window",
+    "nation_balance_full_outer", "events_pivot_by_type", "revenue_rollup",
+    "events_sessionize_streamed", "events_cube_type_day",
+    "events_campaign_windows", "events_dedup_streamed",
+    "events_attribution_streamed",
+    "iter_pagerank", "iter_kmeans", "linalg_matmul", "gen_rmat",
+    "sample_events_stratified", "sample_docs_holdout", "sample_k_per_user",
+})
+
+
+def _rotate_for_driver_window(queries):
+    """Order registry entries so never-driver-checked queries come first."""
+    fresh = [n for n in queries if n not in _DRIVER_CHECKED]
+    stale = [n for n in reversed(list(queries)) if n in _DRIVER_CHECKED]
+    return {n: queries[n] for n in fresh + stale}
 
 
 def entry(spark: SparkSession) -> DataFrame:
