@@ -35,6 +35,21 @@ def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
     return out.cast("long")
 
 
+def zbucket(col: Column, bits: int = ZBITS) -> Column:
+    """Fold an arbitrary integer column into the non-negative
+    ``bits``-bit domain :func:`zorder_key` requires. Positive modulo,
+    not a clamp: out-of-range values wrap uniformly instead of piling
+    up on the saturation boundary key."""
+    return F.pmod(col.cast("long"), F.lit(1 << bits))
+
+
+def sql_zbucket(expr: str, bits: int = ZBITS) -> str:
+    """DuckDB twin of :func:`zbucket` (``%`` follows the dividend sign
+    there, so positive modulo is spelled out)."""
+    m = 1 << bits
+    return f"((({expr}) % {m} + {m}) % {m})"
+
+
 def sql_zorder_key(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
     """DuckDB twin of :func:`zorder_key` (same shifts, same order)."""
     terms = []

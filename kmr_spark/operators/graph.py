@@ -63,6 +63,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     rounds grow O(log n) and jumps O(log depth), so the defaults
     cover any graph that fits in storage (2^40-deep trees don't).
     """
+    if max_rounds < 1 or max_jumps < 1:
+        raise ValueError(
+            f"max_rounds and max_jumps must be >= 1, got {max_rounds}, {max_jumps}")
     # materialize the (possibly expensive) pair source ONCE: the first
     # round reads it twice (both edge directions) as separate stages
     # that would each recompute an uncached upstream (e.g. a full LSH

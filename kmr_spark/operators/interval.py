@@ -46,6 +46,11 @@ def range_join(
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     p = points.withColumn("__bk", F.expr(f"{point_col} DIV {bucket_width}"))
+    # An empty/inverted interval (hi <= lo) matches no point under
+    # [lo, hi) — but fed to sequence() with start > stop it would
+    # auto-step by -1 and explode into (lo-hi)/W junk bucket rows. Drop
+    # such rows up front; the join result is identical.
+    intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     iv = intervals.withColumn(
         "__bk",
         F.explode(

@@ -37,9 +37,13 @@ _P_MOD = 1000000007      # hash range; also the rate denominator
 
 
 def hash_bucket(key: Column, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 1000000007) from a non-negative
-    integer key column. Same formula the oracle SQL writes out."""
-    return ((key % _P_PRE + F.lit(salt)) * _A) % _P_MOD
+    """Deterministic bucket in [0, 1000000007) from an integer key
+    column (negative keys fold in via positive modulo — a plain ``%``
+    would go negative and sit below every threshold, silently keeping
+    100% of such rows). Same formula the oracle SQL writes out."""
+    if salt < 0:
+        raise ValueError(f"salt must be non-negative, got {salt}")
+    return (F.pmod(key, F.lit(_P_PRE)) + F.lit(salt)) * _A % _P_MOD
 
 
 def _threshold(rate: float) -> int:
@@ -91,5 +95,10 @@ def sample_k_per_group(df: DataFrame, k: int, group: str, key: str,
 
 
 def sql_bucket(key_expr: str, salt: int = 0) -> str:
-    """The oracle-side twin of :func:`hash_bucket` (ANSI SQL)."""
-    return f"((({key_expr} % {_P_PRE}) + {salt}) * {_A}) % {_P_MOD}"
+    """The oracle-side twin of :func:`hash_bucket` (ANSI SQL).
+
+    DuckDB's ``%`` follows the dividend's sign, so positive modulo is
+    spelled ``((x % p) + p) % p`` to mirror Spark's pmod on negatives.
+    """
+    pm = f"((({key_expr}) % {_P_PRE} + {_P_PRE}) % {_P_PRE})"
+    return f"(({pm} + {salt}) * {_A}) % {_P_MOD}"

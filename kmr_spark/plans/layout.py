@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.functions.zorder import sql_zorder_key, zorder_key
+from kmr_spark.functions.zorder import (
+    sql_zbucket,
+    sql_zorder_key,
+    zbucket,
+    zorder_key,
+)
 from kmr_spark.operators.profile import profile_table, sql_profile
 from kmr_spark.session import load_tables
 
@@ -24,10 +29,16 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     later range filters on either column prune files. TakeOrdered cut
     (no global sort materialization) with an event_id tie-break."""
     ev = load_tables(spark, sf_dir)["events"]
+    # zorder_key needs non-negative 16-bit inputs; fold both dimensions
+    # into that domain (ids >= 2^16 / negative value buckets would
+    # otherwise alias arbitrary Morton keys).
     keyed = ev.select(
         "event_id", "user_id",
         F.floor("value").cast("long").alias("vbucket"),
-    ).withColumn("zkey", zorder_key(F.col("user_id"), F.col("vbucket")))
+    ).withColumn(
+        "zkey",
+        zorder_key(zbucket(F.col("user_id")), zbucket(F.col("vbucket"))),
+    )
     return (
         keyed.orderBy("zkey", "event_id")
         .limit(ZORDER_TOP)
@@ -37,7 +48,7 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_ZORDER_SQL = f"""
 SELECT event_id, user_id, vbucket,
-       {sql_zorder_key('user_id', 'vbucket')} AS zkey
+       {sql_zorder_key(sql_zbucket('user_id'), sql_zbucket('vbucket'))} AS zkey
 FROM (
   SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbucket
   FROM events)

@@ -79,6 +79,26 @@ def test_hash_bucket_matches_oracle_formula(spark):
     assert got == ((123456789 % _P_PRE + 7) * _A) % _P_MOD
 
 
+def test_hash_bucket_negative_keys(spark, duck):
+    from kmr_spark.operators.sample import sql_bucket
+    # negative keys must land in [0, P) — a sign-following % would give
+    # a negative bucket below every threshold (100% kept at any rate)
+    df = spark.createDataFrame([(-5,), (-123456789,), (0,), (42,)], "k long")
+    got = {r.k: r.h for r in
+           df.select("k", hash_bucket(F.col("k"), salt=3).alias("h")).collect()}
+    assert all(h >= 0 for h in got.values())
+    # DuckDB twin agrees bit-for-bit on the same negatives
+    for k, h in got.items():
+        (dh,) = duck.execute(f"SELECT {sql_bucket(str(k), salt=3)}").fetchone()
+        assert dh == h
+
+
+def test_hash_sample_negative_keys_respect_rate(spark):
+    df = spark.range(0, 4000).select((F.col("id") - 2000).alias("k"))
+    frac = hash_sample(df, 0.3, "k").count() / 4000
+    assert 0.25 < frac < 0.35
+
+
 # --------------------------------------------------------------- range join
 
 def _pts(spark, vals):
@@ -125,6 +145,16 @@ def test_range_join_rejects_bad_width(spark):
     ivs = _ivs(spark, [(0, 2)])
     with pytest.raises(ValueError):
         range_join(pts, ivs, "p", "lo", "hi", 0)
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    # hi <= lo matches nothing under [lo, hi); before the guard, such a
+    # row hit sequence(start > stop) which auto-steps -1 and explodes
+    pts = _pts(spark, [5, 500])
+    ivs = _ivs(spark, [(1_000_000, 0), (7, 7), (0, 10)])
+    got = sorted((r.p, r.iid) for r in
+                 range_join(pts, ivs, "p", "lo", "hi", 7).collect())
+    assert got == [(5, 2)]
 
 
 # ----------------------------------------------------------------- packing
@@ -230,6 +260,28 @@ def test_range_join_negative_domain(spark):
 
 
 # ------------------------------------------------------- zorder / profile
+
+def test_zbucket_folds_into_domain(spark, duck):
+    from kmr_spark.functions.zorder import ZBITS, sql_zbucket, zbucket
+
+    vals = [-1, -65536, 0, 65535, 65536, 1 << 40]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.z for r in df.select("x", zbucket(F.col("x")).alias("z")).collect()}
+    assert all(0 <= z < (1 << ZBITS) for z in got.values())
+    for v, z in got.items():
+        (dz,) = duck.execute(f"SELECT {sql_zbucket(str(v))}").fetchone()
+        assert dz == z == v % (1 << ZBITS)
+
+
+def test_connected_components_rejects_bad_limits(spark):
+    from kmr_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError):
+        connected_components(pairs, max_jumps=0)
+    with pytest.raises(ValueError):
+        connected_components(pairs, max_rounds=0)
+
 
 def test_zorder_key_interleaves_bits(spark):
     from kmr_spark.functions.zorder import zorder_key
