@@ -26,19 +26,37 @@ from pyspark.sql import functions as F
 
 from kmr_spark.operators.sample import hash_bucket, sql_bucket
 
-N_SHARDS = 32
+MIN_SHARDS = 32          # floor keeps small corpora parallel
+TOKENS_PER_SHARD = 1 << 20  # target shard payload: bounds the window sort
 CAPACITY = 256  # tokens per packed sequence
 
 
+def derive_n_shards(total_size: int, tokens_per_shard: int = TOKENS_PER_SHARD,
+                    min_shards: int = MIN_SHARDS) -> int:
+    """Shard count from corpus size: ceil(total/tokens_per_shard) with a
+    parallelism floor. Integer arithmetic only, so the DuckDB oracle
+    computes the identical value from the same aggregate."""
+    return max(min_shards, (total_size + tokens_per_shard - 1) // tokens_per_shard)
+
+
 def pack_chunks(chunks: DataFrame, capacity: int = CAPACITY,
-                n_shards: int = N_SHARDS,
+                n_shards: int | None = None,
                 id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
                 size_col: str = "chunk_len") -> DataFrame:
     """Assign every chunk a (shard, bin_id, offset): bin_id groups the
     chunks packed into one context window, offset is the chunk's start
     position inside it. Deterministic: shard is a content hash of the
-    doc id, order within a shard is (doc_id, chunk_id)."""
+    doc id, order within a shard is (doc_id, chunk_id).
+
+    ``n_shards`` defaults to :func:`derive_n_shards` of the corpus's
+    total ``size_col`` (one aggregate pre-pass, scalar collect) so the
+    per-shard window input stays ~``TOKENS_PER_SHARD`` regardless of
+    corpus size — a fixed shard count would cap parallelism and buffer
+    corpus/N rows per task at 100 TB."""
     d, c = id_cols
+    if n_shards is None:
+        total = chunks.agg(F.sum(size_col)).first()[0] or 0
+        n_shards = derive_n_shards(int(total))
     # portable multiplicative hash (operators/sample.py): deterministic,
     # engine-independent, so the DuckDB oracle reproduces the sharding
     sharded = chunks.withColumn(
@@ -56,14 +74,15 @@ def pack_chunks(chunks: DataFrame, capacity: int = CAPACITY,
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the documents table, pack the chunks into 256-char context
-    windows across 32 shards, and report each packed bin: how many
-    chunks it holds, its fill, and an id-checksum proving WHICH chunks
-    landed in it."""
+    windows across size-derived shards, and report each packed bin: how
+    many chunks it holds, its fill, and an id-checksum proving WHICH
+    chunks landed in it."""
     from kmr_spark.llm_ops.chunking import chunk_documents
     from kmr_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
-    packed = pack_chunks(chunk_documents(docs, size=200, overlap=20))
+    chunks = chunk_documents(docs, size=200, overlap=20)
+    packed = pack_chunks(chunks)
     return (
         packed.groupBy("shard", "bin_id")
         .agg(F.count("*").alias("n_chunks"),
@@ -80,8 +99,13 @@ WITH chunks AS (
          CAST(length(substr(text, g + 1, 200)) AS BIGINT) AS chunk_len
   FROM documents,
        LATERAL (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0), 180)) AS g)),
+nsh AS (
+  SELECT GREATEST({MIN_SHARDS},
+                  (SUM(chunk_len) + {TOKENS_PER_SHARD} - 1) // {TOKENS_PER_SHARD})
+         AS n
+  FROM chunks),
 sharded AS (
-  SELECT *, CAST(({sql_bucket('doc_id')}) % {N_SHARDS} AS INTEGER) AS shard
+  SELECT *, CAST(({sql_bucket('doc_id')}) % (SELECT n FROM nsh) AS INTEGER) AS shard
   FROM chunks),
 packed AS (
   SELECT shard, doc_id, chunk_id, chunk_len,

@@ -159,6 +159,29 @@ def test_range_join_drops_inverted_intervals(spark):
 
 # ----------------------------------------------------------------- packing
 
+def test_derive_n_shards_scales_with_corpus():
+    from kmr_spark.llm_ops.packing import (MIN_SHARDS, TOKENS_PER_SHARD,
+                                           derive_n_shards)
+
+    assert derive_n_shards(0) == MIN_SHARDS
+    assert derive_n_shards(MIN_SHARDS * TOKENS_PER_SHARD) == MIN_SHARDS
+    # past the floor, shard payload stays bounded at TOKENS_PER_SHARD
+    # regardless of corpus size: 1000x the corpus -> 1000x the shards
+    big = 1000 * MIN_SHARDS * TOKENS_PER_SHARD
+    assert derive_n_shards(big) == 1000 * MIN_SHARDS
+    assert derive_n_shards(big + 1) == 1000 * MIN_SHARDS + 1
+
+
+def test_pack_chunks_derives_shards_from_size(spark):
+    from kmr_spark.llm_ops.packing import MIN_SHARDS, pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, 0, 100) for i in range(50)],
+        "doc_id long, chunk_id long, chunk_len long")
+    shards = {r.shard for r in pack_chunks(df).select("shard").distinct().collect()}
+    assert shards <= set(range(MIN_SHARDS))  # small corpus -> floor count
+
+
 def test_pack_chunks_fills_bins_in_order(spark):
     from kmr_spark.llm_ops.packing import pack_chunks
 
