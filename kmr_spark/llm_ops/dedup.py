@@ -19,27 +19,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.functions import hashing as H
-from kmr_spark.session import load_tables, widen
+from kmr_spark.session import load_tables, materialize_release, widen
 
 JACCARD_THRESHOLD = 0.5
 NGRAM_BLOCK_THRESHOLD = 0.3
 SIMHASH_MAX_HAMMING = 1
 
 
-def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Signature table: (doc_id, distinct shingle set, minhash sigs).
 
     Widened before the hash-heavy expressions (single-file scan would
     serialize them) and persisted because three downstream joins (band
     explode + two verify sides) reuse it — the 100 TB form of this is a
-    checkpointed signature table, computed once per corpus.
+    checkpointed signature table, computed once per corpus. Returns
+    (sigs, token-hash table); BOTH are persisted and the caller must
+    release them once its result is materialized.
     """
     docs = widen(load_tables(spark, sf_dir)["documents"])
     th_table = H.token_hash_table(docs)
     base = th_table.select("doc_id", H.shingle_hashes_col(F.col("th")).alias("sh"))
-    return base.filter(F.size("sh") > 0).select(
+    sigs = base.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset"),
         *H.minhash_sig_cols(F.col("sh"))).persist()
+    return sigs, th_table
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +76,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets. No stage touches more than O(docs x bands) rows plus
     O(candidates) verification work.
     """
-    sigs = _docs_with_sigs(spark, sf_dir)
+    sigs, th_table = _docs_with_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -103,7 +106,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    out = verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    return materialize_release(out, sigs, th_table)
 
 
 def _sql_sigs_cte() -> str:
@@ -150,7 +154,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFr
     token *set* barely varies between documents.
     """
     docs = widen(load_tables(spark, sf_dir)["documents"])
-    hashes = H.token_hash_table(docs).filter(F.size("th") > 0)
+    th_table = H.token_hash_table(docs)
+    hashes = th_table.filter(F.size("th") > 0)
     exploded = hashes.select("doc_id", F.explode("th").alias("h"))
     bit_sums = exploded.groupBy("doc_id").agg(*[
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"s{i}")
@@ -185,7 +190,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFr
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
-    return out.orderBy("doc_a", "doc_b") if sort else out
+    out = out.orderBy("doc_a", "doc_b") if sort else out
+    return materialize_release(out, simhash, th_table)
 
 
 _SIMHASH_CANDS_CTE = f"""ths AS (
@@ -291,7 +297,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(H.shingle_hashes_col(F.col("th"))).alias("shset"))
     base = base.filter(F.size("shset") > 0).persist()  # both join sides
     a, b = base.alias("a"), base.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.source") == F.col("b.source"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -303,6 +309,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    return materialize_release(out, base, th_table)
 
 
 NGRAM_SQL = f"""

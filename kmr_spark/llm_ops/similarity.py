@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kmr_spark.functions import vectors as V
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, materialize_release
 
 N_QUERIES = 10  # vec_id < 10 are the query set
 TOP_K = 5
@@ -99,12 +99,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
         .orderBy("query_id", "rn")
     )
+    return materialize_release(out, emb)
 
 
 KNN_SQL = f"""
@@ -143,12 +144,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("neighbor_id"),
         (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         rescored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= IVF_TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
         .orderBy("query_id", "rn")
     )
+    return materialize_release(out, assigned)
 
 
 ANN_IVF_SQL = f"""
@@ -208,12 +210,13 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("neighbor_id"),
         (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         rescored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= IVF_TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
         .orderBy("query_id", "rn")
     )
+    return materialize_release(out, assigned)
 
 
 ANN_MULTIPROBE_SQL = f"""
@@ -292,7 +295,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nv").alias("nvb"), "cell",
                 "bi", F.col("blk").alias("bj"))
     )
-    return (
+    out = (
         a.join(b, ["cell", "bi", "bj"])
         # a cross-block pair meets in exactly one key and always with
         # bi < bj (the lower-block vector lands on the a side); only
@@ -311,6 +314,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine")
         .orderBy("vec_a", "vec_b")
     )
+    return materialize_release(out, assigned)
 
 
 EMB_DEDUP_SQL = f"""

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.functions import hashing as H
-from kmr_spark.session import load_tables, widen
+from kmr_spark.session import load_tables, materialize_release, widen
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
@@ -143,9 +143,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min/max shingle hash + full-text
     rolling hash — the compact signature used for fast pre-filtering."""
     docs = widen(load_tables(spark, sf_dir)["documents"])
-    base = H.token_hash_table(docs).select(
+    th_table = H.token_hash_table(docs)
+    base = th_table.select(
         "doc_id", F.col("th"), H.shingle_hashes_col(F.col("th")).alias("sh"))
-    return base.select(
+    out = base.select(
         "doc_id",
         F.array_min("sh").alias("fp_min"),
         F.array_max("sh").alias("fp_max"),
@@ -154,6 +155,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc * H.BETA + x) % H.P,
         ).alias("fp_roll"),
     ).orderBy("doc_id")
+    # per-doc fingerprints are 4 longs/row — checkpointable even at
+    # corpus scale (a production run writes them to the sink instead)
+    return materialize_release(out, th_table)
 
 
 FINGERPRINT_SQL = f"""

@@ -130,6 +130,26 @@ def widen(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df.repartition(parallelism)
 
 
+def materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a small result, then release the persisted
+    intermediates its plan references.
+
+    Query functions persist mid-pipeline tables (signatures, cell
+    assignments) that the lazily-returned result still needs; returning
+    that plan with the caches live leaks executor storage on every call
+    in a long-lived session (bench loop, notebook), while unpersisting
+    first would silently recompute the whole pipeline at collect time.
+    ``localCheckpoint`` cuts the lineage while the caches are hot, so
+    the unpersist is safe and the caller gets a self-contained result.
+    Only for results that fit comfortably in cluster storage (top-k
+    lists, pair sets, aggregates) — never the corpus itself.
+    """
+    out = out.localCheckpoint()
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` pipelines work."""
     tables = load_tables(spark, sf_dir)

@@ -11,6 +11,28 @@ def test_llm_op_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, registry.QUERIES[name], registry.ORACLE_SQL[name])
 
 
+def test_llm_queries_release_their_caches(spark):
+    """Query functions persist mid-pipeline tables (signatures, cell
+    assignments); each call must release them before returning, or a
+    long-lived session accumulates executor storage per call. The
+    CacheManager sees exactly the DataFrame-level persists (not the
+    GC-reclaimed localCheckpoint RDDs), so empty-after-call is the
+    precise no-leak assertion."""
+    from kmr_spark.llm_ops.dedup import (minhash_lsh_pairs,
+                                         ngram_jaccard_pairs, simhash_pairs)
+    from kmr_spark.llm_ops.similarity import ann_ivf, knn_bruteforce
+    from kmr_spark.llm_ops.textstats import doc_fingerprint
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for fn in (knn_bruteforce, ann_ivf, minhash_lsh_pairs, simhash_pairs,
+               ngram_jaccard_pairs, doc_fingerprint):
+        out = fn(spark, "/root/testdata/sf0.001")
+        assert out.count() >= 0
+        assert cm.isEmpty(), f"{fn.__name__} left cached plans behind"
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe IVF must recover at least as much of the brute-force
     top-3 as single-probe, and clear a recall floor on the synthetic
