@@ -87,11 +87,16 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage plumbing: image rows in, (media_id, w, h, payload)
-    out. Fake mode truncates/pads bytes to w*h as a stand-in."""
+    out. Fake mode truncates/pads bytes to w*h as a stand-in.
+
+    For BMP payloads a REAL dependency-free resize exists:
+    :func:`resize_bmp_nn` (nearest-neighbor over the repo's own BMP
+    codec). This generic entry stays library-gated for JPEG/PNG/WebP.
+    """
     if not fake:
         raise NotImplementedError(
-            "image resize requires PIL/opencv; pass fake=True for the "
-            "deterministic stand-in")
+            "JPEG/PNG resize requires PIL/opencv (use resize_bmp_nn for "
+            "BMP payloads); pass fake=True for the deterministic stand-in")
 
     target = width * height
 
@@ -211,6 +216,133 @@ def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=BMP_DECODED_SCHEMA)
+
+
+def encode_docs_as_gradient_bmp(docs: DataFrame) -> DataFrame:
+    """Like :func:`encode_docs_as_bmp` but with a per-pixel gradient —
+    the grayscale value at storage position (x, y) is
+    ``(fill + 3x + 5y) % 251`` — so a resample's pixel sum actually
+    depends on WHICH source pixels were chosen. Constant-fill images
+    can't distinguish a correct nearest-neighbor map from a wrong one;
+    this gradient makes the resize oracle exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                did, tlen = int(did), int(tlen)
+                w = (tlen % 31) + 2
+                h = (did % 17) + 2
+                fill = did % 251
+                stride = ((w * 3 + 3) // 4) * 4
+                rows = []
+                for y in range(h):
+                    row = b"".join(
+                        bytes([(fill + 3 * x + 5 * y) % 251]) * 3
+                        for x in range(w))
+                    rows.append(row + b"\0" * (stride - w * 3))
+                pixels = b"".join(rows)
+                size = _BMP_HEADER_SIZE + len(pixels)
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(pixels), 2835, 2835, 0, 0)
+                )
+                payloads.append(bytearray(header + pixels))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+def resize_bmp_nn(df: DataFrame, out_w: int, out_h: int,
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL nearest-neighbor resize over the repo's own BMP codec: parse
+    the headers (magic/size/stride validation as in decode_bmp), map
+    each output pixel (xo, yo) to source pixel
+    ``(xo*w_in DIV out_w, yo*h_in DIV out_h)`` in storage order, copy
+    its 3 channel bytes, and re-encode a spec-conformant 24-bpp BMP
+    with fresh stride padding. Raises on malformed payloads."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output dims must be >= 1, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                src = _parse_bmp(raw, f"doc {did}")
+                if src["bpp"] != 24:
+                    raise ValueError(f"doc {did}: resize supports 24-bpp only")
+                w, h, stride = src["width"], src["height"], src["stride"]
+                (off,) = struct.unpack_from("<I", raw, 10)
+                out_stride = ((out_w * 3 + 3) // 4) * 4
+                rows = []
+                for yo in range(out_h):
+                    base = off + (yo * h // out_h) * stride
+                    row = b"".join(
+                        raw[base + (xo * w // out_w) * 3:
+                            base + (xo * w // out_w) * 3 + 3]
+                        for xo in range(out_w))
+                    rows.append(row + b"\0" * (out_stride - out_w * 3))
+                pixels = b"".join(rows)
+                size = _BMP_HEADER_SIZE + len(pixels)
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
+                    + struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0,
+                                  len(pixels), 2835, 2835, 0, 0)
+                )
+                ids.append(int(did))
+                payloads.append(bytearray(header + pixels))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+RESIZE_W, RESIZE_H = 20, 10
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as a gradient BMP, nearest-neighbor resize
+    it to RESIZE_W x RESIZE_H with the real codec, decode the result
+    back, and report the decoded fields + pixel checksum. The oracle
+    recomputes the checksum by applying the same NN index map to the
+    gradient formula — so the exact source-pixel choice is verified."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    resized = resize_bmp_nn(
+        encode_docs_as_gradient_bmp(docs), RESIZE_W, RESIZE_H)
+    return decode_bmp(resized).orderBy("doc_id")
+
+
+_RESIZE_STRIDE = ((RESIZE_W * 3 + 3) // 4) * 4
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         (length(text) % 31) + 2 AS w,
+         (doc_id % 17) + 2 AS h,
+         doc_id % 251 AS fill
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         (fill + 3 * ((xo * w) // {RESIZE_W})
+               + 5 * ((yo * h) // {RESIZE_H})) % 251 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, {RESIZE_W} - 1)) AS xo),
+       LATERAL (SELECT unnest(generate_series(0, {RESIZE_H} - 1)) AS yo))
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bpp,
+       CAST({_RESIZE_STRIDE} AS INTEGER) AS stride,
+       CAST({_BMP_HEADER_SIZE} + {_RESIZE_STRIDE} * {RESIZE_H} AS BIGINT) AS n_bytes,
+       CAST(SUM(3 * v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,9 +606,11 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
     "multimodal_frames": multimodal_frames,
+    "multimodal_resize": multimodal_resize,
 }
 ORACLE_SQL = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }

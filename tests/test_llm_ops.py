@@ -127,6 +127,51 @@ def test_bmp_decoder_rejects_malformed(spark):
         decode_bmp(bad).collect()
 
 
+def _tiny_bmp(pixels_rows):
+    """Hand-build a 24-bpp BMP from rows of grayscale pixel values."""
+    import struct
+
+    h, w = len(pixels_rows), len(pixels_rows[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b"".join(
+        b"".join(bytes([v]) * 3 for v in row) + b"\0" * (stride - w * 3)
+        for row in pixels_rows)
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0) + body)
+
+
+def test_resize_bmp_nn_exact_pixel_choice(spark):
+    """NN must pick source pixel (xo*w DIV out_w, yo*h DIV out_h) — the
+    gradient input makes any other index map change the sum."""
+    from kmr_spark.llm_ops.multimodal import decode_bmp, resize_bmp_nn
+
+    src = _tiny_bmp([[10, 20], [30, 40]])
+    df = spark.createDataFrame([(1, bytearray(src))], "doc_id long, payload binary")
+    up = decode_bmp(resize_bmp_nn(df, 4, 2)).first()
+    # x map [0,0,1,1] per row: rows (10,10,20,20) and (30,30,40,40)
+    assert (up.width, up.height, up.stride) == (4, 2, 12)
+    assert up.pixel_sum == 3 * (10 + 10 + 20 + 20 + 30 + 30 + 40 + 40)
+    down = decode_bmp(resize_bmp_nn(df, 1, 1)).first()
+    assert (down.width, down.height) == (1, 1)
+    assert down.pixel_sum == 3 * 10  # top-left source pixel
+
+
+def test_resize_bmp_nn_rejects_bad_input(spark):
+    import pytest as _pytest
+
+    from kmr_spark.llm_ops.multimodal import resize_bmp_nn
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOTABMP" * 10))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="bad magic"):
+        resize_bmp_nn(bad, 4, 4).collect()
+    ok = spark.createDataFrame(
+        [(1, bytearray(_tiny_bmp([[1]])))], "doc_id long, payload binary")
+    with _pytest.raises(ValueError):
+        resize_bmp_nn(ok, 0, 4)
+
+
 def test_wav_decoder_walks_chunks_and_rejects_malformed(spark):
     """The RIFF walker must skip unknown chunks to reach fmt/data, and
     fail loudly on bad magic / size mismatch instead of emitting junk."""
