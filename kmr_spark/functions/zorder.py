@@ -15,7 +15,7 @@ and fit ``bits`` bits (callers bucket/clamp first); the key of
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ZBITS = 16  # bits per dimension -> 32-bit key, fits long with headroom
@@ -57,3 +57,27 @@ def sql_zorder_key(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
         terms.append(f"((({a_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
         terms.append(f"((({b_expr}) >> {i}) & 1) * {1 << (2 * i)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_write(df: DataFrame, path: str, a_col: str, b_col: str,
+                 bits: int = ZBITS, target_files: int = 16) -> None:
+    """Write ``df`` as parquet clustered by the Morton key of
+    (``a_col``, ``b_col``) — the write side of the layout trick.
+
+    ``repartitionByRange`` on the key gives every output file a
+    CONTIGUOUS zkey range (sampling range partitioner, one shuffle);
+    the within-partition sort tightens row-group stats too. Each file's
+    zkey interval is a small set of quad blocks in (a, b) space, so its
+    parquet min/max footer stats are tight on BOTH columns and a range
+    predicate on either one prunes most files/row-groups at scan time
+    — stock parquet, no table format needed. At 100 TB this is the
+    compaction pass's output layout; ``target_files`` maps to the
+    file-size budget (AQE coalescing handles the small tail).
+    """
+    keyed = df.withColumn(
+        "__zkey", zorder_key(zbucket(F.col(a_col), bits),
+                             zbucket(F.col(b_col), bits), bits))
+    (keyed.repartitionByRange(target_files, "__zkey")
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode("overwrite").parquet(path))

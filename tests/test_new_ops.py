@@ -306,7 +306,53 @@ def test_connected_components_rejects_bad_limits(spark):
         connected_components(pairs, max_rounds=0)
 
 
-def test_zorder_key_interleaves_bits(spark):
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """The layout must DEMONSTRABLY prune: write events z-ordered on
+    (user_id, vbucket), and for a range predicate on EITHER column the
+    parquet min/max footer stats must rule out most row-groups — while
+    the round-robin baseline layout prunes none. This is the property
+    the zkey exists for; stats-overlap counting is exactly the pruning
+    decision Spark's parquet reader (and any lakehouse scanner) makes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kmr_spark.functions.zorder import zorder_write
+    from kmr_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vbucket"))
+    zpath, upath = str(tmp_path / "zorder"), str(tmp_path / "rr")
+    # 64 files -> ~8x8 quad grid in (user_id, vbucket) space: fine
+    # enough that a 10%-of-domain strip touches only 1-2 quad columns
+    zorder_write(ev, zpath, "user_id", "vbucket", target_files=64)
+    ev.repartition(64).write.mode("overwrite").parquet(upath)
+
+    def overlapping_row_groups(path, col, lo, hi):
+        total = hit = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    # ~10%-of-domain range predicates, one per dimension
+    for col, lo, hi in (("user_id", 30, 44), ("vbucket", 100, 148)):
+        zhit, ztotal = overlapping_row_groups(zpath, col, lo, hi)
+        uhit, utotal = overlapping_row_groups(upath, col, lo, hi)
+        assert uhit == utotal  # round-robin: every row-group overlaps
+        assert zhit < ztotal / 2, (
+            f"{col}: z-layout kept {zhit}/{ztotal} row-groups")
+        assert zhit < uhit
+
+    # the clustered table still holds exactly the same rows
+    assert spark.read.parquet(zpath).count() == ev.count()
     from kmr_spark.functions.zorder import zorder_key
 
     df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
