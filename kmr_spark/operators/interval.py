@@ -26,8 +26,24 @@ form; this is a beyond-reference operator per the build brief
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def auto_bucket_width(intervals: DataFrame, lo_col: str, hi_col: str) -> int:
+    """Derive the bucket width from the intervals' own span stats: the
+    ceiling of the mean valid span (one tiny aggregate, driver scalar —
+    the same replicated-state pattern as k-means centroids). W near the
+    typical span is the fanout/selectivity balance point: each interval
+    explodes into ~2 buckets, and a point's bucket pairs it only with
+    intervals overlapping its W-neighborhood. Degenerate inputs (no
+    valid intervals) fall back to 1."""
+    row = intervals.select(
+        F.avg(F.when(F.col(hi_col) > F.col(lo_col),
+                     F.col(hi_col) - F.col(lo_col))).alias("s")).first()
+    return max(1, math.ceil(row["s"] or 1))
 
 
 def range_join(
@@ -36,13 +52,16 @@ def range_join(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``lo <= point < hi``. All three bound columns must be integral
     (cast timestamps to epoch micros first); ``bucket_width`` is in
-    the same unit. Output carries all columns of both inputs.
+    the same unit and defaults to :func:`auto_bucket_width` of the
+    interval side. Output carries all columns of both inputs.
     """
+    if bucket_width is None:
+        bucket_width = auto_bucket_width(intervals, lo_col, hi_col)
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     p = points.withColumn("__bk", F.expr(f"{point_col} DIV {bucket_width}"))

@@ -601,10 +601,11 @@ def events_campaign_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/interval.py): events into 25
     overlapping 42-hour "campaign" windows derived from nation (window
     i starts at 2024-01-01 + i*28h), then count + event-id checksum per
-    window. The bucket width (6h) bounds each window's fanout at 8
-    buckets, so the join is one equi-shuffle — not the nested-loop plan
-    a raw BETWEEN join would get. sum(event_id) makes the oracle
-    sensitive to any mis-joined row, not just miscounts."""
+    window. The bucket width is derived from the windows' own span
+    stats (auto_bucket_width -> 42h here), bounding each window's
+    fanout at ~2 buckets, so the join is one equi-shuffle — not the
+    nested-loop plan a raw BETWEEN join would get. sum(event_id) makes
+    the oracle sensitive to any mis-joined row, not just miscounts."""
     from kmr_spark.operators.interval import range_join
 
     t = load_tables(spark, sf_dir)
@@ -618,8 +619,7 @@ def events_campaign_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = t["events"].select(
         "event_id", F.unix_micros("ts").alias("ts_us"))
-    joined = range_join(ev, wins, "ts_us", "lo_us", "hi_us",
-                        bucket_width=6 * _H_US)
+    joined = range_join(ev, wins, "ts_us", "lo_us", "hi_us")
     return (
         joined.groupBy("win_id")
         .agg(F.count("*").alias("n_events"),

@@ -147,6 +147,15 @@ def test_range_join_rejects_bad_width(spark):
         range_join(pts, ivs, "p", "lo", "hi", 0)
 
 
+def test_auto_bucket_width_is_mean_span(spark):
+    from kmr_spark.operators.interval import auto_bucket_width
+
+    ivs = _ivs(spark, [(0, 10), (100, 121)])  # spans 10, 21 -> mean 15.5
+    assert auto_bucket_width(ivs, "lo", "hi") == 16
+    # inverted/empty spans are excluded from the stat; all-bad -> 1
+    assert auto_bucket_width(_ivs(spark, [(5, 5), (9, 2)]), "lo", "hi") == 1
+
+
 def test_range_join_drops_inverted_intervals(spark):
     # hi <= lo matches nothing under [lo, hi); before the guard, such a
     # row hit sequence(start > stop) which auto-steps -1 and explodes

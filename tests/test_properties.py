@@ -131,6 +131,27 @@ def test_range_join_matches_naive(spark, points, spans, width):
     assert got == want
 
 
+@given(points=points_strategy,
+       spans=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 400)),
+                      min_size=1, max_size=12))
+@SETTINGS
+def test_range_join_auto_width_matches_naive(spark, points, spans):
+    """Derived bucket width (mean-span) == the naive definition across
+    span distributions — uniform tiny, huge, mixed, and zero spans."""
+    from kmr_spark.operators.interval import range_join
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long")
+    ivs = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(spans)],
+        "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in
+           range_join(pts, ivs, "p", "lo", "hi").collect()}
+    want = {(pi, ii) for pi, p in enumerate(points)
+            for ii, (lo, span) in enumerate(spans) if lo <= p < lo + span}
+    assert got == want
+
+
 @given(keys=st.lists(st.integers(0, 10**12), min_size=1, max_size=50,
                      unique=True),
        rate=st.floats(0.0, 1.0), salt=st.integers(0, 1000))
