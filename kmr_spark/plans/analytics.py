@@ -591,6 +591,71 @@ ORDER BY p.user_id
 """
 
 
+def events_attribution_outer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: matched (purchase, click)
+    pairs plus NULL-click rows for purchases with no preceding click —
+    emitted by the stream once the watermark proves no click can still
+    arrive. The oracle replicates the flush rule exactly: a batch left
+    join keeps every matched pair plus unmatched purchases older than
+    the final watermark min(max p_ts, max c_ts) - horizon (younger
+    unmatched purchases are still in state when the bounded replay
+    ends, by design — they are not yet provably organic)."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (attribution_outer_stream,
+                                             run_available_now,
+                                             stream_events)
+
+    ev = stream_events(spark, sf_dir)
+    pairs = attribution_outer_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"))
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            pairs, "events_attribution_outer_sink", ck,
+            output_mode="append")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        out.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("purchase_id").alias("n_purchases"),
+             F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+             .alias("n_unattributed"),
+             F.sum("click_id").alias("click_id_sum"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ATTRIBUTION_OUTER_SQL = """
+WITH wm AS (
+  SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(CASE WHEN event_type = 'click' THEN ts END))
+         - INTERVAL 1 HOUR AS w
+  FROM events),
+pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+         c.event_id AS click_id
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id
+   AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL 1 HOUR)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unattributed,
+       CAST(SUM(click_id) AS BIGINT) AS click_id_sum
+FROM pairs, wm
+WHERE click_id IS NOT NULL OR p_ts < wm.w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 CAMPAIGN_STRIDE_H = 28   # window i starts at 2024-01-01 + i*28h
 CAMPAIGN_SPAN_H = 42     # each window lasts 42h (windows overlap)
 _EPOCH_2024_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
@@ -663,6 +728,7 @@ QUERIES = {
     "events_campaign_windows": events_campaign_windows,
     "events_dedup_streamed": events_dedup_streamed,
     "events_attribution_streamed": events_attribution_streamed,
+    "events_attribution_outer_streamed": events_attribution_outer_streamed,
 }
 
 ORACLE_SQL = {
@@ -685,4 +751,5 @@ ORACLE_SQL = {
     "events_campaign_windows": EVENTS_CAMPAIGN_SQL,
     "events_dedup_streamed": EVENTS_DEDUP_STREAMED_SQL,
     "events_attribution_streamed": EVENTS_ATTRIBUTION_SQL,
+    "events_attribution_outer_streamed": EVENTS_ATTRIBUTION_OUTER_SQL,
 }

@@ -121,6 +121,35 @@ def attribution_join_stream(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def attribution_outer_stream(purchases: DataFrame, clicks: DataFrame,
+                             horizon: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream join: like
+    :func:`attribution_join_stream`, but purchases with NO preceding
+    click in the horizon are also emitted (click columns NULL) — the
+    rows a real attribution pipeline bills as organic. An unmatched
+    purchase flushes once the global watermark passes its join window
+    (no future click below ``p_ts`` can arrive), so its state is
+    bounded exactly like the inner join's; purchases younger than the
+    final watermark stay in state awaiting more data — in a bounded
+    replay that tail is deterministic: ``p_ts >= min(max p_ts,
+    max c_ts) - horizon`` (both sides' watermarks gate the flush).
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value")).withWatermark("p_ts", horizon)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id")).withWatermark("c_ts", horizon)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches plans.analytics
 
 
