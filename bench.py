@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "events_attribution_streamed",
     "events_zorder_layout",
     "profile_lineitem",
+    # round-3 widening: remaining heavy tails + queries new this round
+    # (appended — earlier entries keep their order and stay comparable)
+    "events_asof_view",
+    "sim_ann_ivf_multiprobe",
+    "corpus_clean_keepers",
+    "multimodal_audio",
+    "multimodal_resize",
+    "events_attribution_outer_streamed",
 ]
 
 
