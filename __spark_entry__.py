@@ -74,6 +74,16 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.graphs as graphs
+        modules.append(graphs)
+    except ImportError:
+        pass
+    try:
+        import kmr_spark.plans.incremental as incremental
+        modules.append(incremental)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "multimodal_audio",
     "multimodal_resize",
     "events_attribution_outer_streamed",
+    # round-3 new operator families
+    "graph_triangles",
+    "dedup_editdistance",
+    "sim_knn_quantized",
+    "events_incremental_merge",
 ]
 
 

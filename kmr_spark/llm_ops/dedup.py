@@ -328,11 +328,85 @@ ORDER BY doc_a, doc_b
 """
 
 
+MAX_EDITS = 12
+LEN_BAND = 16  # > MAX_EDITS, so the +-1-band join is recall-exact
+
+
+def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by bounded Levenshtein distance.
+
+    Blocking is RECALL-EXACT for the threshold (unlike the heuristic
+    LSH/simhash blocks): two texts within MAX_EDITS edits differ in
+    length by at most MAX_EDITS < LEN_BAND, so with every doc exploded
+    into its own length band and the next one, every qualifying pair
+    meets in at least one (lang, band) key. Same language is required —
+    a cross-language pair can't be MAX_EDITS edits apart on these
+    corpora, and the lang key multiplies block count 5x.
+
+    Verification uses Spark's thresholded ``levenshtein(l, r, k)``
+    (banded O(k*len) DP with early exit, returns -1 past the bound) so
+    per-pair cost is linear in text length, not quadratic — the form
+    you can afford on the candidate volume a length-band join emits.
+    Shape mirrors minhash_lsh_pairs: explode to band keys -> equi-join
+    -> distinct id pairs -> re-join texts -> verify.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id", "lang",
+        (F.length("text") / LEN_BAND).cast("long").alias("band"))
+    bands = d.select("doc_id", "lang", "band").unionAll(
+        d.select("doc_id", "lang", (F.col("band") + 1).alias("band")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    out = (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= MAX_EDITS)
+        .withColumn("edit_distance",
+                    F.levenshtein("text_a", "text_b", MAX_EDITS).cast("long"))
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+EDITDISTANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, length(text) // {LEN_BAND} AS band
+  FROM documents WHERE text IS NOT NULL),
+bands AS (
+  SELECT doc_id, lang, band FROM d
+  UNION ALL SELECT doc_id, lang, band + 1 AS band FROM d),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE abs(length(da.text) - length(db.text)) <= {MAX_EDITS}
+  AND levenshtein(da.text, db.text) <= {MAX_EDITS}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_editdistance": editdistance_pairs,
     "dedup_clusters": duplicate_clusters,
 }
 
@@ -342,4 +416,5 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_editdistance": EDITDISTANCE_SQL,
 }

@@ -247,6 +247,85 @@ FROM cand QUALIFY rn <= {IVF_TOP_K} ORDER BY query_id, rn
 """
 
 
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine against an int8 scalar-quantized corpus.
+
+    The memory-bound form of brute-force search: each corpus vector is
+    symmetric-quantized per-vector (scale = max|v| / 127, code =
+    floor(v/scale + 0.5)), which is a 4x footprint cut at 100 TB — the
+    whole corpus of codes fits where a quarter of the floats would.
+    Scoring is ASYMMETRIC (full-precision query against dequantized
+    codes), the standard SQ8 recipe: query precision is free because
+    there are few queries. Everything is a narrow codegen expression —
+    quantize, dequantize, and dot all stay in whole-stage codegen.
+
+    floor(x + 0.5) rather than round() because Spark's HALF_UP
+    BigDecimal rounding and DuckDB's round() disagree on ties; the
+    floor form is pure IEEE arithmetic and bit-identical in both
+    engines, so the oracle reproduces the exact codes.
+    """
+    emb = _emb(spark, sf_dir)
+    maxabs = F.aggregate(F.transform(F.col("vd"), F.abs), F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, x))
+    s0 = maxabs / F.lit(127.0)
+    corpus = (
+        emb.withColumn("qs", F.when(s0 == F.lit(0.0), F.lit(1.0)).otherwise(s0))
+        .withColumn("dv", F.transform(
+            F.col("vd"),
+            lambda x: F.floor(x / F.col("qs") + F.lit(0.5)).cast("double") * F.col("qs")))
+        .select("vec_id", "vd", "dv")
+        .withColumn("ndv", V.norm(F.col("dv")))
+        .persist()
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        V.norm(F.col("vd")).alias("nq"))
+    pairs = F.broadcast(queries).crossJoin(corpus.drop("vd")).filter(
+        F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (V.dot(F.col("qv"), F.col("dv")) / (F.col("nq") * F.col("ndv"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    out = (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+    return materialize_release(out, corpus)
+
+
+def _sql_maxabs(vd: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({vd}, x -> abs(x))), (x, y) -> greatest(x, y))"
+    )
+
+
+KNN_QUANTIZED_SQL = f"""
+WITH vd0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, vd, CASE WHEN m = 0 THEN 1.0 ELSE m END AS qs FROM (
+    SELECT vec_id, vd, {_sql_maxabs('vd')} / 127.0 AS m FROM vd0) t),
+corpus AS (
+  SELECT vec_id, vd,
+         list_transform(vd, x -> floor(x / qs + 0.5) * qs) AS dv
+  FROM sc),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {V.sql_dot('q.vd', 'e.dv')} / ({V.sql_norm('q.vd')} * {V.sql_norm('e.dv')})
+           AS cosine
+  FROM corpus q JOIN corpus e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES})
+SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn,
+       neighbor_id, cosine
+FROM pairs QUALIFY rn <= {TOP_K} ORDER BY query_id, rn
+"""
+
+
 EMB_DEDUP_THRESHOLD = 0.4
 EMB_DEDUP_BLOCKS = 8  # triangle sub-blocks per cell (see below)
 
@@ -342,6 +421,7 @@ QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_ivf": ann_ivf,
     "sim_ann_ivf_multiprobe": ann_ivf_multiprobe,
+    "sim_knn_quantized": knn_quantized,
     "dedup_embedding": embedding_near_dup,
 }
 
@@ -349,5 +429,6 @@ ORACLE_SQL = {
     "sim_knn_bruteforce": KNN_SQL,
     "sim_ann_ivf": ANN_IVF_SQL,
     "sim_ann_ivf_multiprobe": ANN_MULTIPROBE_SQL,
+    "sim_knn_quantized": KNN_QUANTIZED_SQL,
     "dedup_embedding": EMB_DEDUP_SQL,
 }

@@ -37,23 +37,29 @@ def _bits(level: int):
     return row_bit * (1 << level), col_bit * (1 << level)
 
 
+def rmat_raw_edges(spark: SparkSession) -> DataFrame:
+    """The raw (src, dst) edge stream, one row per generated edge —
+    shared by the multigraph query and the graph-analytics plans."""
+    ids = spark.range(N_EDGES)
+    src = sum((_bits(l)[0] for l in range(LEVELS)), F.lit(0))
+    dst = sum((_bits(l)[1] for l in range(LEVELS)), F.lit(0))
+    return ids.select(src.alias("src"), dst.alias("dst"))
+
+
 def rmat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generate the R-MAT multigraph and return (src, dst, multiplicity).
 
     ``sf_dir`` is unused (generator), kept for the queries() signature.
     """
-    ids = spark.range(N_EDGES)
-    src = sum((_bits(l)[0] for l in range(LEVELS)), F.lit(0))
-    dst = sum((_bits(l)[1] for l in range(LEVELS)), F.lit(0))
     return (
-        ids.select(src.alias("src"), dst.alias("dst"))
+        rmat_raw_edges(spark)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("multiplicity"))
         .orderBy("src", "dst")
     )
 
 
-def _rmat_sql() -> str:
+def _rmat_raw_sql() -> str:
     src_terms = []
     dst_terms = []
     for level in range(LEVELS):
@@ -65,14 +71,18 @@ def _rmat_sql() -> str:
             f"THEN {1 << level} ELSE 0 END)")
     return f"""
 SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src,
-       CAST({' + '.join(dst_terms)} AS BIGINT) AS dst,
-       COUNT(*) AS multiplicity
+       CAST({' + '.join(dst_terms)} AS BIGINT) AS dst
 FROM range({N_EDGES}) t(id)
-GROUP BY 1, 2 ORDER BY src, dst
 """
 
 
-RMAT_SQL = _rmat_sql()
+RMAT_RAW_SQL = _rmat_raw_sql()
+
+RMAT_SQL = f"""
+SELECT src, dst, COUNT(*) AS multiplicity
+FROM ({RMAT_RAW_SQL}) raw
+GROUP BY 1, 2 ORDER BY src, dst
+"""
 
 QUERIES = {"gen_rmat": rmat_edges}
 ORACLE_SQL = {"gen_rmat": RMAT_SQL}

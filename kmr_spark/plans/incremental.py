@@ -1,0 +1,105 @@
+"""Incremental view maintenance: merge a snapshot with a changelog.
+
+The reference's checkpoint/restart machinery (src/kmrckpt.c) re-merges
+saved per-operation KVS state with new input on restart; the Spark-first
+analog — and the shape every production training-data pipeline needs —
+is keyed MERGE/upsert: a base state table plus a delta batch combine
+into the state the full recompute would have produced.
+
+`merge_user_state` is the reusable operator: per-key partial aggregates
+(count, decimal sum, argmax-by-version "latest row") from two inputs
+combine with a full outer join + associative merge expressions. Counts
+and DECIMAL sums are exactly associative and the latest-row merge is a
+max over a lexicographic (ts, event_id) version key, so
+merge(agg(A), agg(B)) == agg(A ∪ B) holds EXACTLY — which is precisely
+what the oracle checks: the Spark side computes snapshot ⊕ delta, the
+DuckDB oracle computes the single-pass global aggregate, and the gate
+requires bit-equality.
+
+At 100 TB the base state is the big side (hash-partitioned by key on
+disk) and the delta is a day's increment: the merge is one shuffle of
+the delta plus a co-partitioned outer join — the whole point of keeping
+state keyed instead of recomputing the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+CUTOFF = "2024-01-16 00:00:00"  # events span 2024-01; mid-month split
+
+
+def _user_state(ev: DataFrame) -> DataFrame:
+    """Per-user partial aggregate: the mergeable state record."""
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+    )
+
+
+def merge_user_state(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two per-user state tables (full outer join + associative
+    merge). NULL-safe on either side; `last` wins by (ts, event_id)."""
+    b = base.select(
+        "user_id", F.col("n_events").alias("n_b"),
+        F.col("sum_dec").alias("s_b"), F.col("last").alias("l_b"))
+    d = delta.select(
+        "user_id", F.col("n_events").alias("n_d"),
+        F.col("sum_dec").alias("s_d"), F.col("last").alias("l_d"))
+    return b.join(d, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
+        (F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(18,2)"))
+         + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(18,2)"))).alias("sum_dec"),
+        # struct max is lexicographic on (ts, event_id, ...): the
+        # higher version key wins, exactly like greatest() on rows
+        F.greatest(F.col("l_b"), F.col("l_d")).alias("last"),
+    )
+
+
+def events_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain per-user event state across a snapshot/changelog split.
+
+    Events before CUTOFF form the materialized snapshot; events at or
+    after it are the incoming delta. The result must equal the direct
+    single-pass aggregate over all events — the invariant that makes
+    incremental maintenance trustworthy.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cutoff = F.to_timestamp(F.lit(CUTOFF))
+    snapshot = _user_state(ev.filter(F.col("ts") < cutoff))
+    delta = _user_state(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_user_state(snapshot, delta)
+    return merged.select(
+        "user_id", "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    ).orderBy("user_id")
+
+
+INCREMENTAL_MERGE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+aggs AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY user_id)
+SELECT a.user_id, a.n_events, a.sum_value,
+       r.ts AS last_ts, r.event_type AS last_event_type,
+       r.value AS last_value
+FROM aggs a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+ORDER BY a.user_id
+"""
+
+
+QUERIES = {"events_incremental_merge": events_incremental_merge}
+ORACLE_SQL = {"events_incremental_merge": INCREMENTAL_MERGE_SQL}

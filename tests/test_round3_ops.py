@@ -1,0 +1,156 @@
+"""Unit tests for round-3 operators: triangle counting, int8-quantized
+kNN, edit-distance dedup, incremental state merge."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from kmr_spark.plans.graphs import canonicalize_edges, triangle_census
+from kmr_spark.plans.incremental import merge_user_state, _user_state
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- triangles
+
+def _census(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_census(canonicalize_edges(df)).collect()[0]
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    r = _census(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+
+def test_triangles_dedup_selfloops_and_direction(spark):
+    # duplicate edges, reversed edges, and self-loops must not change
+    # the census; a path graph has zero triangles
+    edges = [(0, 1), (1, 0), (1, 1), (1, 2), (1, 2), (2, 3)]
+    r = _census(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
+
+
+def test_triangles_skewed_star_plus_rim(spark):
+    # hub 0 connected to 1..8, rim edges (1,2), (3,4): each rim edge
+    # closes exactly one triangle through the hub. The hub's degree (8)
+    # dwarfs the rim's (<=3) — exercises the degree orientation.
+    edges = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4)]
+    r = _census(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (9, 10, 2)
+
+
+def test_triangles_matches_bruteforce_on_rmat_subgraph(spark):
+    # brute-force reference on a small deterministic subgraph
+    from kmr_spark.plans.generate import rmat_raw_edges
+    edges = (rmat_raw_edges(spark)
+             .filter((F.col("src") < 64) & (F.col("dst") < 64)))
+    canon = canonicalize_edges(edges)
+    got = triangle_census(canon).collect()[0]
+    es = {(r.u, r.v) for r in canon.collect()}
+    nodes = sorted({n for e in es for n in e})
+    brute = sum(
+        1 for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in es and (x, z) in es and (y, z) in es)
+    assert got.n_triangles == brute and got.n_edges == len(es)
+
+
+# --------------------------------------------------------- quantized kNN
+
+def test_quantized_knn_recall_vs_bruteforce(spark):
+    from kmr_spark.llm_ops.similarity import knn_bruteforce, knn_quantized
+    exact = knn_bruteforce(spark, SF_SMALL).collect()
+    quant = knn_quantized(spark, SF_SMALL).collect()
+    by_q_exact = {}
+    by_q_quant = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_exact) == set(by_q_quant)
+    overlaps = [len(by_q_exact[q] & by_q_quant[q]) / len(by_q_exact[q])
+                for q in by_q_exact]
+    # int8 quantization error is ~1/255 per axis; top-5 sets should be
+    # nearly identical on 64-dim vectors
+    assert sum(overlaps) / len(overlaps) >= 0.8
+
+
+def test_quantized_codes_are_int8_range(spark):
+    # the implicit codes floor(v/s + 0.5) must fit int8 by construction
+    from kmr_spark.functions import vectors as V
+    from kmr_spark.llm_ops.similarity import _emb
+    emb = _emb(spark, SF_SMALL)
+    maxabs = F.aggregate(F.transform(F.col("vd"), F.abs), F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, x))
+    s0 = maxabs / F.lit(127.0)
+    qs = F.when(s0 == F.lit(0.0), F.lit(1.0)).otherwise(s0)
+    codes = emb.withColumn("qs", qs).select(F.explode(F.transform(
+        F.col("vd"), lambda x: F.floor(x / F.col("qs") + F.lit(0.5)))).alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).collect()[0]
+    assert -127 <= mn and mx <= 127
+
+
+# ----------------------------------------------------- edit-distance dedup
+
+def test_editdistance_blocking_is_recall_exact(spark):
+    # every same-lang pair within MAX_EDITS found by the naive
+    # all-pairs scan must also be found by the banded operator
+    from kmr_spark.llm_ops.dedup import MAX_EDITS, editdistance_pairs
+    from kmr_spark.session import load_tables
+    docs = load_tables(spark, SF_SMALL)["documents"].select(
+        "doc_id", "lang", "text").collect()
+    naive = set()
+    for a, b in itertools.combinations(sorted(docs, key=lambda r: r.doc_id), 2):
+        if a.lang != b.lang or abs(len(a.text) - len(b.text)) > MAX_EDITS:
+            continue
+        # cheap python Levenshtein with early bound via length
+        la, lb = a.text, b.text
+        prev = list(range(len(lb) + 1))
+        for i, ca in enumerate(la, 1):
+            cur = [i] + [0] * len(lb)
+            for j, cb in enumerate(lb, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        if prev[-1] <= MAX_EDITS:
+            naive.add((a.doc_id, b.doc_id, prev[-1]))
+    got = {(r.doc_a, r.doc_b, r.edit_distance)
+           for r in editdistance_pairs(spark, SF_SMALL).collect()}
+    assert got == naive
+
+
+# ------------------------------------------------------ incremental merge
+
+def test_merge_equals_direct_aggregate_any_cutoff(spark):
+    from kmr_spark.session import load_tables
+    ev = load_tables(spark, SF_SMALL)["events"]
+    direct = {r.user_id: r for r in _user_state(ev).collect()}
+    for cutoff in ("2024-01-05", "2024-01-16", "2024-01-28"):
+        c = F.to_timestamp(F.lit(cutoff))
+        merged = merge_user_state(
+            _user_state(ev.filter(F.col("ts") < c)),
+            _user_state(ev.filter(F.col("ts") >= c)))
+        got = {r.user_id: r for r in merged.collect()}
+        assert set(got) == set(direct)
+        for uid, r in got.items():
+            d = direct[uid]
+            assert r.n_events == d.n_events
+            assert r.sum_dec == d.sum_dec  # decimal: exact associativity
+            assert r.last == d.last
+
+
+def test_merge_handles_one_sided_keys(spark):
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "a", 1.0)],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    delta = spark.createDataFrame(
+        [(2, "2024-01-02 00:00:00", 11, "b", 2.0)],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merged = merge_user_state(_user_state(base), _user_state(delta))
+    rows = {r.user_id: r for r in merged.collect()}
+    assert rows[1].n_events == 1 and rows[1].last.event_type == "a"
+    assert rows[2].n_events == 1 and rows[2].last.event_type == "b"
