@@ -235,13 +235,15 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from kmr_spark.streaming.windows import (
-        run_available_now, stream_events, tumbling_counts_stream)
+        run_available_now, sized_state_partitions, stream_events,
+        tumbling_counts_stream)
 
     ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
     try:
         out = run_available_now(
             tumbling_counts_stream(stream_events(spark, sf_dir)),
-            "events_tumbling_streamed_sink", ck, output_mode="complete")
+            "events_tumbling_streamed_sink", ck, output_mode="complete",
+            state_partitions=sized_state_partitions(spark, sf_dir))
     finally:
         # the memory sink holds the result; the replay checkpoint is
         # single-use scratch — don't leak one dir per invocation
@@ -457,13 +459,15 @@ def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from kmr_spark.streaming.windows import (
-        run_available_now, sessionize_stateful_stream, stream_events)
+        run_available_now, sessionize_stateful_stream,
+        sized_state_partitions, stream_events)
 
     ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
     try:
         emitted = run_available_now(
             sessionize_stateful_stream(stream_events(spark, sf_dir)),
-            "events_sessionize_streamed_sink", ck, output_mode="update")
+            "events_sessionize_streamed_sink", ck, output_mode="update",
+            state_partitions=sized_state_partitions(spark, sf_dir))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     # collapse cumulative re-emissions: the final emission of a session
@@ -519,7 +523,8 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from kmr_spark.streaming.windows import (
-        run_available_now, stream_events, streaming_dedup)
+        run_available_now, sized_state_partitions, stream_events,
+        streaming_dedup)
 
     dup = (
         stream_events(spark, sf_dir)
@@ -530,7 +535,8 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = run_available_now(
             streaming_dedup(dup), "events_dedup_streamed_sink", ck,
-            output_mode="append")
+            output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return out.select("event_id", "user_id", "event_type", "value")
@@ -554,6 +560,7 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kmr_spark.streaming.windows import (attribution_join_stream,
                                              run_available_now,
+                                             sized_state_partitions,
                                              stream_events)
 
     ev = stream_events(spark, sf_dir)
@@ -564,7 +571,8 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = run_available_now(
             pairs, "events_attribution_streamed_sink", ck,
-            output_mode="append")
+            output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return (
@@ -605,6 +613,7 @@ def events_attribution_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
 
     from kmr_spark.streaming.windows import (attribution_outer_stream,
                                              run_available_now,
+                                             sized_state_partitions,
                                              stream_events)
 
     ev = stream_events(spark, sf_dir)
@@ -615,7 +624,8 @@ def events_attribution_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
     try:
         out = run_available_now(
             pairs, "events_attribution_outer_sink", ck,
-            output_mode="append")
+            output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return (
