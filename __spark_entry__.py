@@ -84,6 +84,16 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.semistruct as semistruct
+        modules.append(semistruct)
+    except ImportError:
+        pass
+    try:
+        import kmr_spark.plans.sketches as sketches
+        modules.append(sketches)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "dedup_editdistance",
     "sim_knn_quantized",
     "events_incremental_merge",
+    "events_props_extract",
+    "events_hll_users",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Approximate-distinct sketches with fully reproducible estimates.
+
+Spark's approx_count_distinct and DuckDB's approx_distinct use
+different HLL implementations, so their estimates can't be compared.
+This module implements HyperLogLog (Flajolet et al. 2007) from
+scratch with PORTABLE integer arithmetic — the same multiplicative
+hash, register split, and leading-zero rank on both engines — so the
+*approximate* estimate is bit-reproducible and sits behind the same
+exact-value oracle gate as every other query.
+
+Why it matters at 100 TB: the register table is the whole state — m
+doubles per group — and merging two sketches is a per-register MAX,
+so partial aggregation (map-side combine) applies and the shuffle
+carries m values per group instead of the distinct keys themselves.
+That's the fundamental trade the reference's count-distinct idiom
+(kmr_count_keys over a full shuffle, src/kmrmoreops.c:1009) can't
+make.
+
+The plan: one narrow projection computes (bucket, rho) per row, one
+groupBy(group, bucket) MAX (combiner-friendly, duplicates collapse
+map-side), one groupBy(group) to fold the registers into the estimate.
+No distinct, no count(distinct) shuffle of raw keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+HLL_B = 6                 # 2^6 = 64 registers -> ~13% standard error
+HLL_M = 1 << HLL_B
+HLL_ALPHA = 0.709         # alpha_64 from the HLL paper
+HASH_P = 2_147_483_647    # 2^31 - 1 (Mersenne prime)
+HASH_BITS = 31            # hash domain [0, P) ⊂ [0, 2^31)
+W_BITS = HASH_BITS - HLL_B
+
+
+def _rho_when(w):
+    """rank = leading zeros of the W_BITS-wide value + 1, as a CASE
+    chain of integer comparisons (no float log2 — portable)."""
+    chain = None
+    for k in range(W_BITS):  # most-significant bit first
+        cond = w >= F.lit(1 << (W_BITS - 1 - k))
+        branch = F.lit(k + 1)
+        chain = F.when(cond, branch) if chain is None else chain.when(cond, branch)
+    return chain.otherwise(F.lit(W_BITS + 1))  # w == 0
+
+
+def _sql_rho(w: str) -> str:
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (W_BITS - 1 - k)} THEN {k + 1}"
+        for k in range(W_BITS))
+    return f"(CASE {whens} ELSE {W_BITS + 1} END)"
+
+
+def _hash31(x):
+    """Two square-mod rounds over the Mersenne prime 2^31-1 — enough
+    mixing to break arithmetic-progression keys (measured <=10% HLL-64
+    error on sequential ids vs 66% for one multiplicative round), while
+    every intermediate stays under 2^63 so Spark longs and DuckDB
+    BIGINTs agree exactly."""
+    x0 = x % HASH_P
+    x2 = ((x0 + 40_503) * (x0 + 40_503)) % HASH_P
+    x3 = (x2 * 16_807 + 12_345) % HASH_P
+    x4 = (x3 * x3) % HASH_P
+    return (x4 * 48_271) % HASH_P
+
+
+def _sql_hash31(x: str) -> str:
+    x0 = f"({x} % {HASH_P})"
+    x2 = f"((({x0} + 40503) * ({x0} + 40503)) % {HASH_P})"
+    x3 = f"(({x2} * 16807 + 12345) % {HASH_P})"
+    x4 = f"(({x3} * {x3}) % {HASH_P})"
+    return f"(({x4} * 48271) % {HASH_P})"
+
+
+def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
+    """(group, hll_est, n_registers_hit) via portable HLL-64."""
+    h = _hash31(F.col(key))
+    bucket = h % HLL_M
+    w = (h / HLL_M).cast("long")
+    regs = (
+        df.select(F.col(group), bucket.alias("bucket"), _rho_when(w).alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # sum(2^-M_j) over present registers; absent registers contribute
+    # 2^0 = 1 each. All terms are dyadic rationals with tiny exponent
+    # spread, so the double sum is exact and order-independent.
+    per_group = regs.groupBy(group).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("present_sum"),
+        F.count("*").alias("n_present"),
+    )
+    raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M)
+           / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present"))))
+    v = F.lit(HLL_M) - F.col("n_present")  # zero registers
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+                 ).otherwise(raw)
+    return per_group.select(
+        F.col(group),
+        est.alias("hll_est"),
+        F.col("n_present").cast("long").alias("n_registers_hit"),
+    )
+
+
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type approximate distinct users (portable HLL-64) alongside
+    the exact count — the estimate, its inputs, and its error are all
+    oracle-gated."""
+    ev = load_tables(spark, sf_dir)["events"]
+    approx = hll_distinct(ev, "user_id", "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (
+        approx.join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_est", "n_registers_hit")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HLL_SQL = f"""
+WITH hashed AS (
+  SELECT event_type, {_sql_hash31('user_id')} AS h
+  FROM events),
+rows_ AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         {_sql_rho(f"(h // {HLL_M})")} AS rho
+  FROM hashed),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m_j
+  FROM rows_ GROUP BY event_type, bucket),
+per_group AS (
+  SELECT event_type,
+         SUM(POWER(2.0, -m_j)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type, n_present,
+         {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+           AS raw,
+         {HLL_M} - n_present AS v
+  FROM per_group),
+approx AS (
+  SELECT event_type,
+         CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / v)
+              ELSE raw END AS hll_est,
+         CAST(n_present AS BIGINT) AS n_registers_hit
+  FROM est),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type)
+SELECT a.event_type, e.n_exact, a.hll_est, a.n_registers_hit
+FROM approx a JOIN exact e ON a.event_type = e.event_type
+ORDER BY a.event_type
+"""
+
+
+QUERIES = {"events_hll_users": events_hll_users}
+ORACLE_SQL = {"events_hll_users": EVENTS_HLL_SQL}

@@ -154,3 +154,34 @@ def test_merge_handles_one_sided_keys(spark):
     rows = {r.user_id: r for r in merged.collect()}
     assert rows[1].n_events == 1 and rows[1].last.event_type == "a"
     assert rows[2].n_events == 1 and rows[2].last.event_type == "b"
+
+
+# ------------------------------------------------------------ portable HLL
+
+def test_hll_error_within_bounds_across_scales(spark):
+    from kmr_spark.plans.sketches import hll_distinct
+    for n in (100, 1000, 20000):
+        df = spark.range(n).select(
+            F.lit("g").alias("g"), F.col("id").alias("k"))
+        est = hll_distinct(df, "k", "g").collect()[0].hll_est
+        # HLL-64 standard error is ~13%; allow 3 sigma
+        assert abs(est - n) / n < 0.4, (n, est)
+
+
+def test_hll_insensitive_to_duplicates_and_partitioning(spark):
+    from kmr_spark.plans.sketches import hll_distinct
+    base = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    dup = base.unionAll(base).unionAll(base).repartition(13)
+    a = hll_distinct(base, "k", "g").collect()[0]
+    b = hll_distinct(dup, "k", "g").collect()[0]
+    assert a.hll_est == b.hll_est and a.n_registers_hit == b.n_registers_hit
+
+
+# ------------------------------------------------------- semistruct plans
+
+def test_props_extract_stays_jvm_side(spark):
+    # JSON extraction must be a codegen expression, not a Python UDF
+    from kmr_spark.plans.semistruct import events_props_extract
+    plan = events_props_extract(spark, SF_SMALL)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
