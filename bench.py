@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_incremental_merge",
     "events_props_extract",
     "events_hll_users",
+    "text_bigram_lm",
 ]
 
 

@@ -295,6 +295,83 @@ FROM t ORDER BY doc_id
 """
 
 
+LOG2_MAX_BITS = 44  # counts up to ~1.7e13 — far past any corpus here
+
+
+def _floor_log2(c):
+    """floor(log2(c)) for a positive integer column, as a CASE chain of
+    integer comparisons — no float log, bit-portable across engines."""
+    chain = None
+    for k in range(LOG2_MAX_BITS, 0, -1):
+        cond = c >= F.lit(1 << k)
+        chain = F.when(cond, F.lit(k)) if chain is None else chain.when(cond, F.lit(k))
+    return chain.otherwise(F.lit(0))
+
+
+def _sql_floor_log2(c: str) -> str:
+    whens = " ".join(
+        f"WHEN {c} >= {1 << k} THEN {k}" for k in range(LOG2_MAX_BITS, 0, -1))
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model familiarity score per document.
+
+    The corpus itself is the model: count every char bigram across all
+    documents, then score each document by the mean integer-quantized
+    log-frequency (floor(log2(count))) of its bigrams. Low scores mark
+    out-of-distribution text — the classic cheap LM quality signal —
+    and the integer quantization keeps the whole computation exact
+    arithmetic (a float log-prob sum would be summation-order- and
+    libm-dependent across engines; floor(log2) is a CASE chain).
+
+    Plan shape at 100 TB: bigram explode is a narrow generator; the
+    model is a groupBy(bigram) count whose distinct-key space is tiny
+    (alphabet²), so the model aggregate is map-side-combine-friendly
+    and the scoring join BROADCASTS the model — no corpus shuffle at
+    all beyond the per-doc aggregate.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull() & (F.length("text") >= 2))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2))")).alias("bg"))
+    # the whole-corpus model persists because both the model build and
+    # the scoring pass read the exploded bigrams
+    bigrams = bigrams.persist()
+    model = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    scored = (
+        bigrams.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum(_floor_log2(F.col("c"))).alias("lm_sum"))
+        .select("doc_id", "n_bigrams", "lm_sum",
+                (F.col("lm_sum") / F.col("n_bigrams")).alias("lm_score"))
+        .orderBy("doc_id")
+    )
+    return materialize_release(scored, bigrams)
+
+
+BIGRAM_LM_SQL = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substring(text, i, 2))) AS bg
+  FROM docs2),
+model AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       SUM({_sql_floor_log2('m.c')}) AS lm_sum,
+       CAST(SUM({_sql_floor_log2('m.c')}) AS DOUBLE) / COUNT(*) AS lm_score
+FROM bg b JOIN model m ON b.bg = m.bg
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": doc_textstats,
     "text_token_counts": doc_token_counts,
@@ -302,6 +379,7 @@ QUERIES = {
     "text_fingerprint": doc_fingerprint,
     "text_quality_filter": doc_quality_filter,
     "text_tfidf_top_terms": doc_tfidf_top_terms,
+    "text_bigram_lm": doc_bigram_lm,
 }
 
 ORACLE_SQL = {
@@ -311,4 +389,5 @@ ORACLE_SQL = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_quality_filter": QUALITY_FILTER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
+    "text_bigram_lm": BIGRAM_LM_SQL,
 }

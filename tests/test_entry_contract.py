@@ -31,14 +31,16 @@ def test_no_duplicate_names_across_modules():
     """QUERIES dicts merged in __spark_entry__ must not shadow each
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
-    from kmr_spark.plans import (analytics, generate, graysort, iterative,
-                                 layout, linalg, sampling, tpch, tpch_extra,
-                                 wordcount)
+    from kmr_spark.plans import (analytics, generate, graphs, graysort,
+                                 incremental, iterative, layout, linalg,
+                                 sampling, semistruct, sketches, tpch,
+                                 tpch_extra, wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
              linalg.QUERIES, generate.QUERIES, sampling.QUERIES,
-             layout.QUERIES, registry.QUERIES]
+             layout.QUERIES, graphs.QUERIES, incremental.QUERIES,
+             semistruct.QUERIES, sketches.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

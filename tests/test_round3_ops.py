@@ -185,3 +185,39 @@ def test_props_extract_stays_jvm_side(spark):
     plan = events_props_extract(spark, SF_SMALL)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------- bigram LM
+
+def test_bigram_lm_counts_and_bounds(spark):
+    from kmr_spark.llm_ops.textstats import doc_bigram_lm
+    from kmr_spark.session import load_tables
+    rows = {r.doc_id: r for r in doc_bigram_lm(spark, SF_SMALL).collect()}
+    docs = load_tables(spark, SF_SMALL)["documents"].select(
+        "doc_id", "text").collect()
+    total = sum(len(d.text) - 1 for d in docs if d.text and len(d.text) >= 2)
+    for d in docs:
+        if d.text is None or len(d.text) < 2:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        assert r.n_bigrams == len(d.text) - 1
+        # every bigram count is within [1, total]: score in [0, log2(total)]
+        assert 0 <= r.lm_score <= total.bit_length()
+
+
+def test_bigram_lm_flags_out_of_distribution_text(spark):
+    # the repeated-alphabet doc shares no bigrams with itself? build a
+    # corpus where one doc is pure noise: its mean log-frequency must be
+    # the corpus minimum
+    import string
+    common = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+              for i in range(20)]
+    noise = [(99, "zq xj qv jx vq qz " * 4)]
+    df = spark.createDataFrame(common + noise, "doc_id long, text string")
+
+    from kmr_spark.llm_ops import textstats as T
+    from unittest import mock
+    with mock.patch.object(T, "load_tables", lambda s, d: {"documents": df}):
+        out = {r.doc_id: r.lm_score for r in T.doc_bigram_lm(spark, "x").collect()}
+    assert out[99] == min(out.values())
