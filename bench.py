@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "events_props_extract",
     "events_hll_users",
     "text_bigram_lm",
+    "multimodal_features",
 ]
 
 

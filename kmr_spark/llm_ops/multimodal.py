@@ -602,15 +602,104 @@ FROM m ORDER BY doc_id
 """
 
 
+# -------------------------------------------------- feature extraction
+
+N_HIST_BINS = 8
+FEATURES_SCHEMA = ("doc_id long, width int, height int, px_mean double, "
+                   + ", ".join(f"h{i} long" for i in range(N_HIST_BINS)))
+
+
+def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL feature extraction from decoded pixels: parse the BMP,
+    walk the pixel rows (stride padding excluded), and emit a compact
+    per-image feature record — grayscale mean plus an 8-bin intensity
+    histogram of the blue channel. This is the feature-extract stage of
+    the multimodal pipeline (decode → features → resize → frames); at
+    scale it is one Arrow-batched narrow pass producing rows 100x
+    smaller than the payloads, the standard shape for feeding image
+    features into the relational side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                ["doc_id", "width", "height", "px_mean"]
+                + [f"h{i}" for i in range(N_HIST_BINS)])}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                f = _parse_bmp(raw, f"doc {did}")
+                w, h, stride = f["width"], f["height"], f["stride"]
+                off = struct.unpack_from("<I", raw, 10)[0]
+                bpx = f["bpp"] // 8
+                hist = [0] * N_HIST_BINS
+                total = 0
+                for y in range(h):
+                    row = raw[off + y * stride: off + y * stride + w * bpx]
+                    for x in range(w):
+                        v = row[x * bpx]  # blue channel (gray: B==G==R)
+                        total += v
+                        hist[min(v // 32, N_HIST_BINS - 1)] += 1
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_mean"].append(total / (w * h))
+                for i in range(N_HIST_BINS):
+                    out[f"h{i}"].append(hist[i])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as a gradient BMP and extract per-image
+    features from the REAL pixel bytes; the oracle recomputes mean and
+    histogram from the gradient formula, so the exact bytes the
+    extractor read are verified."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return extract_bmp_features(
+        encode_docs_as_gradient_bmp(docs)).orderBy("doc_id")
+
+
+_HIST_COLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN LEAST(v // 32, {N_HIST_BINS - 1}) = {i} "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+    for i in range(N_HIST_BINS))
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         (length(text) % 31) + 2 AS w,
+         (doc_id % 17) + 2 AS h,
+         doc_id % 251 AS fill
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         (fill + 3 * x + 5 * y) % 251 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+SELECT doc_id,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(SUM(v) AS DOUBLE) / (MIN(w) * MIN(h)) AS px_mean,
+       {_HIST_COLS}
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
+    "multimodal_features": multimodal_features,
 }
 ORACLE_SQL = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }

@@ -221,3 +221,18 @@ def test_bigram_lm_flags_out_of_distribution_text(spark):
     with mock.patch.object(T, "load_tables", lambda s, d: {"documents": df}):
         out = {r.doc_id: r.lm_score for r in T.doc_bigram_lm(spark, "x").collect()}
     assert out[99] == min(out.values())
+
+
+# -------------------------------------------------- multimodal features
+
+def test_bmp_features_histogram_sums_to_pixels(spark):
+    from kmr_spark.llm_ops.multimodal import (
+        encode_docs_as_gradient_bmp, extract_bmp_features)
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y" * 7)], "doc_id long, text string")
+    rows = extract_bmp_features(
+        encode_docs_as_gradient_bmp(docs)).collect()
+    for r in rows:
+        bins = sum(r[f"h{i}"] for i in range(8))
+        assert bins == r.width * r.height
+        assert 0.0 <= r.px_mean <= 255.0
