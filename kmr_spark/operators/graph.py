@@ -71,7 +71,31 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # that would each recompute an uncached upstream (e.g. a full LSH
     # pipeline) in parallel past an unfilled cache
     pairs = pairs.persist()
-    pairs.count()
+    n_pairs = pairs.count()
+    # size the loop's shuffle partitions to the pair graph (~100k edges
+    # per partition, floor 8): every round runs several tiny keyed jobs
+    # over a graph that only SHRINKS under contraction, so session-wide
+    # partitioning (sized for the corpus) multiplies fixed task cost —
+    # measured 8.8s -> 6.7s at sf0.1 with identical labels. Restored
+    # before returning; at real scale the formula lands back at the
+    # session default.
+    spark = pairs.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        loop_parts = max(8, min(int(old_parts), -(-n_pairs // 100_000)))
+    except ValueError:
+        loop_parts = None
+    if loop_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _cc_loop(pairs, src, dst, max_rounds, max_jumps)
+    finally:
+        if loop_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(pairs: DataFrame, src: str, dst: str,
+             max_rounds: int, max_jumps: int) -> DataFrame:
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     mappings: list[DataFrame] = []
     for r in range(max_rounds):
