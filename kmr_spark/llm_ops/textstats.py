@@ -331,27 +331,32 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the scoring join BROADCASTS the model — no corpus shuffle at
     all beyond the per-doc aggregate.
     """
-    docs = load_tables(spark, sf_dir)["documents"].filter(
+    docs = widen(load_tables(spark, sf_dir)["documents"]).filter(
         F.col("text").isNotNull() & (F.length("text") >= 2))
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, length(text) - 1),"
-            " i -> substring(text, i, 2))")).alias("bg"))
-    # the whole-corpus model persists because both the model build and
-    # the scoring pass read the exploded bigrams
-    bigrams = bigrams.persist()
-    model = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    # pre-aggregate to (doc_id, bigram, occurrences): the scoring join
+    # and the model build both read this ~2x smaller table, and the
+    # raw explode is never shuffled or persisted at all
+    docbg = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))")).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n_occ"))
+        .persist()
+    )
+    model = docbg.groupBy("bg").agg(F.sum("n_occ").alias("c"))
     scored = (
-        bigrams.join(F.broadcast(model), "bg")
+        docbg.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"),
-             F.sum(_floor_log2(F.col("c"))).alias("lm_sum"))
+        .agg(F.sum("n_occ").alias("n_bigrams"),
+             F.sum(F.col("n_occ") * _floor_log2(F.col("c"))).alias("lm_sum"))
         .select("doc_id", "n_bigrams", "lm_sum",
                 (F.col("lm_sum") / F.col("n_bigrams")).alias("lm_score"))
         .orderBy("doc_id")
     )
-    return materialize_release(scored, bigrams)
+    return materialize_release(scored, docbg)
 
 
 BIGRAM_LM_SQL = f"""
