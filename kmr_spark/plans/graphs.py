@@ -53,9 +53,32 @@ def triangle_census(canon: DataFrame) -> DataFrame:
     ``canon`` must be (u, v) with u < v and no duplicates — the output
     of :func:`canonicalize_edges`. The caller may pass any edge table;
     the census persists its own intermediates and releases them.
+
+    Shuffle partitions for the census stages are sized to the edge
+    count (~100k edges per partition, floor 8) the same way the
+    connected-components loop does it (operators/graph.py): the
+    orientation/wedge joins run over the persisted edge table, and
+    corpus-sized partitioning multiplies fixed task cost on a small
+    graph. Session default restored before returning.
     """
     canon = canon.persist()
+    n_edges_count = canon.count()  # materializes the persist
+    spark = canon.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        loop_parts = max(8, min(int(old_parts), -(-n_edges_count // 100_000)))
+    except ValueError:
+        loop_parts = None
+    if loop_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _census_body(canon)
+    finally:
+        if loop_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
+
+def _census_body(canon: DataFrame) -> DataFrame:
     deg = (
         canon.select(F.col("u").alias("n"))
         .unionAll(canon.select(F.col("v").alias("n")))
