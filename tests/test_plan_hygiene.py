@@ -158,3 +158,35 @@ def test_pagerank_iteration_has_no_exchange(spark):
     assert "BroadcastHashJoin" in iteration_part
     edges2.unpersist()
     edges.unpersist()
+
+
+def _pre_materialization_plan(module, fn, spark):
+    """Run a query function with materialize_release stubbed to a
+    pass-through so the pipeline's own physical plan (not the
+    checkpoint scan) is inspectable."""
+    from unittest import mock
+    with mock.patch.object(module, "materialize_release",
+                           lambda out, *cached: out):
+        df = fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bigram_lm_model_is_broadcast(spark):
+    """The corpus bigram model must reach the scoring join as a
+    broadcast — a shuffle join there would re-shuffle the whole
+    per-doc bigram table on a tiny-key column."""
+    from kmr_spark.llm_ops import textstats
+
+    plan = _pre_materialization_plan(
+        textstats, textstats.doc_bigram_lm, spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantized_knn_queries_are_broadcast(spark):
+    """SQ8 kNN scores the corpus against a broadcast query side; the
+    corpus itself must never shuffle for the scoring."""
+    from kmr_spark.llm_ops import similarity
+
+    plan = _pre_materialization_plan(
+        similarity, similarity.knn_quantized, spark)
+    assert "BroadcastNestedLoopJoin" in plan
