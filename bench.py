@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_hll_users",
     "text_bigram_lm",
     "multimodal_features",
+    "events_sketch_quantiles",
 ]
 
 

@@ -159,5 +159,104 @@ ORDER BY a.event_type
 """
 
 
-QUERIES = {"events_hll_users": events_hll_users}
-ORACLE_SQL = {"events_hll_users": EVENTS_HLL_SQL}
+N_QBUCKETS = 256
+QUANTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type quantiles of `value` from a fixed-width
+    256-bucket histogram — the mergeable-sketch alternative to the
+    exact-percentile query (events_exact_percentiles), with the same
+    reproducibility contract as the HLL: bucket arithmetic is identical
+    IEEE ops in both engines, so the *approximate* answers are
+    bit-equal and oracle-gated.
+
+    Scale shape: one bounds aggregate, one (type, bucket) count — both
+    map-side combinable, shuffling at most types x 256 rows — and a
+    256-row-per-type window for the cumulative pick. The exact-quantile
+    alternative shuffles every distinct value; the histogram's error is
+    bounded by bucket width (range/256) while its state is constant.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width_frac = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor(width_frac * N_QBUCKETS), F.lit(N_QBUCKETS - 1))
+    ).cast("long")
+    hist = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "mn", "mx", bucket.alias("bucket"))
+        .groupBy("event_type", "mn", "mx", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (Window.partitionBy("event_type").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "mn", "mx", "bucket", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"))
+    aggs = [F.count("*").alias("_nb"), F.min("mn").alias("mn"),
+            F.min("mx").alias("mx"), F.max("n").alias("n")]
+    for name, q in QUANTS:
+        k = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(F.min(F.when(F.col("cum") >= k, F.col("bucket")))
+                    .alias(f"b_{name}"))
+    folded = cum.groupBy("event_type").agg(*aggs)
+    out_cols = [F.col("event_type"), F.col("n")]
+    for name, _ in QUANTS:
+        est = (F.col("mn")
+               + F.col(f"b_{name}") * (F.col("mx") - F.col("mn")) / N_QBUCKETS)
+        out_cols.append(est.alias(f"{name}_est"))
+    return folded.select(*out_cols).orderBy("event_type")
+
+
+def _sketch_quantiles_sql() -> str:
+    qcols = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN bucket END) AS b_{name}"
+        for name, q in QUANTS)
+    ests = ", ".join(
+        f"mn + b_{name} * (mx - mn) / {N_QBUCKETS} AS {name}_est"
+        for name, _ in QUANTS)
+    return f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type),
+bucketed AS (
+  SELECT e.event_type, b.mn, b.mx,
+         CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE LEAST(FLOOR((e.value - b.mn) / (b.mx - b.mn) * {N_QBUCKETS}),
+                         {N_QBUCKETS - 1}) END AS BIGINT) AS bucket
+  FROM events e JOIN bounds b ON e.event_type = b.event_type),
+hist AS (
+  SELECT event_type, mn, mx, bucket, COUNT(*) AS c
+  FROM bucketed GROUP BY event_type, mn, mx, bucket),
+cum AS (
+  SELECT event_type, mn, mx, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist),
+folded AS (
+  SELECT event_type, MIN(mn) AS mn, MIN(mx) AS mx,
+         CAST(MAX(n) AS BIGINT) AS n, {qcols}
+  FROM cum GROUP BY event_type)
+SELECT event_type, n, {ests}
+FROM folded ORDER BY event_type
+"""
+
+
+SKETCH_QUANTILES_SQL = _sketch_quantiles_sql()
+
+
+QUERIES = {
+    "events_hll_users": events_hll_users,
+    "events_sketch_quantiles": events_sketch_quantiles,
+}
+ORACLE_SQL = {
+    "events_hll_users": EVENTS_HLL_SQL,
+    "events_sketch_quantiles": SKETCH_QUANTILES_SQL,
+}

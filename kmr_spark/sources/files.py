@@ -53,6 +53,22 @@ def read_csv_table(spark: SparkSession, path: str, schema: str, sep: str = "|") 
     return spark.read.csv(path, schema=schema, sep=sep)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines -> typed rows. An explicit schema skips the inference
+    scan (two passes over 100 TB otherwise); when omitted, Spark
+    samples per spark.sql.sources.json.samplingRatio."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def save_jsonl(df: DataFrame, path: str) -> None:
+    """Rows -> JSON-lines (splittable text, one object per line) — the
+    interchange sink for downstream non-Spark consumers."""
+    df.write.mode("overwrite").json(path)
+
+
 def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """(path, modificationTime, length, content) — binary payload source
     for the multimodal pipeline (kmr_map_file_names parity where the

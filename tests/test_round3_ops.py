@@ -236,3 +236,30 @@ def test_bmp_features_histogram_sums_to_pixels(spark):
         bins = sum(r[f"h{i}"] for i in range(8))
         assert bins == r.width * r.height
         assert 0.0 <= r.px_mean <= 255.0
+
+
+# -------------------------------------------------- histogram quantiles
+
+def test_sketch_quantiles_error_bounded_by_bucket_width(spark):
+    from kmr_spark.plans.sketches import N_QBUCKETS, events_sketch_quantiles
+    from kmr_spark.session import load_tables
+    got = {r.event_type: r for r in
+           events_sketch_quantiles(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", "value").collect()
+    import collections
+    by_type = collections.defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(r.value)
+    for t, vals in by_type.items():
+        vals.sort()
+        width = (vals[-1] - vals[0]) / N_QBUCKETS
+        r = got[t]
+        assert r.n == len(vals)
+        import math
+        for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
+            # the sketch picks rank ceil(q*n) (1-indexed); that order
+            # statistic lies inside the chosen bucket, so the lower
+            # edge is within one bucket width below it
+            exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            assert exact - width <= r[name] <= exact + 1e-9

@@ -175,3 +175,18 @@ def test_multimodal_real_decode_is_gated(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(make_media_table(spark, n=2))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from kmr_spark.sources.files import read_jsonl, save_jsonl
+    from kmr_spark.session import load_tables
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_jsonl")
+    save_jsonl(ev, out)
+    back = read_jsonl(
+        spark, out,
+        "event_id long, user_id long, event_type string, value double")
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
