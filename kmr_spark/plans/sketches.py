@@ -179,7 +179,11 @@ def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    # drop NULL measurements explicitly: least()/LEAST() skip NULLs in
+    # BOTH engines, so an unguarded NULL value would silently clamp
+    # into the top bucket instead of erroring or being excluded
+    ev = (load_tables(spark, sf_dir)["events"]
+          .select("event_type", "value").filter(F.col("value").isNotNull()))
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"), F.max("value").alias("mx"))
     width_frac = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
@@ -222,15 +226,17 @@ def _sketch_quantiles_sql() -> str:
         f"mn + b_{name} * (mx - mn) / {N_QBUCKETS} AS {name}_est"
         for name, _ in QUANTS)
     return f"""
-WITH bounds AS (
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+bounds AS (
   SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
-  FROM events GROUP BY event_type),
+  FROM ev GROUP BY event_type),
 bucketed AS (
   SELECT e.event_type, b.mn, b.mx,
          CAST(CASE WHEN b.mx = b.mn THEN 0
               ELSE LEAST(FLOOR((e.value - b.mn) / (b.mx - b.mn) * {N_QBUCKETS}),
                          {N_QBUCKETS - 1}) END AS BIGINT) AS bucket
-  FROM events e JOIN bounds b ON e.event_type = b.event_type),
+  FROM ev e JOIN bounds b ON e.event_type = b.event_type),
 hist AS (
   SELECT event_type, mn, mx, bucket, COUNT(*) AS c
   FROM bucketed GROUP BY event_type, mn, mx, bucket),
