@@ -68,6 +68,15 @@ def get_spark(app_name: str = "kmr_spark", shuffle_partitions: int | None = None
         # driver testdata stores TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long ns and convert in load_tables()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the compiled-class cache defaults to 100 entries; a session
+        # running the full query registry (85+ queries x several
+        # codegen stages each) thrashes it, and every cache miss is a
+        # janino recompile charged to whichever query runs next —
+        # measured 3-4x tail inflation in bench.py. Static conf, so it
+        # must be set at session build, and sizes a cache of class
+        # bytecode (not data): 4000 entries is a few hundred MB of
+        # metaspace at worst, amortized across the session lifetime.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
