@@ -94,6 +94,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.timeseries as timeseries
+        modules.append(timeseries)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "text_bigram_lm",
     "multimodal_features",
     "events_sketch_quantiles",
+    "events_resample_1h",
+    "events_funnel",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Time-series resampling and funnel analysis over the events table.
+
+Two shapes every event-analytics engine must express:
+
+- resample/gap-fill: a dense hourly spine per event_type with zero-fill
+  for empty hours and forward-fill of the last observed aggregate — the
+  hypertable-rollup shape (regularized series feed models/dashboards).
+- ordered funnel: view -> click -> purchase with strict event-time
+  ordering per user — the stepwise min-timestamp chain, expressed as
+  keyed aggregates + joins (no per-user UDF, no collect).
+
+Scale notes: the spine is |types| x |hours| (tiny, broadcastable); the
+fill join is one shuffle keyed (type, hour). Funnel steps are three
+keyed aggregates over progressively smaller user sets; each join is
+hash-partitioned on user_id — co-partitioned at scale if events are
+bucketed by user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: count + decimal sum with
+    zero-fill, and forward-filled last non-empty hourly sum."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"))
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts"))
+    w = (Window.partitionBy("event_type").orderBy("hour_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type", "hour_ts",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+            F.last("sum_dec", ignorenulls=True).over(w)
+            .cast("double").alias("ffill_sum"))
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+bounds AS (
+  SELECT event_type, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY event_type),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds)
+SELECT s.event_type, s.hour_ts,
+       COALESCE(h.n, 0) AS n,
+       CAST(COALESCE(h.sum_dec, 0) AS DOUBLE) AS sum_value,
+       CAST(LAST_VALUE(h.sum_dec IGNORE NULLS) OVER (
+              PARTITION BY s.event_type ORDER BY s.hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS ffill_sum
+FROM spine s LEFT JOIN hourly h
+  ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+ORDER BY s.event_type, s.hour_ts
+"""
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first 'view'
+    precedes a 'click' that precedes a 'purchase'. One row:
+    (n_users, n_view, n_view_click, n_full_funnel)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    c = (ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        n_users
+        .crossJoin(v.agg(F.count("*").alias("n_view")))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+"""
+
+
+QUERIES = {
+    "events_resample_1h": events_resample_1h,
+    "events_funnel": events_funnel,
+}
+ORACLE_SQL = {
+    "events_resample_1h": RESAMPLE_SQL,
+    "events_funnel": FUNNEL_SQL,
+}

@@ -263,3 +263,55 @@ def test_sketch_quantiles_error_bounded_by_bucket_width(spark):
             # edge is within one bucket width below it
             exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
             assert exact - width <= r[name] <= exact + 1e-9
+
+
+# ------------------------------------------------- timeseries + funnel
+
+def test_resample_spine_is_dense_and_ffill_monotone_coverage(spark):
+    from kmr_spark.plans.timeseries import events_resample_1h
+    rows = events_resample_1h(spark, SF_SMALL).collect()
+    import collections
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour_ts)
+        # dense hourly spine: consecutive rows are exactly 1h apart
+        for a, b in zip(rs, rs[1:]):
+            assert (b.hour_ts - a.hour_ts).total_seconds() == 3600
+        # zero-filled gaps keep n = 0 and sum 0; ffill carries forward
+        seen = None
+        for r in rs:
+            if r.n == 0:
+                assert r.sum_value == 0.0
+                if seen is not None:
+                    assert r.ffill_sum == seen
+            else:
+                seen = r.ffill_sum
+
+
+def test_funnel_counts_are_monotone_and_order_strict(spark):
+    from kmr_spark.plans.timeseries import events_funnel
+    from kmr_spark.session import load_tables
+    r = events_funnel(spark, SF_SMALL).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+    # python recompute on the small fixture
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "user_id", "event_type", "ts").collect()
+    import collections
+    per_user = collections.defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    full = 0
+    for uid, es in per_user.items():
+        views = [e.ts for e in es if e.event_type == "view"]
+        if not views:
+            continue
+        t0 = min(views)
+        clicks = [e.ts for e in es if e.event_type == "click" and e.ts > t0]
+        if not clicks:
+            continue
+        t1 = min(clicks)
+        if any(e.event_type == "purchase" and e.ts > t1 for e in es):
+            full += 1
+    assert r.n_full_funnel == full
