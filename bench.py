@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_sketch_quantiles",
     "events_resample_1h",
     "events_funnel",
+    "graph_bfs",
 ]
 
 

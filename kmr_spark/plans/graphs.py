@@ -142,5 +142,75 @@ SELECT
 """
 
 
-QUERIES = {"graph_triangles": triangle_stats}
-ORACLE_SQL = {"graph_triangles": TRIANGLES_SQL}
+BFS_SOURCE = 0
+BFS_MAX_DEPTH = 64
+
+
+def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
+               max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+    """(node, depth) minimum-hop distances from ``source`` over an
+    undirected canonical edge set — level-synchronous frontier BFS.
+
+    Each level is one keyed join (frontier x adjacency) + one anti-join
+    against the visited set; the frontier is the only growing state and
+    is bounded by |V|. The level count is the graph diameter (small for
+    R-MAT/small-world graphs), so unlike the CC pointer-jumping loop no
+    squaring is needed. Raises if max_depth levels don't exhaust the
+    reachable set (a 2^64-diameter graph doesn't fit storage anyway).
+    """
+    spark = canon.sparkSession
+    adj = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    visited = spark.range(1).select(
+        F.lit(source).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("depth")).persist()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("depth"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            frontier = nxt
+            break
+        new_visited = visited.unionByName(nxt).localCheckpoint()
+        visited.unpersist()
+        visited = new_visited.persist()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"bfs_depths: frontier alive after {max_depth} levels")
+    out = visited.orderBy("node").localCheckpoint()
+    visited.unpersist()
+    adj.unpersist()
+    return out
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop depths from node 0 over the R-MAT graph (``sf_dir``
+    unused — generated input)."""
+    return bfs_depths(canonicalize_edges(rmat_raw_edges(spark)))
+
+
+BFS_SQL = f"""
+WITH RECURSIVE raw AS ({RMAT_RAW_SQL}),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+adj AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
+walk(node, depth) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+  UNION
+  SELECT a.v AS node, w.depth + 1 AS depth
+  FROM walk w JOIN adj a ON a.u = w.node
+  WHERE w.depth < {BFS_MAX_DEPTH})
+SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
+"""
+
+
+QUERIES = {"graph_triangles": triangle_stats, "graph_bfs": graph_bfs}
+ORACLE_SQL = {"graph_triangles": TRIANGLES_SQL, "graph_bfs": BFS_SQL}

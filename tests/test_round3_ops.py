@@ -315,3 +315,30 @@ def test_funnel_counts_are_monotone_and_order_strict(spark):
         if any(e.event_type == "purchase" and e.ts > t1 for e in es):
             full += 1
     assert r.n_full_funnel == full
+
+
+# ----------------------------------------------------------------- BFS
+
+def test_bfs_depths_on_path_and_star(spark):
+    from kmr_spark.plans.graphs import bfs_depths
+    # path 0-1-2-3: depths 0,1,2,3
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.depth for r in
+           bfs_depths(canonicalize_edges(path)).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # star from 5 with disconnected edge (8,9): unreachable excluded
+    star = spark.createDataFrame(
+        [(5, 0), (5, 6), (5, 7), (0, 6), (8, 9)], "src long, dst long")
+    got = {r.node: r.depth for r in
+           bfs_depths(canonicalize_edges(star), source=5).collect()}
+    assert got == {5: 0, 0: 1, 6: 1, 7: 1}
+
+
+def test_bfs_depth_cap_raises(spark):
+    import pytest
+    from kmr_spark.plans.graphs import bfs_depths
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        bfs_depths(canonicalize_edges(path), max_depth=2)
