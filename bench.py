@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "events_resample_1h",
     "events_funnel",
     "graph_bfs",
+    "events_enriched_streamed",
 ]
 
 

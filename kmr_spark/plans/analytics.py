@@ -547,6 +547,49 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join (the stateless streaming join shape): each
+    micro-batch of the events stream broadcast-joins the static
+    customer dimension, then the enriched rows roll up batch-side per
+    (market segment, event type). Oracle = the plain batch join."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (enrich_stream,
+                                             run_available_now,
+                                             sized_state_partitions,
+                                             stream_events)
+
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_mktsegment")
+    enriched = enrich_stream(stream_events(spark, sf_dir), dim)
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            enriched, "events_enriched_sink", ck, output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        out.groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+                    "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("segment", "event_type")
+    )
+
+
+EVENTS_ENRICHED_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY COALESCE(c.c_mktsegment, 'UNKNOWN'), e.event_type
+ORDER BY segment, e.event_type
+"""
+
+
 def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM join (the one streaming join shape the other
     streamed queries don't cover): purchases joined to the same user's
@@ -738,6 +781,7 @@ QUERIES = {
     "events_campaign_windows": events_campaign_windows,
     "events_dedup_streamed": events_dedup_streamed,
     "events_attribution_streamed": events_attribution_streamed,
+    "events_enriched_streamed": events_enriched_streamed,
     "events_attribution_outer_streamed": events_attribution_outer_streamed,
 }
 
@@ -761,5 +805,6 @@ ORACLE_SQL = {
     "events_campaign_windows": EVENTS_CAMPAIGN_SQL,
     "events_dedup_streamed": EVENTS_DEDUP_STREAMED_SQL,
     "events_attribution_streamed": EVENTS_ATTRIBUTION_SQL,
+    "events_enriched_streamed": EVENTS_ENRICHED_SQL,
     "events_attribution_outer_streamed": EVENTS_ATTRIBUTION_OUTER_SQL,
 }

@@ -152,6 +152,18 @@ def attribution_outer_stream(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on_left: str = "user_id", on_right: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    hash-joins (broadcast, in practice) against a static dimension —
+    stateless, append-mode, the standard lookup-table pattern. The
+    static side is re-resolved per micro-batch, so a dimension refresh
+    (new snapshot under the same path) is picked up without restarting
+    the stream."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "left")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches plans.analytics
 
 
