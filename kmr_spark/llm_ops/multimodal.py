@@ -147,6 +147,20 @@ BMP_DECODED_SCHEMA = (
 _BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
 
 
+def _bmp_encode(w: int, h: int, pixels: bytes) -> bytes:
+    """Assemble one spec-conformant 24-bpp BMP from stride-padded pixel
+    rows — the single header writer every encoder shares (file header,
+    40-byte info header, 2835 px/m = 72 DPI)."""
+    size = _BMP_HEADER_SIZE + len(pixels)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
 def encode_docs_as_bmp(docs: DataFrame) -> DataFrame:
     """Deterministic 24-bpp BMP per document: width from the text
     length, height and fill byte from doc_id. Real, spec-conformant
@@ -165,17 +179,11 @@ def encode_docs_as_bmp(docs: DataFrame) -> DataFrame:
                 stride = ((w * 3 + 3) // 4) * 4
                 row = bytes([fill]) * (w * 3) + b"\0" * (stride - w * 3)
                 pixels = row * h
-                size = _BMP_HEADER_SIZE + len(pixels)
-                header = (
-                    b"BM"
-                    + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
-                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                                  len(pixels), 2835, 2835, 0, 0)
-                )
-                payloads.append(bytearray(header + pixels))
+                payloads.append(bytearray(_bmp_encode(w, h, pixels)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").alias("tlen")).mapInPandas(
         run, schema="doc_id long, payload binary")
 
 
@@ -193,8 +201,8 @@ def _parse_bmp(raw: bytes, ctx: object = "") -> dict:
     for y in range(abs(h)):
         start = off + y * stride
         psum += sum(raw[start:start + w * (bpp // 8)])
-    return {"width": w, "height": abs(h), "bpp": bpp, "stride": stride,
-            "n_bytes": len(raw), "pixel_sum": psum}
+    return {"off": off, "width": w, "height": abs(h), "bpp": bpp,
+            "stride": stride, "n_bytes": len(raw), "pixel_sum": psum}
 
 
 def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -210,6 +218,7 @@ def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 "n_bytes", "pixel_sum")}
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 f = _parse_bmp(bytes(payload), f"doc {did}")
+                f.pop("off")
                 out["doc_id"].append(int(did))
                 for k, v in f.items():
                     out[k].append(v)
@@ -242,17 +251,11 @@ def encode_docs_as_gradient_bmp(docs: DataFrame) -> DataFrame:
                         for x in range(w))
                     rows.append(row + b"\0" * (stride - w * 3))
                 pixels = b"".join(rows)
-                size = _BMP_HEADER_SIZE + len(pixels)
-                header = (
-                    b"BM"
-                    + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
-                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                                  len(pixels), 2835, 2835, 0, 0)
-                )
-                payloads.append(bytearray(header + pixels))
+                payloads.append(bytearray(_bmp_encode(w, h, pixels)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").alias("tlen")).mapInPandas(
         run, schema="doc_id long, payload binary")
 
 
@@ -276,7 +279,7 @@ def resize_bmp_nn(df: DataFrame, out_w: int, out_h: int,
                 if src["bpp"] != 24:
                     raise ValueError(f"doc {did}: resize supports 24-bpp only")
                 w, h, stride = src["width"], src["height"], src["stride"]
-                (off,) = struct.unpack_from("<I", raw, 10)
+                off = src["off"]
                 out_stride = ((out_w * 3 + 3) // 4) * 4
                 rows = []
                 for yo in range(out_h):
@@ -287,15 +290,8 @@ def resize_bmp_nn(df: DataFrame, out_w: int, out_h: int,
                         for xo in range(out_w))
                     rows.append(row + b"\0" * (out_stride - out_w * 3))
                 pixels = b"".join(rows)
-                size = _BMP_HEADER_SIZE + len(pixels)
-                header = (
-                    b"BM"
-                    + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
-                    + struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0,
-                                  len(pixels), 2835, 2835, 0, 0)
-                )
                 ids.append(int(did))
-                payloads.append(bytearray(header + pixels))
+                payloads.append(bytearray(_bmp_encode(out_w, out_h, pixels)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")
@@ -326,7 +322,7 @@ WITH m AS (
          (length(text) % 31) + 2 AS w,
          (doc_id % 17) + 2 AS h,
          doc_id % 251 AS fill
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 px AS (
   SELECT doc_id,
          (fill + 3 * ((xo * w) // {RESIZE_W})
@@ -393,7 +389,8 @@ def encode_docs_as_wav(docs: DataFrame) -> DataFrame:
                     + chunks))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").alias("tlen")).mapInPandas(
         run, schema="doc_id long, payload binary")
 
 
@@ -462,7 +459,7 @@ WITH m AS (
   SELECT doc_id,
          (length(text) % 256) + 32 AS n,
          (doc_id % 199) - 99 AS amp
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
        CAST(1 AS INTEGER) AS channels,
@@ -502,21 +499,15 @@ def encode_docs_as_video(docs: DataFrame) -> DataFrame:
                     stride = ((w * 3 + 3) // 4) * 4
                     row = bytes([fill]) * (w * 3) + b"\0" * (stride - w * 3)
                     pixels = row * h
-                    size = _BMP_HEADER_SIZE + len(pixels)
-                    header = (
-                        b"BM"
-                        + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
-                        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                                      len(pixels), 2835, 2835, 0, 0)
-                    )
-                    frames.append(header + pixels)
+                    frames.append(_bmp_encode(w, h, pixels))
                 body = b"".join(
                     struct.pack("<I", len(fr)) + fr for fr in frames)
                 payloads.append(bytearray(
                     b"KVID" + struct.pack("<I", n_frames) + body))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", F.length("text").alias("tlen")).mapInPandas(
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").alias("tlen")).mapInPandas(
         run, schema="doc_id long, payload binary")
 
 
@@ -572,7 +563,7 @@ WITH m AS (
   SELECT doc_id,
          (doc_id % 5) + 2 AS n_frames,
          (length(text) % 31) + 2 AS w
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(f AS INTEGER) AS frame_idx,
        CAST(w AS INTEGER) AS width,
@@ -590,7 +581,7 @@ WITH m AS (
          (length(text) % 31) + 2 AS w,
          (doc_id % 17) + 2 AS h,
          doc_id % 251 AS fill
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
@@ -629,7 +620,7 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
                 raw = bytes(payload)
                 f = _parse_bmp(raw, f"doc {did}")
                 w, h, stride = f["width"], f["height"], f["stride"]
-                off = struct.unpack_from("<I", raw, 10)[0]
+                off = f["off"]
                 bpx = f["bpp"] // 8
                 hist = [0] * N_HIST_BINS
                 total = 0
@@ -673,7 +664,7 @@ WITH m AS (
          (length(text) % 31) + 2 AS w,
          (doc_id % 17) + 2 AS h,
          doc_id % 251 AS fill
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 px AS (
   SELECT doc_id, w, h,
          (fill + 3 * x + 5 * y) % 251 AS v

@@ -55,6 +55,9 @@ def pack_chunks(chunks: DataFrame, capacity: int = CAPACITY,
     corpus/N rows per task at 100 TB."""
     d, c = id_cols
     if n_shards is None:
+        # NOTE: this pre-pass executes the chunk pipeline once for the
+        # scalar; callers with an expensive upstream should persist the
+        # chunk table first (pack_sequences does) or pass n_shards
         total = chunks.agg(F.sum(size_col)).first()[0] or 0
         n_shards = derive_n_shards(int(total))
     # portable multiplicative hash (operators/sample.py): deterministic,
@@ -80,16 +83,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmr_spark.llm_ops.chunking import chunk_documents
     from kmr_spark.session import load_tables
 
+    from kmr_spark.session import materialize_release
+
     docs = load_tables(spark, sf_dir)["documents"]
-    chunks = chunk_documents(docs, size=200, overlap=20)
+    # persist the chunk table: the shard-count pre-pass and the packing
+    # job both consume it, and the chunking explode is the corpus-sized
+    # stage — without the persist it runs twice
+    chunks = chunk_documents(docs, size=200, overlap=20).persist()
     packed = pack_chunks(chunks)
-    return (
+    out = (
         packed.groupBy("shard", "bin_id")
         .agg(F.count("*").alias("n_chunks"),
              F.sum("chunk_len").alias("fill"),
              F.sum(F.col("doc_id") * 7 + F.col("chunk_id")).alias("id_sum"))
         .orderBy("shard", "bin_id")
     )
+    return materialize_release(out, chunks)
 
 
 PACK_SEQUENCES_SQL = f"""

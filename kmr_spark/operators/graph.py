@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kmr_spark.session import sized_shuffle_partitions
+
 #: pointer-jump squarings between convergence checks (see loop comment)
 JUMPS_PER_CHECK = 3
 
@@ -71,27 +73,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # that would each recompute an uncached upstream (e.g. a full LSH
     # pipeline) in parallel past an unfilled cache
     pairs = pairs.persist()
-    n_pairs = pairs.count()
-    # size the loop's shuffle partitions to the pair graph (~100k edges
-    # per partition, floor 8): every round runs several tiny keyed jobs
-    # over a graph that only SHRINKS under contraction, so session-wide
-    # partitioning (sized for the corpus) multiplies fixed task cost —
-    # measured 8.8s -> 6.7s at sf0.1 with identical labels. Restored
-    # before returning; at real scale the formula lands back at the
-    # session default.
-    spark = pairs.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        loop_parts = max(8, min(int(old_parts), -(-n_pairs // 100_000)))
-    except ValueError:
-        loop_parts = None
-    if loop_parts is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        return _cc_loop(pairs, src, dst, max_rounds, max_jumps)
-    finally:
-        if loop_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        n_pairs = pairs.count()
+        # size the loop's shuffle partitions to the pair graph: every
+        # round runs several tiny keyed jobs over a graph that only
+        # SHRINKS under contraction, so session-wide partitioning
+        # (sized for the corpus) multiplies fixed task cost — measured
+        # 8.8s -> 6.7s at sf0.1 with identical labels.
+        with sized_shuffle_partitions(pairs.sparkSession, n_pairs):
+            return _cc_loop(pairs, src, dst, max_rounds, max_jumps)
+    except Exception:
+        pairs.unpersist()
+        raise
 
 
 def _cc_loop(pairs: DataFrame, src: str, dst: str,

@@ -14,6 +14,8 @@ wedge table — the only super-linear intermediate — is O(|E|^1.5)
 worst-case instead of the O(sum deg^2) a naive wedge join produces on
 a skewed (R-MAT!) degree distribution. All three joins are plain
 hash-shuffle equi-joins; no broadcast assumption, no driver state.
+The orientation key is a (degree, id) STRUCT compared lexicographically
+— a total order for any id domain (no packed-long overflow bound).
 
 The DuckDB oracle counts the same triangles with the textbook
 u < v < w triple join over canonical edges — different join order,
@@ -26,12 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.plans.generate import RMAT_RAW_SQL, rmat_raw_edges
-from kmr_spark.session import materialize_release
-
-# orientation key: (degree, node) packed into one long; degree-major
-# order. Collision-free while node ids stay under the shift (R-MAT ids
-# are < 2^10; at larger id domains use a struct key instead).
-_ORD_SHIFT = 1 << 20
+from kmr_spark.session import materialize_release, sized_shuffle_partitions
 
 
 def canonicalize_edges(edges: DataFrame, src: str = "src",
@@ -52,30 +49,19 @@ def triangle_census(canon: DataFrame) -> DataFrame:
 
     ``canon`` must be (u, v) with u < v and no duplicates — the output
     of :func:`canonicalize_edges`. The caller may pass any edge table;
-    the census persists its own intermediates and releases them.
-
-    Shuffle partitions for the census stages are sized to the edge
-    count (~100k edges per partition, floor 8) the same way the
-    connected-components loop does it (operators/graph.py): the
-    orientation/wedge joins run over the persisted edge table, and
-    corpus-sized partitioning multiplies fixed task cost on a small
-    graph. Session default restored before returning.
+    the census persists its own intermediates and releases them (on
+    error paths too). Shuffle partitions for the census stages are
+    sized to the edge count via sized_shuffle_partitions, same as the
+    connected-components loop.
     """
     canon = canon.persist()
-    n_edges_count = canon.count()  # materializes the persist
-    spark = canon.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        loop_parts = max(8, min(int(old_parts), -(-n_edges_count // 100_000)))
-    except ValueError:
-        loop_parts = None
-    if loop_parts is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        return _census_body(canon)
-    finally:
-        if loop_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        n_edges_count = canon.count()  # materializes the persist
+        with sized_shuffle_partitions(canon.sparkSession, n_edges_count):
+            return _census_body(canon)
+    except Exception:
+        canon.unpersist()
+        raise
 
 
 def _census_body(canon: DataFrame) -> DataFrame:
@@ -86,11 +72,12 @@ def _census_body(canon: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
 
-    # attach the orientation key to both endpoints, then orient
+    # attach the lexicographic (degree, id) orientation key to both
+    # endpoints, then orient low -> high
     ku = deg.select(F.col("n").alias("u"),
-                    (F.col("deg") * _ORD_SHIFT + F.col("n")).alias("ord_u"))
+                    F.struct(F.col("deg"), F.col("n")).alias("ord_u"))
     kv = deg.select(F.col("n").alias("v"),
-                    (F.col("deg") * _ORD_SHIFT + F.col("n")).alias("ord_v"))
+                    F.struct(F.col("deg"), F.col("n")).alias("ord_v"))
     oriented = (
         canon.join(ku, "u").join(kv, "v")
         .select(
@@ -100,22 +87,26 @@ def _census_body(canon: DataFrame) -> DataFrame:
         )
         .persist()
     )
+    try:
+        e1 = oriented.select("a", F.col("b").alias("b1"), F.col("ord_b").alias("ord_b1"))
+        e2 = oriented.select("a", F.col("b").alias("b2"), F.col("ord_b").alias("ord_b2"))
+        wedges = e1.join(e2, "a").filter(F.col("ord_b1") < F.col("ord_b2"))
+        closer = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+        tri = wedges.join(closer, ["b1", "b2"]).agg(F.count("*").alias("n_triangles"))
 
-    e1 = oriented.select("a", F.col("b").alias("b1"), F.col("ord_b").alias("ord_b1"))
-    e2 = oriented.select("a", F.col("b").alias("b2"), F.col("ord_b").alias("ord_b2"))
-    wedges = e1.join(e2, "a").filter(F.col("ord_b1") < F.col("ord_b2"))
-    closer = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
-    tri = wedges.join(closer, ["b1", "b2"]).agg(F.count("*").alias("n_triangles"))
+        counts = canon.agg(F.count("*").alias("n_edges"))
+        n_nodes = deg.agg(F.count("*").alias("n_nodes"))
 
-    counts = canon.agg(F.count("*").alias("n_edges"))
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-
-    out = (
-        n_nodes.crossJoin(counts)
-        .crossJoin(tri)
-        .select("n_nodes", "n_edges", "n_triangles")
-    )
-    return materialize_release(out, canon, oriented)
+        out = (
+            n_nodes.crossJoin(counts)
+            .crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_triangles")
+        )
+        return materialize_release(out, canon, oriented)
+    except Exception:
+        oriented.unpersist()
+        canon.unpersist()
+        raise
 
 
 def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,8 +146,9 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
     against the visited set; the frontier is the only growing state and
     is bounded by |V|. The level count is the graph diameter (small for
     R-MAT/small-world graphs), so unlike the CC pointer-jumping loop no
-    squaring is needed. Raises if max_depth levels don't exhaust the
-    reachable set (a 2^64-diameter graph doesn't fit storage anyway).
+    squaring is needed. Raises only if unvisited reachable nodes REMAIN
+    after max_depth levels (an eccentricity of exactly max_depth is
+    fine); persisted state is released on every path.
     """
     spark = canon.sparkSession
     adj = canon.unionByName(
@@ -165,28 +157,37 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
     visited = spark.range(1).select(
         F.lit(source).cast("long").alias("node"),
         F.lit(0).cast("long").alias("depth")).persist()
-    frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(adj, frontier["node"] == adj["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .select("node", F.lit(d).cast("long").alias("depth"))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
+    try:
+        frontier = visited
+
+        def expand(front: DataFrame, d: int) -> DataFrame:
+            return (
+                front.join(adj, front["node"] == adj["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(d).cast("long").alias("depth"))
+                .localCheckpoint()
+            )
+
+        for d in range(1, max_depth + 1):
+            nxt = expand(frontier, d)
+            if nxt.isEmpty():
+                break
+            new_visited = visited.unionByName(nxt).localCheckpoint()
+            visited.unpersist()
+            visited = new_visited.persist()
             frontier = nxt
-            break
-        new_visited = visited.unionByName(nxt).localCheckpoint()
+        else:
+            # the last level still discovered nodes; the traversal is
+            # complete iff one more expansion finds nothing new
+            if not expand(frontier, max_depth + 1).isEmpty():
+                raise RuntimeError(
+                    f"bfs_depths: frontier alive after {max_depth} levels")
+        out = visited.orderBy("node").localCheckpoint()
+    finally:
         visited.unpersist()
-        visited = new_visited.persist()
-        frontier = nxt
-    else:
-        raise RuntimeError(f"bfs_depths: frontier alive after {max_depth} levels")
-    out = visited.orderBy("node").localCheckpoint()
-    visited.unpersist()
-    adj.unpersist()
+        adj.unpersist()
     return out
 
 

@@ -50,11 +50,18 @@ def merge_user_state(base: DataFrame, delta: DataFrame) -> DataFrame:
     d = delta.select(
         "user_id", F.col("n_events").alias("n_d"),
         F.col("sum_dec").alias("s_d"), F.col("last").alias("l_d"))
+    # SUM is NULL when every input value is NULL; the merged sum must
+    # reproduce that (coalescing both NULLs to 0 would turn a NULL
+    # aggregate into 0.00 and break merge == recompute exactly)
+    merged_sum = F.when(
+        F.col("s_b").isNull() & F.col("s_d").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(18,2)"))
+        + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(18,2)")))
     return b.join(d, "user_id", "full_outer").select(
         "user_id",
         (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
-        (F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(18,2)"))
-         + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(18,2)"))).alias("sum_dec"),
+        merged_sum.alias("sum_dec"),
         # struct max is lexicographic on (ts, event_id, ...): the
         # higher version key wins, exactly like greatest() on rows
         F.greatest(F.col("l_b"), F.col("l_d")).alias("last"),

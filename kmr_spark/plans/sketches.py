@@ -76,6 +76,20 @@ def _sql_hash31(x: str) -> str:
     return f"(({x4} * 48271) % {HASH_P})"
 
 
+import math as _math
+
+#: linear-counting estimates m * ln(m / V) for every possible
+#: zero-register count V, computed ONCE in Python — the single source
+#: of truth both engines quote as literals (see hll_distinct).
+_LINEAR_COUNT = {v: HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M)}
+
+
+def _sql_linear_count(v: str) -> str:
+    whens = " ".join(
+        f"WHEN {v} = {vz} THEN {est!r}" for vz, est in _LINEAR_COUNT.items())
+    return f"(CASE {whens} END)"
+
+
 def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     """(group, hll_est, n_registers_hit) via portable HLL-64."""
     h = _hash31(F.col(key))
@@ -96,9 +110,16 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M)
            / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present"))))
     v = F.lit(HLL_M) - F.col("n_present")  # zero registers
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0),
-                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
-                 ).otherwise(raw)
+    # linear counting: m * ln(m/V). ln is transcendental — JVM
+    # Math.log and DuckDB's libm are each only 1-ulp-accurate and may
+    # disagree in the last bit, so the V -> estimate table (63 entries)
+    # is precomputed in Python once and emitted as LITERALS into both
+    # engines; the branch is then table lookup, not float math.
+    lc = None
+    for vz, est_v in _LINEAR_COUNT.items():
+        br = F.when(v == F.lit(vz), F.lit(est_v))
+        lc = br if lc is None else lc.when(v == F.lit(vz), F.lit(est_v))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
     return per_group.select(
         F.col(group),
         est.alias("hll_est"),
@@ -146,7 +167,7 @@ est AS (
 approx AS (
   SELECT event_type,
          CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
-              THEN {float(HLL_M)} * ln({float(HLL_M)} / v)
+              THEN {_sql_linear_count('v')}
               ELSE raw END AS hll_est,
          CAST(n_present AS BIGINT) AS n_registers_hit
   FROM est),

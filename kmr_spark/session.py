@@ -44,6 +44,41 @@ TS_COLS = {
 }
 
 
+class sized_shuffle_partitions:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to a
+    row-count-derived value for a block of small keyed jobs, restoring
+    the session default afterwards.
+
+    Iterative loops (connected components, BFS, triangle census) run
+    many tiny shuffles over data that only shrinks; session-wide
+    partitioning sized for the corpus multiplies fixed task cost there
+    (measured 8.8s -> 6.7s on the sf0.1 cluster query). The derived
+    value is clamped to [floor, session default] — at real scale the
+    formula lands back on the default and this is a no-op. If the
+    session value is non-numeric, the manager is a no-op.
+    """
+
+    def __init__(self, spark: SparkSession, n_rows: int,
+                 rows_per_partition: int = 100_000, floor: int = 8):
+        self.spark = spark
+        try:
+            self.old = spark.conf.get("spark.sql.shuffle.partitions")
+            self.n = max(floor, min(int(self.old),
+                                    -(-n_rows // rows_per_partition)))
+        except ValueError:
+            self.n = None
+
+    def __enter__(self):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def get_spark(app_name: str = "kmr_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or get) a SparkSession tuned for this engine.
 

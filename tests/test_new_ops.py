@@ -362,6 +362,9 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
 
     # the clustered table still holds exactly the same rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_key_interleaves_bits(spark):
     from kmr_spark.functions.zorder import zorder_key
 
     df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")

@@ -342,3 +342,47 @@ def test_bfs_depth_cap_raises(spark):
         [(i, i + 1) for i in range(5)], "src long, dst long")
     with pytest.raises(RuntimeError):
         bfs_depths(canonicalize_edges(path), max_depth=2)
+
+
+# ----------------------------------------------- review-fix regressions
+
+def test_bfs_exact_eccentricity_does_not_raise(spark):
+    # path 0-1-2-3: eccentricity 3 == max_depth must complete cleanly
+    from kmr_spark.plans.graphs import bfs_depths
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.depth for r in
+           bfs_depths(canonicalize_edges(path), max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_triangles_with_node_ids_beyond_packed_long_range(spark):
+    # ids >= 2^20 broke the old packed-long orientation key; the struct
+    # key must order correctly for any id domain
+    big = 1 << 40
+    edges = [(big + a, big + b)
+             for a, b in itertools.combinations(range(4), 2)]
+    r = _census(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+
+def test_merge_preserves_null_sums(spark):
+    # a key whose every value is NULL must merge to a NULL sum, exactly
+    # like the direct aggregate (coalescing to 0 would break the
+    # merge == recompute invariant)
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "a", None)],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    delta = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 11, "b", None),
+         (2, "2024-01-02 00:00:00", 12, "c", 5.0)],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merged = {r.user_id: r for r in merge_user_state(
+        _user_state(base), _user_state(delta)).collect()}
+    direct = {r.user_id: r for r in _user_state(
+        base.unionByName(delta)).collect()}
+    assert merged[1].sum_dec is None and direct[1].sum_dec is None
+    assert merged[2].sum_dec == direct[2].sum_dec
+    assert merged[1].n_events == direct[1].n_events == 2
