@@ -20,14 +20,18 @@ def test_llm_queries_release_their_caches(spark):
     precise no-leak assertion."""
     from kmr_spark.llm_ops.dedup import (minhash_lsh_pairs,
                                          ngram_jaccard_pairs, simhash_pairs)
-    from kmr_spark.llm_ops.similarity import ann_ivf, knn_bruteforce
-    from kmr_spark.llm_ops.textstats import doc_fingerprint
+    from kmr_spark.llm_ops.packing import pack_sequences
+    from kmr_spark.llm_ops.similarity import (ann_ivf, knn_bruteforce,
+                                              knn_quantized)
+    from kmr_spark.llm_ops.textstats import doc_bigram_lm, doc_fingerprint
+    from kmr_spark.plans.graphs import graph_bfs, triangle_stats
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
     assert cm.isEmpty()
-    for fn in (knn_bruteforce, ann_ivf, minhash_lsh_pairs, simhash_pairs,
-               ngram_jaccard_pairs, doc_fingerprint):
+    for fn in (knn_bruteforce, ann_ivf, knn_quantized, minhash_lsh_pairs,
+               simhash_pairs, ngram_jaccard_pairs, doc_fingerprint,
+               doc_bigram_lm, pack_sequences, triangle_stats, graph_bfs):
         out = fn(spark, "/root/testdata/sf0.001")
         assert out.count() >= 0
         assert cm.isEmpty(), f"{fn.__name__} left cached plans behind"
