@@ -99,6 +99,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.quality as quality
+        modules.append(quality)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "graph_bfs",
     "events_enriched_streamed",
+    "validate_events",
 ]
 
 

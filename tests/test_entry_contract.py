@@ -33,15 +33,15 @@ def test_no_duplicate_names_across_modules():
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, generate, graphs, graysort,
                                  incremental, iterative, layout, linalg,
-                                 sampling, semistruct, sketches, timeseries,
-                                 tpch, tpch_extra, wordcount)
+                                 quality, sampling, semistruct, sketches,
+                                 timeseries, tpch, tpch_extra, wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
              linalg.QUERIES, generate.QUERIES, sampling.QUERIES,
              layout.QUERIES, graphs.QUERIES, incremental.QUERIES,
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
-             registry.QUERIES]
+             quality.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

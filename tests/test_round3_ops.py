@@ -386,3 +386,30 @@ def test_merge_preserves_null_sums(spark):
     assert merged[1].sum_dec is None and direct[1].sum_dec is None
     assert merged[2].sum_dec == direct[2].sum_dec
     assert merged[1].n_events == direct[1].n_events == 2
+
+
+# ------------------------------------------------------ data validation
+
+def test_check_counts_violations_in_one_pass(spark):
+    from kmr_spark.operators.validate import (accepted_values, check,
+                                              in_range, matches, not_null,
+                                              unique)
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, "x1"), (1, "a", -2.0, "x2"),
+         (2, None, 50.0, "y9"), (3, "zz", None, "bad")],
+        "id long, cat string, v double, code string")
+    rules = [not_null("cat"), accepted_values("cat", ["a", "b"]),
+             in_range("v", 0.0, 10.0), matches("code", r"^[a-z][0-9]$"),
+             unique("id")]
+    got = {r.rule: r for r in check(df, rules).collect()}
+    assert got["not_null(cat)"].violations == 1
+    assert got["accepted_values(cat)"].violations == 1      # 'zz'; NULL skipped
+    assert got["in_range(v,0.0,10.0)"].violations == 2      # -2.0 and 50.0
+    assert got["matches(code)"].violations == 1             # 'bad'
+    assert got["unique(id)"].violations == 1                # id=1 twice
+    assert all(r.n_rows == 4 for r in got.values())
+    assert not any(r.passed for r in got.values())
+    # one aggregation pass: a clean table passes everything
+    clean = spark.createDataFrame([(7, "b", 1.0, "q3")],
+                                  "id long, cat string, v double, code string")
+    assert all(r.passed for r in check(clean, rules).collect())
