@@ -154,6 +154,7 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
     adj = canon.unionByName(
         canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    n_adj = adj.count()  # materializes the persist; sizes the loop
     visited = spark.range(1).select(
         F.lit(source).cast("long").alias("node"),
         F.lit(0).cast("long").alias("depth")).persist()
@@ -170,21 +171,22 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
                 .localCheckpoint()
             )
 
-        for d in range(1, max_depth + 1):
-            nxt = expand(frontier, d)
-            if nxt.isEmpty():
-                break
-            new_visited = visited.unionByName(nxt).localCheckpoint()
-            visited.unpersist()
-            visited = new_visited.persist()
-            frontier = nxt
-        else:
-            # the last level still discovered nodes; the traversal is
-            # complete iff one more expansion finds nothing new
-            if not expand(frontier, max_depth + 1).isEmpty():
-                raise RuntimeError(
-                    f"bfs_depths: frontier alive after {max_depth} levels")
-        out = visited.orderBy("node").localCheckpoint()
+        with sized_shuffle_partitions(spark, n_adj):
+            for d in range(1, max_depth + 1):
+                nxt = expand(frontier, d)
+                if nxt.isEmpty():
+                    break
+                new_visited = visited.unionByName(nxt).localCheckpoint()
+                visited.unpersist()
+                visited = new_visited.persist()
+                frontier = nxt
+            else:
+                # the last level still discovered nodes; the traversal
+                # is complete iff one more expansion finds nothing new
+                if not expand(frontier, max_depth + 1).isEmpty():
+                    raise RuntimeError(
+                        f"bfs_depths: frontier alive after {max_depth} levels")
+            out = visited.orderBy("node").localCheckpoint()
     finally:
         visited.unpersist()
         adj.unpersist()
