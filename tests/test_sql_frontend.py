@@ -20,6 +20,11 @@ ANSI_QUERIES = [
     "nation_balance_full_outer",
     "events_value_histogram",
     "events_exact_percentiles",
+    # round-3 families whose oracles are pure ANSI
+    "events_funnel",
+    "events_incremental_merge",
+    "events_value_rank",
+    "events_enriched_streamed",
 ]
 
 
