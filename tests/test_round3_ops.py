@@ -413,3 +413,30 @@ def test_check_counts_violations_in_one_pass(spark):
     clean = spark.createDataFrame([(7, "b", 1.0, "q3")],
                                   "id long, cat string, v double, code string")
     assert all(r.passed for r in check(clean, rules).collect())
+
+
+# ------------------------------------------------------------ Python UDTF
+
+def test_udtf_matches_codegen_explode(spark):
+    from kmr_spark.functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, ""), (3, None)], "id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.id, t.word, t.pos FROM udtf_docs d, "
+        "LATERAL split_words(d.text) t").collect()
+    ref = []
+    for rid, text in [(1, "the quick fox"), (2, ""), (3, None)]:
+        for i, w in enumerate((text or "").split()):
+            ref.append((rid, w, i))
+    assert sorted((r.id, r.word, r.pos) for r in via_udtf) == sorted(ref)
+
+
+def test_char_ngrams_udtf(spark):
+    from kmr_spark.functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT t.ngram FROM (SELECT 'abcd' AS s) x, "
+        "LATERAL char_ngrams(x.s) t").collect()
+    assert sorted(r.ngram for r in rows) == ["abc", "bcd"]
