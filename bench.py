@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "graph_bfs",
     "events_enriched_streamed",
     "validate_events",
+    "events_state_streamed",
 ]
 
 

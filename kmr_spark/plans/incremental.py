@@ -108,5 +108,45 @@ ORDER BY a.user_id
 """
 
 
-QUERIES = {"events_incremental_merge": events_incremental_merge}
-ORACLE_SQL = {"events_incremental_merge": INCREMENTAL_MERGE_SQL}
+def events_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the incremental merge: replay the events
+    stream and maintain the per-user state table through a foreachBatch
+    MERGE (streaming/windows.py merge_stream_to_state). The final state
+    must equal the single-pass batch aggregate however the replay was
+    split into micro-batches — same oracle as events_incremental_merge.
+    """
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (merge_stream_to_state,
+                                             sized_state_partitions,
+                                             stream_events)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    try:
+        from kmr_spark.streaming.windows import _state_sizing
+        with _state_sizing(spark, sized_state_partitions(spark, sf_dir)):
+            state = merge_stream_to_state(stream_events(spark, sf_dir), st, ck)
+        out = state.select(
+            "user_id", "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+        ).orderBy("user_id")
+        # the state files are about to be deleted; pin the rows first
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(st, ignore_errors=True)
+
+
+QUERIES = {
+    "events_incremental_merge": events_incremental_merge,
+    "events_state_streamed": events_state_streamed,
+}
+ORACLE_SQL = {
+    "events_incremental_merge": INCREMENTAL_MERGE_SQL,
+    "events_state_streamed": INCREMENTAL_MERGE_SQL,
+}

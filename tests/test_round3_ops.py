@@ -440,3 +440,25 @@ def test_char_ngrams_udtf(spark):
         "SELECT t.ngram FROM (SELECT 'abcd' AS s) x, "
         "LATERAL char_ngrams(x.s) t").collect()
     assert sorted(r.ngram for r in rows) == ["abc", "bcd"]
+
+
+# ------------------------------------------------- streaming state merge
+
+def test_stream_state_merge_restart_is_idempotent(spark, tmp_path):
+    from kmr_spark.streaming.windows import (merge_stream_to_state,
+                                             stream_events)
+    ck, st = str(tmp_path / "ck"), str(tmp_path / "state")
+    ev = stream_events(spark, SF_SMALL)
+    first = merge_stream_to_state(ev, st, ck)
+    rows1 = sorted((r.user_id, r.n_events, r.sum_dec) for r in first.collect())
+    # restart against the same checkpoint: no new input, state unchanged
+    again = merge_stream_to_state(stream_events(spark, SF_SMALL), st, ck)
+    rows2 = sorted((r.user_id, r.n_events, r.sum_dec) for r in again.collect())
+    assert rows1 == rows2
+    # and the state equals the direct batch aggregate
+    from kmr_spark.plans.incremental import _user_state
+    from kmr_spark.session import load_tables
+    direct = sorted(
+        (r.user_id, r.n_events, r.sum_dec)
+        for r in _user_state(load_tables(spark, SF_SMALL)["events"]).collect())
+    assert rows1 == direct
