@@ -35,10 +35,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # 1. gate the batch: refuse to publish if any rule fails
-    report = validate_events(spark, sf_dir)
-    report.show(truncate=False)
-    failed = report.filter(~F.col("passed")).count()
-    print(f"quality gate: {'PASS' if failed == 0 else f'{failed} rule(s) FAILED'}")
+    report_rows = validate_events(spark, sf_dir).collect()
+    for r in report_rows:
+        print(f"  {'PASS' if r.passed else 'FAIL':4s} {r.rule}: "
+              f"{r.violations}/{r.n_rows} violations")
+    failed = sum(1 for r in report_rows if not r.passed)
+    if failed:
+        print(f"quality gate: {failed} rule(s) FAILED — batch NOT published")
+        spark.stop()
+        sys.exit(1)
+    print("quality gate: PASS")
 
     # 2. incremental state maintenance: snapshot + this batch's delta
     ev = load_tables(spark, sf_dir)["events"]
@@ -59,7 +65,7 @@ def main() -> None:
 
     # 5. export the violation report for non-Spark consumers
     out = os.path.join(tempfile.mkdtemp(prefix="ingest_gate_"), "report")
-    save_jsonl(report, out)
+    save_jsonl(spark.createDataFrame(report_rows), out)
     print(f"violation report exported to {out}")
 
     spark.stop()

@@ -90,15 +90,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job both consume it, and the chunking explode is the corpus-sized
     # stage — without the persist it runs twice
     chunks = chunk_documents(docs, size=200, overlap=20).persist()
-    packed = pack_chunks(chunks)
-    out = (
-        packed.groupBy("shard", "bin_id")
-        .agg(F.count("*").alias("n_chunks"),
-             F.sum("chunk_len").alias("fill"),
-             F.sum(F.col("doc_id") * 7 + F.col("chunk_id")).alias("id_sum"))
-        .orderBy("shard", "bin_id")
-    )
-    return materialize_release(out, chunks)
+    try:
+        packed = pack_chunks(chunks)
+        out = (
+            packed.groupBy("shard", "bin_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("chunk_len").alias("fill"),
+                 F.sum(F.col("doc_id") * 7 + F.col("chunk_id")).alias("id_sum"))
+            .orderBy("shard", "bin_id")
+        )
+        return materialize_release(out, chunks)
+    except Exception:
+        chunks.unpersist()
+        raise
 
 
 PACK_SEQUENCES_SQL = f"""

@@ -154,11 +154,12 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
     adj = canon.unionByName(
         canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
-    n_adj = adj.count()  # materializes the persist; sizes the loop
-    visited = spark.range(1).select(
-        F.lit(source).cast("long").alias("node"),
-        F.lit(0).cast("long").alias("depth")).persist()
+    visited = None
     try:
+        n_adj = adj.count()  # materializes the persist; sizes the loop
+        visited = spark.range(1).select(
+            F.lit(source).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("depth")).persist()
         frontier = visited
 
         def expand(front: DataFrame, d: int) -> DataFrame:
@@ -188,7 +189,8 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
                         f"bfs_depths: frontier alive after {max_depth} levels")
             out = visited.orderBy("node").localCheckpoint()
     finally:
-        visited.unpersist()
+        if visited is not None:
+            visited.unpersist()
         adj.unpersist()
     return out
 

@@ -125,8 +125,9 @@ def events_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
     st = tempfile.mkdtemp(prefix="kmr_stream_state_")
     try:
-        from kmr_spark.streaming.windows import _state_sizing
-        with _state_sizing(spark, sized_state_partitions(spark, sf_dir)):
+        from kmr_spark.session import sized_shuffle_partitions
+        with sized_shuffle_partitions(
+                spark, n_partitions=sized_state_partitions(spark, sf_dir)):
             state = merge_stream_to_state(stream_events(spark, sf_dir), st, ck)
         out = state.select(
             "user_id", "n_events",

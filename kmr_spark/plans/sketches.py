@@ -117,8 +117,8 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     # engines; the branch is then table lookup, not float math.
     lc = None
     for vz, est_v in _LINEAR_COUNT.items():
-        br = F.when(v == F.lit(vz), F.lit(est_v))
-        lc = br if lc is None else lc.when(v == F.lit(vz), F.lit(est_v))
+        lc = (F.when(v == F.lit(vz), F.lit(est_v)) if lc is None
+              else lc.when(v == F.lit(vz), F.lit(est_v)))
     est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
     return per_group.select(
         F.col(group),

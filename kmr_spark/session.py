@@ -58,13 +58,23 @@ class sized_shuffle_partitions:
     session value is non-numeric, the manager is a no-op.
     """
 
-    def __init__(self, spark: SparkSession, n_rows: int,
-                 rows_per_partition: int = 100_000, floor: int = 8):
+    def __init__(self, spark: SparkSession, n_rows: int | None = None,
+                 rows_per_partition: int = 100_000, floor: int = 8,
+                 n_partitions: int | None = None):
+        """Derive the pinned count from ``n_rows``, or pin an explicit
+        ``n_partitions`` (the streaming replay runners pass a
+        bytes-derived value that may legitimately exceed the session
+        default). With neither, the manager is a no-op."""
         self.spark = spark
         try:
             self.old = spark.conf.get("spark.sql.shuffle.partitions")
-            self.n = max(floor, min(int(self.old),
-                                    -(-n_rows // rows_per_partition)))
+            if n_partitions is not None:
+                self.n = n_partitions
+            elif n_rows is not None:
+                self.n = max(floor, min(int(self.old),
+                                        -(-n_rows // rows_per_partition)))
+            else:
+                self.n = None
         except ValueError:
             self.n = None
 

@@ -15,9 +15,12 @@ it are dropped and their state evicted); all windows are keyed by
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kmr_spark.session import sized_shuffle_partitions
 
 WATERMARK = "1 hour"
 
@@ -191,12 +194,27 @@ def merge_stream_to_state(events: DataFrame, state_dir: str,
         # version strictly OLDER than this batch — a re-run of batch N
         # re-reads state N-1 and deterministically rewrites vN, never
         # double-merging its own previous partial output
+        existing = _versions()
+        if any(vid > batch_id for vid in existing):
+            # a fresh checkpoint restarts batch ids at 0; pairing it
+            # with a state_dir from another run would silently return
+            # the stale higher-numbered version at the end
+            raise ValueError(
+                f"state_dir has versions {existing} newer than batch "
+                f"{batch_id}; state_dir and checkpoint_dir belong to "
+                "different runs — clear one of them")
         delta = _user_state(batch_df)
-        prior = [vid for vid in _versions() if vid < batch_id]
+        prior = [vid for vid in existing if vid < batch_id]
         merged = (delta if not prior
                   else merge_user_state(_read_version(prior[-1]), delta))
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}"))
+        # prune superseded versions, but KEEP the direct predecessor:
+        # if this batch's checkpoint commit fails, the replay re-reads
+        # it. Anything older can never be read again.
+        for vid in prior[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{vid}"),
+                          ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)
@@ -315,26 +333,6 @@ def sized_state_partitions(spark: SparkSession, sf_dir: str,
     return max(floor, min(cap, -(-size // target_bytes)))
 
 
-class _state_sizing:
-    """Context manager: pin spark.sql.shuffle.partitions (the state
-    partition count for NEW streaming queries) for the duration of a
-    replay, restoring the session default afterwards. A no-op when n
-    is None."""
-
-    def __init__(self, spark: SparkSession, n: int | None):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        if self.n is not None:
-            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc):
-        if self.n is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
-        return False
-
-
 def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
                                  checkpoint_dir: str,
                                  state_partitions: int | None = None) -> DataFrame:
@@ -347,7 +345,8 @@ def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
     the watermark passed — bounded-replay tails stay in state, so gate
     aggregates through the memory sink instead.
     """
-    with _state_sizing(stream_df.sparkSession, state_partitions):
+    with sized_shuffle_partitions(stream_df.sparkSession,
+                                  n_partitions=state_partitions):
         q = (
             stream_df.writeStream.format("parquet")
             .outputMode("append")
@@ -377,7 +376,8 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
             output_mode = "complete"
         else:
             output_mode = "append"
-    with _state_sizing(stream_df.sparkSession, state_partitions):
+    with sized_shuffle_partitions(stream_df.sparkSession,
+                                  n_partitions=state_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
