@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_enriched_streamed",
     "validate_events",
     "events_state_streamed",
+    "text_normalize",
 ]
 
 

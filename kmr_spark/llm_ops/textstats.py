@@ -377,6 +377,39 @@ GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
 
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every corpus
+    build: collapse all whitespace runs to single spaces, trim, and
+    report the cleaned form's length + digest so downstream exact-dedup
+    keys on the NORMALIZED text (whitespace-only variants collapse).
+
+    Pure codegen regexp_replace with patterns in the Java∩RE2-safe
+    subset (character classes + quantifiers only), so the DuckDB twin
+    is literal. At 100 TB this runs at the scan and the raw text never
+    moves — only (doc_id, digest, lengths) shuffle.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    cleaned = F.trim(F.regexp_replace("text", r"[ \t\r\n]+", " "))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("raw_len"),
+            F.length(cleaned).alias("clean_len"),
+            F.md5(cleaned).alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       length(text) AS raw_len,
+       length(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS clean_len,
+       md5(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS clean_md5
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": doc_textstats,
     "text_token_counts": doc_token_counts,
@@ -385,6 +418,7 @@ QUERIES = {
     "text_quality_filter": doc_quality_filter,
     "text_tfidf_top_terms": doc_tfidf_top_terms,
     "text_bigram_lm": doc_bigram_lm,
+    "text_normalize": doc_normalize,
 }
 
 ORACLE_SQL = {
@@ -395,4 +429,5 @@ ORACLE_SQL = {
     "text_quality_filter": QUALITY_FILTER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "text_bigram_lm": BIGRAM_LM_SQL,
+    "text_normalize": NORMALIZE_SQL,
 }
