@@ -188,3 +188,60 @@ def test_pack_matches_sequential_scan(spark, sizes, capacity):
         before = cum.get(sh, 0)
         assert out[d] == (sh, before // capacity, before % capacity)
         cum[sh] = before + sz
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0, max_size=80,
+)
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_triangle_census_matches_bruteforce(spark, edges):
+    import itertools
+
+    from kmr_spark.plans.graphs import canonicalize_edges, triangle_census
+
+    df = spark.createDataFrame(edges, "src long, dst long") if edges else \
+        spark.createDataFrame([], "src long, dst long")
+    r = triangle_census(canonicalize_edges(df)).collect()[0]
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    tri = sum(1 for x, y, z in itertools.combinations(nodes, 3)
+              if (x, y) in es and (x, z) in es and (y, z) in es)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (len(nodes), len(es), tri)
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 6),              # user_id
+              st.integers(0, 10**6),          # ts offset seconds
+              st.integers(0, 10**6),          # event_id
+              st.sampled_from(["a", "b"]),
+              st.one_of(st.none(),
+                        st.floats(-100, 100, allow_nan=False))),
+    min_size=1, max_size=40, unique_by=lambda t: t[2],
+)
+
+
+@given(rows=events_strategy, cut=st.integers(0, 10**6))
+@SETTINGS
+def test_merge_user_state_associativity_random(spark, rows, cut):
+    from kmr_spark.plans.incremental import _user_state, merge_user_state
+
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:00", e, t, v) for u, _, e, t, v in rows],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # split by event_id hash instead of ts (harsher than a time split:
+    # both sides interleave in event time)
+    left = df.filter(F.col("event_id") % 7 <= cut % 7)
+    right = df.filter(F.col("event_id") % 7 > cut % 7)
+    merged = {r.user_id: r for r in
+              merge_user_state(_user_state(left), _user_state(right)).collect()}
+    direct = {r.user_id: r for r in _user_state(df).collect()}
+    assert set(merged) == set(direct)
+    for uid in direct:
+        assert merged[uid].n_events == direct[uid].n_events
+        assert merged[uid].sum_dec == direct[uid].sum_dec
+        assert merged[uid].last == direct[uid].last
