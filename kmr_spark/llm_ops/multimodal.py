@@ -197,11 +197,13 @@ def _parse_bmp(raw: bytes, ctx: object = "") -> dict:
     if size != len(raw) or planes != 1 or hdr_sz < 40:
         raise ValueError(f"{ctx}: malformed BMP header")
     stride = ((w * (bpp // 8) + 3) // 4) * 4
-    psum = 0
-    for y in range(abs(h)):
-        start = off + y * stride
-        psum += sum(raw[start:start + w * (bpp // 8)])
-    return {"off": off, "width": w, "height": abs(h), "bpp": bpp,
+    habs = abs(h)
+    if len(raw) < off + habs * stride:
+        raise ValueError(f"{ctx}: pixel array truncated")
+    import numpy as np
+    arr = np.frombuffer(raw, dtype=np.uint8, count=habs * stride, offset=off)
+    psum = int(arr.reshape(habs, stride)[:, :w * (bpp // 8)].sum())
+    return {"off": off, "width": w, "height": habs, "bpp": bpp,
             "stride": stride, "n_bytes": len(raw), "pixel_sum": psum}
 
 
@@ -235,6 +237,8 @@ def encode_docs_as_gradient_bmp(docs: DataFrame) -> DataFrame:
     can't distinguish a correct nearest-neighbor map from a wrong one;
     this gradient makes the resize oracle exact."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -244,14 +248,13 @@ def encode_docs_as_gradient_bmp(docs: DataFrame) -> DataFrame:
                 h = (did % 17) + 2
                 fill = did % 251
                 stride = ((w * 3 + 3) // 4) * 4
-                rows = []
-                for y in range(h):
-                    row = b"".join(
-                        bytes([(fill + 3 * x + 5 * y) % 251]) * 3
-                        for x in range(w))
-                    rows.append(row + b"\0" * (stride - w * 3))
-                pixels = b"".join(rows)
-                payloads.append(bytearray(_bmp_encode(w, h, pixels)))
+                # vectorized gradient: broadcast (fill + 3x + 5y) % 251
+                # over the grid, replicate to 3 channels, stride-pad
+                grad = ((fill + 3 * np.arange(w)[None, :]
+                         + 5 * np.arange(h)[:, None]) % 251).astype(np.uint8)
+                padded = np.zeros((h, stride), dtype=np.uint8)
+                padded[:, :w * 3] = np.repeat(grad, 3, axis=1)
+                payloads.append(bytearray(_bmp_encode(w, h, padded.tobytes())))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.filter(F.col("text").isNotNull()).select(
@@ -270,6 +273,8 @@ def resize_bmp_nn(df: DataFrame, out_w: int, out_h: int,
     if out_w < 1 or out_h < 1:
         raise ValueError(f"output dims must be >= 1, got {out_w}x{out_h}")
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
@@ -281,17 +286,20 @@ def resize_bmp_nn(df: DataFrame, out_w: int, out_h: int,
                 w, h, stride = src["width"], src["height"], src["stride"]
                 off = src["off"]
                 out_stride = ((out_w * 3 + 3) // 4) * 4
-                rows = []
-                for yo in range(out_h):
-                    base = off + (yo * h // out_h) * stride
-                    row = b"".join(
-                        raw[base + (xo * w // out_w) * 3:
-                            base + (xo * w // out_w) * 3 + 3]
-                        for xo in range(out_w))
-                    rows.append(row + b"\0" * (out_stride - out_w * 3))
-                pixels = b"".join(rows)
+                # vectorized gather: view the padded pixel array as
+                # (h, stride) bytes, take the NN index map rows/cols in
+                # one fancy-index, then pad each output row's stride
+                arr = np.frombuffer(raw, dtype=np.uint8,
+                                    count=h * stride, offset=off)
+                px = arr.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                resized = px[yi][:, xi]  # (out_h, out_w, 3)
+                padded = np.zeros((out_h, out_stride), dtype=np.uint8)
+                padded[:, :out_w * 3] = resized.reshape(out_h, out_w * 3)
                 ids.append(int(did))
-                payloads.append(bytearray(_bmp_encode(out_w, out_h, pixels)))
+                payloads.append(bytearray(
+                    _bmp_encode(out_w, out_h, padded.tobytes())))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")
@@ -611,6 +619,8 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     features into the relational side.
     """
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
@@ -622,20 +632,20 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
                 w, h, stride = f["width"], f["height"], f["stride"]
                 off = f["off"]
                 bpx = f["bpp"] // 8
-                hist = [0] * N_HIST_BINS
-                total = 0
-                for y in range(h):
-                    row = raw[off + y * stride: off + y * stride + w * bpx]
-                    for x in range(w):
-                        v = row[x * bpx]  # blue channel (gray: B==G==R)
-                        total += v
-                        hist[min(v // 32, N_HIST_BINS - 1)] += 1
+                # vectorized channel extract + histogram: blue channel
+                # is every bpx-th byte of each unpadded row (gray:
+                # B==G==R); bincount over v//32 builds all bins at once
+                arr = np.frombuffer(raw, dtype=np.uint8,
+                                    count=h * stride, offset=off)
+                blue = arr.reshape(h, stride)[:, :w * bpx:bpx]
+                bins = np.minimum(blue // 32, N_HIST_BINS - 1)
+                hist = np.bincount(bins.ravel(), minlength=N_HIST_BINS)
                 out["doc_id"].append(int(did))
                 out["width"].append(w)
                 out["height"].append(h)
-                out["px_mean"].append(total / (w * h))
+                out["px_mean"].append(int(blue.sum()) / (w * h))
                 for i in range(N_HIST_BINS):
-                    out[f"h{i}"].append(hist[i])
+                    out[f"h{i}"].append(int(hist[i]))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
