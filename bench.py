@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "validate_events",
     "events_state_streamed",
     "text_normalize",
+    "events_retention_cohorts",
 ]
 
 

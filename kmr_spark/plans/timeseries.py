@@ -127,11 +127,45 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each subsequent active day offset — the canonical
+    product-analytics rollup. Two keyed aggregates + one user-keyed
+    join; the matrix itself is |cohorts| x |offsets| (tiny at any
+    scale), so nothing after the per-user aggregate is corpus-sized."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_day",
+                 F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
     "events_funnel": FUNNEL_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
 }

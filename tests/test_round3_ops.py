@@ -462,3 +462,21 @@ def test_stream_state_merge_restart_is_idempotent(spark, tmp_path):
         (r.user_id, r.n_events, r.sum_dec)
         for r in _user_state(load_tables(spark, SF_SMALL)["events"]).collect())
     assert rows1 == direct
+
+
+def test_retention_cohort_matrix_invariants(spark):
+    from kmr_spark.plans.timeseries import events_retention_cohorts
+    from kmr_spark.session import load_tables
+    rows = events_retention_cohorts(spark, SF_SMALL).collect()
+    ev = load_tables(spark, SF_SMALL)["events"].select("user_id").distinct()
+    n_users = ev.count()
+    # day-0 cells partition the user base: every user appears in
+    # exactly one cohort at offset 0
+    day0 = sum(r.n_active for r in rows if r.day_offset == 0)
+    assert day0 == n_users
+    # offsets are non-negative and each cohort's offset-k count never
+    # exceeds its day-0 size
+    base = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.day_offset >= 0
+        assert r.n_active <= base[r.cohort_day]
