@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_state_streamed",
     "text_normalize",
     "events_retention_cohorts",
+    "events_anomaly_zscore",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Time-series resampling and funnel analysis over the events table.
+"""Time-series analytics over the events table: resample/gap-fill,
+ordered funnels, cohort retention, and z-score anomaly flags.
 
-Two shapes every event-analytics engine must express:
+The core shapes every event-analytics engine must express:
 
 - resample/gap-fill: a dense hourly spine per event_type with zero-fill
   for empty hours and forward-fill of the last observed aggregate — the
@@ -159,13 +160,73 @@ ORDER BY cohort_day, day_offset
 """
 
 
+Z_FLAG = 2.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomaly detection per event_type: z-score of each
+    hour's count against the type's own distribution, flagging |z| >
+    Z_FLAG. The moments come from INTEGER sums (n, S=Σc, Q=Σc² — all
+    exact in int64), and variance uses the single fixed form
+    (n·Q − S²)/n², so the float part is one division + sqrt computed
+    identically in both engines — a monitoring operator whose flags are
+    oracle-exact, not tolerance-compared.
+
+    Scale: hourly counts are a map-side-combinable aggregate; the
+    per-type moment fold is |types| rows and broadcasts back. Nothing
+    after the first aggregate is corpus-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"))
+    mean = F.col("s") / F.col("nh")
+    var = (F.col("nh") * F.col("q") - F.col("s") * F.col("s")) \
+        / (F.col("nh") * F.col("nh"))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select("event_type", "hour_ts", "n", z.alias("z"),
+                (F.abs(z) > F.lit(Z_FLAG)).alias("is_anomaly"))
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+stats AS (
+  SELECT event_type, COUNT(*) AS nh, SUM(n) AS s, SUM(n * n) AS q
+  FROM hourly GROUP BY event_type),
+z AS (
+  SELECT h.event_type, h.hour_ts, h.n,
+         -- numerators stay exact integers (like Spark's long
+         -- arithmetic); the ONLY float ops are the final divisions
+         -- and sqrt, so z is bit-identical across engines
+         (h.n - CAST(st.s AS DOUBLE) / CAST(st.nh AS DOUBLE))
+           / sqrt(CAST(st.nh * st.q - st.s * st.s AS DOUBLE)
+                  / CAST(st.nh * st.nh AS DOUBLE)) AS z
+  FROM hourly h JOIN stats st ON h.event_type = st.event_type)
+SELECT event_type, hour_ts, n, z, abs(z) > {Z_FLAG} AS is_anomaly
+FROM z ORDER BY event_type, hour_ts
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_anomaly_zscore": events_anomaly_zscore,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_retention_cohorts": RETENTION_SQL,
+    "events_anomaly_zscore": ANOMALY_SQL,
 }

@@ -480,3 +480,22 @@ def test_retention_cohort_matrix_invariants(spark):
     for r in rows:
         assert r.day_offset >= 0
         assert r.n_active <= base[r.cohort_day]
+
+
+def test_anomaly_zscore_moments(spark):
+    import math
+
+    from kmr_spark.plans.timeseries import events_anomaly_zscore
+    rows = events_anomaly_zscore(spark, SF_SMALL).collect()
+    import collections
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        ns = [r.n for r in rs]
+        mean = sum(ns) / len(ns)
+        var = (len(ns) * sum(x * x for x in ns) - sum(ns) ** 2) / len(ns) ** 2
+        for r in rs:
+            assert math.isclose(r.z, (r.n - mean) / math.sqrt(var),
+                                rel_tol=1e-12)
+            assert r.is_anomaly == (abs(r.z) > 2.0)
