@@ -58,9 +58,45 @@ def unique(col: str) -> Rule:
                 table_violations=F.count(col) - F.countDistinct(col))
 
 
-def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Evaluate the rule suite in one aggregation pass; returns
-    (rule, violations, n_rows, passed) ordered by rule name."""
+def referential(col: str, dim: DataFrame, dim_col: str) -> "RefRule":
+    """Foreign-key constraint: every non-null ``col`` value must exist
+    in ``dim[dim_col]``. Evaluated as a left-anti join (one shuffle,
+    broadcastable when the dimension is small) — the one rule class
+    that can't ride the single-pass aggregate."""
+    return RefRule(f"referential({col})", col, dim, dim_col)
+
+
+@dataclass(frozen=True)
+class RefRule:
+    name: str
+    col: str
+    dim: DataFrame
+    dim_col: str
+
+
+def check(df: DataFrame, rules: list[Rule | RefRule]) -> DataFrame:
+    """Evaluate the rule suite; row-level and uniqueness rules share ONE
+    aggregation pass, referential rules each add one anti-join count.
+    Returns (rule, violations, n_rows, passed) ordered by rule name."""
+    ref_rules = [r for r in rules if isinstance(r, RefRule)]
+    rules = [r for r in rules if not isinstance(r, RefRule)]
+    out = _check_agg(df, rules)
+    if ref_rules:
+        n = df.count()
+        for rr in ref_rules:
+            probe = df.select(F.col(rr.col).alias("__k")).filter(
+                F.col("__k").isNotNull())
+            dim_keys = rr.dim.select(F.col(rr.dim_col).alias("__k")).distinct()
+            viol = probe.join(dim_keys, "__k", "left_anti").count()
+            row = df.sparkSession.createDataFrame(
+                [(rr.name, viol, n, viol == 0)],
+                "rule string, violations long, n_rows long, passed boolean")
+            out = out.unionByName(row)
+    return out.orderBy("rule")
+
+
+def _check_agg(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """The single-pass aggregate for row-level + uniqueness rules."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
         if r.violation is not None:

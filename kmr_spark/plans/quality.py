@@ -10,15 +10,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kmr_spark.operators.validate import (accepted_values, check, in_range,
-                                          matches, not_null, unique)
+                                          matches, not_null, referential,
+                                          unique)
 from kmr_spark.session import load_tables
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"]
+    tables = load_tables(spark, sf_dir)
+    ev = tables["events"]
     rules = [
+        referential("user_id", tables["customer"], "c_custkey"),
         not_null("event_id"),
         not_null("ts"),
         not_null("user_id"),
@@ -44,7 +47,10 @@ WITH wide AS (
                    AND (value < 0.0 OR value > 1000000.0) THEN 1 ELSE 0 END)::BIGINT AS v_range,
          SUM(CASE WHEN props IS NOT NULL
                    AND NOT regexp_matches(props, '^\\{{.*\\}}$') THEN 1 ELSE 0 END)::BIGINT AS v_props,
-         COUNT(event_id) - COUNT(DISTINCT event_id)::BIGINT AS v_uniq
+         COUNT(event_id) - COUNT(DISTINCT event_id)::BIGINT AS v_uniq,
+         SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN
+                  (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)::BIGINT
+           AS v_ref
   FROM events)
 SELECT r.rule, r.violations, w.n_rows, r.violations = 0 AS passed
 FROM wide w, LATERAL (VALUES
@@ -54,7 +60,8 @@ FROM wide w, LATERAL (VALUES
   ('accepted_values(event_type)', w.v_type),
   ('in_range(value,0.0,1000000.0)', w.v_range),
   ('matches(props)', w.v_props),
-  ('unique(event_id)', w.v_uniq)) AS r(rule, violations)
+  ('unique(event_id)', w.v_uniq),
+  ('referential(user_id)', w.v_ref)) AS r(rule, violations)
 ORDER BY r.rule
 """
 

@@ -499,3 +499,15 @@ def test_anomaly_zscore_moments(spark):
             assert math.isclose(r.z, (r.n - mean) / math.sqrt(var),
                                 rel_tol=1e-12)
             assert r.is_anomaly == (abs(r.z) > 2.0)
+
+
+def test_referential_rule_counts_orphans(spark):
+    from kmr_spark.operators.validate import check, referential
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    got = {r.rule: r for r in
+           check(facts, [referential("fk", dim, "k")]).collect()}
+    r = got["referential(fk)"]
+    assert r.violations == 1 and not r.passed  # fk=99; NULL skipped
+    assert r.n_rows == 4
