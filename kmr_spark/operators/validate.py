@@ -80,7 +80,11 @@ def check(df: DataFrame, rules: list[Rule | RefRule]) -> DataFrame:
     Returns (rule, violations, n_rows, passed) ordered by rule name."""
     ref_rules = [r for r in rules if isinstance(r, RefRule)]
     rules = [r for r in rules if not isinstance(r, RefRule)]
-    out = _check_agg(df, rules)
+    if rules:
+        out = _check_agg(df, rules)
+    else:  # explode of a zero-element array has VOID type — skip it
+        out = df.sparkSession.createDataFrame(
+            [], "rule string, violations long, n_rows long, passed boolean")
     if ref_rules:
         n = df.count()
         for rr in ref_rules:
