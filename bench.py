@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "events_retention_cohorts",
     "events_anomaly_zscore",
+    "events_conversion_lag",
 ]
 
 

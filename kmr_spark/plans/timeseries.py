@@ -84,12 +84,9 @@ ORDER BY s.event_type, s.hour_ts
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered conversion funnel: users whose first 'view'
-    precedes a 'click' that precedes a 'purchase'. One row:
-    (n_users, n_view, n_view_click, n_full_funnel)."""
-    ev = load_tables(spark, sf_dir)["events"].select(
-        "user_id", "event_type", "ts")
+def _funnel_steps(ev: DataFrame):
+    """Per-user first-step timestamps (t0, t1, t2) of the strict
+    view -> click -> purchase chain."""
     v = (ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
          .groupBy("user_id").agg(F.min("ts").alias("t0")))
     c = (ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -100,6 +97,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(c, "user_id")
          .filter(F.col("ts") > F.col("t1"))
          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    return v, c, p
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first 'view'
+    precedes a 'click' that precedes a 'purchase'. One row:
+    (n_users, n_view, n_view_click, n_full_funnel)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts")
+    v, c, p = _funnel_steps(ev)
     n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
     return (
         n_users
@@ -218,15 +225,57 @@ FROM z ORDER BY event_type, hour_ts
 """
 
 
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for fully-funneled users: whole seconds from the
+    first view to the first qualifying purchase. Lags are INTEGER
+    second differences, so min/max/sum are exact and the mean is one
+    exact division — portable without tolerance. One summary row."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts")
+    v, _, p = _funnel_steps(ev)
+    lag = (p.join(v, "user_id")
+           .select((F.unix_timestamp("t2") - F.unix_timestamp("t0"))
+                   .alias("lag_s")))
+    return lag.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lag_s").alias("min_s"),
+        F.max("lag_s").alias("max_s"),
+        (F.sum("lag_s") / F.count("*")).alias("avg_s"))
+
+
+CONVERSION_LAG_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id),
+lag AS (
+  SELECT CAST(floor(epoch(p.t2)) - floor(epoch(v.t0)) AS BIGINT) AS lag_s
+  FROM p JOIN v ON p.user_id = v.user_id)
+SELECT COUNT(*) AS n_converted,
+       MIN(lag_s) AS min_s, MAX(lag_s) AS max_s,
+       CAST(SUM(lag_s) AS DOUBLE) / COUNT(*) AS avg_s
+FROM lag
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_conversion_lag": events_conversion_lag,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_retention_cohorts": RETENTION_SQL,
     "events_anomaly_zscore": ANOMALY_SQL,
+    "events_conversion_lag": CONVERSION_LAG_SQL,
 }
