@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "events_anomaly_zscore",
     "events_conversion_lag",
+    "events_hll_hourly",
 ]
 
 

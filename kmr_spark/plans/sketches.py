@@ -90,20 +90,24 @@ def _sql_linear_count(v: str) -> str:
     return f"(CASE {whens} END)"
 
 
-def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
-    """(group, hll_est, n_registers_hit) via portable HLL-64."""
+def hll_distinct(df: DataFrame, key: str,
+                 group: str | list[str]) -> DataFrame:
+    """(group..., hll_est, n_registers_hit) via portable HLL-64;
+    ``group`` may be one column or a composite key list."""
+    groups = [group] if isinstance(group, str) else list(group)
     h = _hash31(F.col(key))
     bucket = h % HLL_M
     w = (h / HLL_M).cast("long")
     regs = (
-        df.select(F.col(group), bucket.alias("bucket"), _rho_when(w).alias("rho"))
-        .groupBy(group, "bucket")
+        df.select(*[F.col(g) for g in groups], bucket.alias("bucket"),
+                  _rho_when(w).alias("rho"))
+        .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
     # sum(2^-M_j) over present registers; absent registers contribute
     # 2^0 = 1 each. All terms are dyadic rationals with tiny exponent
     # spread, so the double sum is exact and order-independent.
-    per_group = regs.groupBy(group).agg(
+    per_group = regs.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("present_sum"),
         F.count("*").alias("n_present"),
     )
@@ -121,7 +125,7 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
               else lc.when(v == F.lit(vz), F.lit(est_v)))
     est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
     return per_group.select(
-        F.col(group),
+        *[F.col(g) for g in groups],
         est.alias("hll_est"),
         F.col("n_present").cast("long").alias("n_registers_hit"),
     )
@@ -178,6 +182,56 @@ SELECT a.event_type, e.n_exact, a.hll_est, a.n_registers_hit
 FROM approx a JOIN exact e ON a.event_type = e.event_type
 ORDER BY a.event_type
 """
+
+
+def events_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches compose with windows: per (event_type, hour) HLL-64
+    distinct users — the shape of a streaming-dashboard rollup where
+    per-window distinct counts must stay constant-state and mergeable.
+    Group key is composite; everything else is the same portable
+    register pipeline as events_hll_users."""
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "hour_ts", F.date_trunc("hour", "ts"))
+    return (
+        hll_distinct(ev, "user_id", ["event_type", "hour_ts"])
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+def _hll_hourly_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         {_sql_hash31('user_id')} AS h
+  FROM events),
+rows_ AS (
+  SELECT event_type, hour_ts, h % {HLL_M} AS bucket,
+         {_sql_rho(f"(h // {HLL_M})")} AS rho
+  FROM hashed),
+regs AS (
+  SELECT event_type, hour_ts, bucket, MAX(rho) AS m_j
+  FROM rows_ GROUP BY event_type, hour_ts, bucket),
+per_group AS (
+  SELECT event_type, hour_ts,
+         SUM(POWER(2.0, -m_j)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type, hour_ts),
+est AS (
+  SELECT event_type, hour_ts, n_present,
+         {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+           AS raw,
+         {HLL_M} - n_present AS v
+  FROM per_group)
+SELECT event_type, hour_ts,
+       CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
+            THEN {_sql_linear_count('v')}
+            ELSE raw END AS hll_est,
+       CAST(n_present AS BIGINT) AS n_registers_hit
+FROM est ORDER BY event_type, hour_ts
+"""
+
+
+HLL_HOURLY_SQL = _hll_hourly_sql()
 
 
 N_QBUCKETS = 256
@@ -281,9 +335,11 @@ SKETCH_QUANTILES_SQL = _sketch_quantiles_sql()
 
 QUERIES = {
     "events_hll_users": events_hll_users,
+    "events_hll_hourly": events_hll_hourly,
     "events_sketch_quantiles": events_sketch_quantiles,
 }
 ORACLE_SQL = {
     "events_hll_users": EVENTS_HLL_SQL,
+    "events_hll_hourly": HLL_HOURLY_SQL,
     "events_sketch_quantiles": SKETCH_QUANTILES_SQL,
 }
