@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     "events_conversion_lag",
     "events_hll_hourly",
+    "emb_dim_stats",
 ]
 
 

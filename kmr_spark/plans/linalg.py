@@ -66,5 +66,55 @@ GROUP BY a.i, b.j ORDER BY a.i, b.j
 """
 
 
-QUERIES = {"linalg_matmul": matmul}
-ORACLE_SQL = {"linalg_matmul": MATMUL_SQL}
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension normalization statistics over the embeddings
+    corpus — the whitening-prep pass every embedding pipeline runs
+    before indexing/training: for each of the 64 dimensions, the count,
+    mean, and variance of that coordinate.
+
+    Exactness: per-value float->DECIMAL(20,12) casts are deterministic,
+    DECIMAL sums are order-free, and variance uses the single fixed
+    form (n*Q - S^2)/n^2 computed from the decimal moments, so both
+    engines produce identical doubles. Plan shape: one posexplode (the
+    corpus read) into a 64-key aggregate — map-side combinable, the
+    shuffle carries 64 rows per partition.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vals = emb.select(F.posexplode(
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double").cast("decimal(20,12)"))
+    ).alias("dim", "v"))
+    stats = vals.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"))
+    mean = (F.col("s").cast("double") / F.col("n"))
+    var = ((F.col("n").cast("double") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double"))
+           / (F.col("n").cast("double") * F.col("n").cast("double")))
+    return (
+        stats.select(F.col("dim").cast("long").alias("dim"), "n",
+                     mean.alias("mean"), var.alias("variance"))
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH vals AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12)) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+stats AS (
+  SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+  FROM vals GROUP BY dim)
+SELECT dim, n,
+       CAST(s AS DOUBLE) / n AS mean,
+       (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance
+FROM stats ORDER BY dim
+"""
+
+
+QUERIES = {"linalg_matmul": matmul, "emb_dim_stats": emb_dim_stats}
+ORACLE_SQL = {"linalg_matmul": MATMUL_SQL, "emb_dim_stats": EMB_DIM_STATS_SQL}
