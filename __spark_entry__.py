@@ -104,6 +104,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.basket as basket
+        modules.append(basket)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "events_conversion_lag",
     "events_hll_hourly",
     "emb_dim_stats",
+    "part_cooccurrence",
 ]
 
 

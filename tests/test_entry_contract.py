@@ -31,17 +31,18 @@ def test_no_duplicate_names_across_modules():
     """QUERIES dicts merged in __spark_entry__ must not shadow each
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
-    from kmr_spark.plans import (analytics, generate, graphs, graysort,
-                                 incremental, iterative, layout, linalg,
-                                 quality, sampling, semistruct, sketches,
-                                 timeseries, tpch, tpch_extra, wordcount)
+    from kmr_spark.plans import (analytics, basket, generate, graphs,
+                                 graysort, incremental, iterative, layout,
+                                 linalg, quality, sampling, semistruct,
+                                 sketches, timeseries, tpch, tpch_extra,
+                                 wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
              linalg.QUERIES, generate.QUERIES, sampling.QUERIES,
              layout.QUERIES, graphs.QUERIES, incremental.QUERIES,
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
-             quality.QUERIES, registry.QUERIES]
+             quality.QUERIES, basket.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
