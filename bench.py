@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "events_hll_hourly",
     "emb_dim_stats",
     "part_cooccurrence",
+    "events_dwell_time",
 ]
 
 

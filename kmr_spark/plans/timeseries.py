@@ -265,12 +265,54 @@ FROM lag
 """
 
 
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell times: whole seconds between each user's
+    consecutive events (lag window per user), summarized per event_type
+    of the LATER event — the engagement-cadence stat sessionization
+    thresholds are tuned from. Integer-second gaps keep min/max/sum
+    exact; the mean is one exact division."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select("event_type",
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                .alias("gap_s"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(F.count("*").alias("n_gaps"),
+             F.min("gap_s").alias("min_s"),
+             F.max("gap_s").alias("max_s"),
+             (F.sum("gap_s") / F.count("*")).alias("avg_s"))
+        .orderBy("event_type")
+    )
+
+
+DWELL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) - floor(epoch(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           AS gap_s
+  FROM events),
+g2 AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL)
+SELECT event_type, COUNT(*) AS n_gaps,
+       MIN(gap_s) AS min_s, MAX(gap_s) AS max_s,
+       CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS avg_s
+FROM g2 GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_conversion_lag": events_conversion_lag,
+    "events_dwell_time": events_dwell_time,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -278,4 +320,5 @@ ORACLE_SQL = {
     "events_retention_cohorts": RETENTION_SQL,
     "events_anomaly_zscore": ANOMALY_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "events_dwell_time": DWELL_SQL,
 }
