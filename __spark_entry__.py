@@ -109,6 +109,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.rfm as rfm
+        modules.append(rfm)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "emb_dim_stats",
     "part_cooccurrence",
     "events_dwell_time",
+    "orders_rfm_segments",
 ]
 
 

@@ -33,7 +33,7 @@ def test_no_duplicate_names_across_modules():
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, basket, generate, graphs,
                                  graysort, incremental, iterative, layout,
-                                 linalg, quality, sampling, semistruct,
+                                 linalg, quality, rfm, sampling, semistruct,
                                  sketches, timeseries, tpch, tpch_extra,
                                  wordcount)
 
@@ -42,7 +42,8 @@ def test_no_duplicate_names_across_modules():
              linalg.QUERIES, generate.QUERIES, sampling.QUERIES,
              layout.QUERIES, graphs.QUERIES, incremental.QUERIES,
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
-             quality.QUERIES, basket.QUERIES, registry.QUERIES]
+             quality.QUERIES, basket.QUERIES, rfm.QUERIES,
+             registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
