@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for headline queries,
+with the scale-critical properties to check called out per query.
+
+Run: python scripts/plan_report.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+#: (query, what to look for in the plan)
+HEADLINE = [
+    ("tpch_q9", "two BroadcastHashJoins (nation, supplier), decimal "
+                "partial aggregation, PushedFilters on the parquet scans"),
+    ("dedup_minhash_lsh", "band-key shuffle join (no cartesian), "
+                          "signature table reused via InMemoryRelation"),
+    ("sim_knn_quantized", "BroadcastNestedLoopJoin with the query side "
+                          "broadcast; corpus never shuffles for scoring"),
+    ("graph_triangles", "three plain shuffle equi-joins (wedge + close); "
+                        "no broadcast assumption, no Expand"),
+    ("events_hll_users", "two-level aggregate (register max, then fold) "
+                         "with partial aggregation; no Expand, no distinct "
+                         "shuffle of raw keys"),
+    ("events_incremental_merge", "full outer SortMergeJoin of two partial "
+                                 "aggregates; both sides combine map-side"),
+    ("text_bigram_lm", "model BroadcastHashJoin into the pre-aggregated "
+                       "(doc, bigram) table; raw explode never shuffled"),
+]
+
+
+def main() -> None:
+    from kmr_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plan-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # queries that materialize internally (localCheckpoint) would show
+    # a checkpoint scan; stub materialize_release to a pass-through in
+    # every module that imported it so the REAL pipeline plan prints
+    passthrough = lambda out, *cached: out  # noqa: E731
+    for mod in list(sys.modules.values()):
+        if (getattr(mod, "__name__", "").startswith("kmr_spark")
+                and hasattr(mod, "materialize_release")):
+            mod.materialize_release = passthrough
+
+    out = [
+        "# PLANS — physical-plan audit of headline queries",
+        "",
+        "Regenerate with `python scripts/plan_report.py`. Each section",
+        "names the scale-critical plan property the shape tests",
+        "(tests/test_plan_hygiene.py) pin, then shows the formatted",
+        "plan at sf0.01. Queries that materialize internally are shown",
+        "pre-materialization where the wrapper allows it.",
+        "",
+    ]
+    for name, note in HEADLINE:
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().strip()
+        out += [f"## {name}", "", f"**Check:** {note}", "",
+                "```", plan, "```", ""]
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
