@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "part_cooccurrence",
     "events_dwell_time",
     "orders_rfm_segments",
+    # round-3 second batch: training-set assembly + corpus hygiene
+    "text_repetition",
+    "text_contamination",
+    "text_vocab_coverage",
+    "train_epoch_shuffle",
+    "train_source_mixture",
 ]
 
 

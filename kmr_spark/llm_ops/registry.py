@@ -1,11 +1,11 @@
 """Aggregated QUERIES / ORACLE_SQL for all llm_ops modules."""
 
-from kmr_spark.llm_ops import (chunking, dedup, multimodal, packing,
+from kmr_spark.llm_ops import (chunking, corpus, dedup, multimodal, packing,
                                pipeline, similarity, textstats)
 
 QUERIES = {}
 ORACLE_SQL = {}
 for _m in (chunking, dedup, multimodal, packing, pipeline, similarity,
-           textstats):
+           textstats, corpus):
     QUERIES.update(_m.QUERIES)
     ORACLE_SQL.update(_m.ORACLE_SQL)

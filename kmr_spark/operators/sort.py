@@ -77,7 +77,8 @@ def is_globally_sorted(df: DataFrame, *order: str) -> bool:
     return bad == 0
 
 
-def ranking(df: DataFrame, order: list[str | Column]) -> DataFrame:
+def ranking(df: DataFrame, order: list[str | Column],
+            materialize: bool = False) -> DataFrame:
     """Global 0-based position under an explicit total order
     (kmr_ranking, src/kmrmoreops.c:764-805).
 
@@ -90,6 +91,15 @@ def ranking(df: DataFrame, order: list[str | Column]) -> DataFrame:
     3. narrow Arrow pass adds offset + local index. No global window
        (which would serialize through one partition) and no RDD
        round-trip.
+
+    The offset lookup keys on ``TaskContext.partitionId()``, which is
+    only the SORT's partition index while the ranked frame is executed
+    as its own job — a downstream ``union`` shifts the second child's
+    task ids and every offset would silently miss (ranks restart per
+    partition). Callers that compose the result into a wider plan must
+    pass ``materialize=True``: the rows are computed immediately in
+    their own job (correct ids), the lineage is cut, and the internal
+    sort cache is released.
     """
     sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
@@ -119,7 +129,12 @@ def ranking(df: DataFrame, order: list[str | Column]) -> DataFrame:
             pos += n
             yield pdf
 
-    return sdf.mapInPandas(add_rank, schema=out_schema)
+    out = sdf.mapInPandas(add_rank, schema=out_schema)
+    if materialize:
+        from kmr_spark.session import materialize_release
+
+        return materialize_release(out, sdf)
+    return out
 
 
 def choose_first_part(df: DataFrame, n: int, order: list[str | Column] | None = None) -> DataFrame:

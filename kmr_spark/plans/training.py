@@ -1,0 +1,136 @@
+"""Training-set assembly plans: deterministic epoch shuffling and
+per-source mixture sampling — the last mile between a cleaned corpus
+and the trainer's input order.
+
+Beyond-reference per the build brief (KMR's closest idiom is
+kmr_shuffle + kmr_sort, src/kmrbase.c / src/kmrmoreops.c); both plans
+reuse the repo's retry-stable hash machinery (operators/sample.py) so
+the shuffle order and the mixture are pure functions of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.operators.sample import hash_bucket, sql_bucket, stratified_sample
+from kmr_spark.operators.sort import ranking
+from kmr_spark.session import load_tables, widen
+
+N_EPOCHS = 2
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle per training epoch: each epoch
+    orders the corpus by a salted multiplicative hash of doc_id (salt =
+    epoch), so every epoch is a different but REPRODUCIBLE permutation
+    — a retry, a re-run, or another engine produces byte-identical
+    order (df.sample()/rand() would not survive task retries).
+
+    Scale shape: per epoch this is exactly one range-partitioned sort
+    (Spark's orderBy = sampling sort) plus the exscan ranking operator
+    — no global window, no single-partition funnel. Epochs are
+    independent sorts, which is how a 100 TB corpus is shuffled in
+    practice (one pass per epoch, or the rank is written once per
+    epoch as a layout key).
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    epochs = []
+    for ep in range(1, N_EPOCHS + 1):
+        keyed = docs.select(
+            F.lit(ep).alias("epoch"),
+            hash_bucket(F.col("doc_id"), salt=ep).alias("shufkey"),
+            "doc_id",
+        )
+        # materialize=True: each epoch's ranks are computed in their own
+        # job (ranking's task-id offset lookup is only valid there) and
+        # the union below reads the checkpointed rows
+        ranked = ranking(keyed, [F.col("shufkey").asc(), F.col("doc_id").asc()],
+                         materialize=True)
+        epochs.append(
+            ranked.select("epoch", F.col("rank").alias("pos"), "doc_id"))
+    out = epochs[0]
+    for e in epochs[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("epoch", "pos")
+
+
+def _epoch_shuffle_sql() -> str:
+    parts = []
+    for ep in range(1, N_EPOCHS + 1):
+        parts.append(f"""
+SELECT {ep} AS epoch,
+       CAST(ROW_NUMBER() OVER (ORDER BY {sql_bucket('doc_id', salt=ep)} ASC,
+                               doc_id ASC) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM documents""")
+    return " UNION ALL ".join(parts) + " ORDER BY epoch, pos"
+
+
+EPOCH_SHUFFLE_SQL = _epoch_shuffle_sql()
+
+
+#: Per-source mixture weights (domain reweighting): sources keep a
+#: deterministic hash-fraction of their documents. The synthetic corpus
+#: has 20 uniform sources src0..src19; the weight cycles 1/8..4/8 so
+#: every rate bucket is exercised.
+MIXTURE_RATES = {f"src{i}": ((i % 4) + 1) / 8 for i in range(20)}
+MIXTURE_SALT = 7
+
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus subsample summary: apply per-source keep
+    rates (the domain-mixing step of a training-data recipe) and report
+    per source how many documents were available vs kept.
+
+    Scale shape: the mixture filter is one codegen'd CASE-threshold
+    pass over the scan (no shuffle, retry-stable); both summaries are
+    map-side-combined aggregates over a 20-key space, broadcast-joined.
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    kept = stratified_sample(
+        docs, MIXTURE_RATES, stratum="source", key="doc_id",
+        salt=MIXTURE_SALT)
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    kepts = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(F.broadcast(kepts), "source", "left")
+        .select(
+            "source",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_sql() -> str:
+    # same threshold construction as stratified_sample: int(rate * P)
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * 1000000007)}"
+        for s, r in sorted(MIXTURE_RATES.items()))
+    return f"""
+WITH kept AS (
+  SELECT source FROM documents
+  WHERE {sql_bucket('doc_id', salt=MIXTURE_SALT)} < (CASE {whens} ELSE 0 END)),
+totals AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+kepts AS (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source)
+SELECT t.source, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN kepts k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
+SOURCE_MIXTURE_SQL = _mixture_sql()
+
+
+QUERIES = {
+    "train_epoch_shuffle": epoch_shuffle,
+    "train_source_mixture": source_mixture,
+}
+
+ORACLE_SQL = {
+    "train_epoch_shuffle": EPOCH_SHUFFLE_SQL,
+    "train_source_mixture": SOURCE_MIXTURE_SQL,
+}

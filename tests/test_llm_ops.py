@@ -18,6 +18,7 @@ def test_llm_queries_release_their_caches(spark):
     CacheManager sees exactly the DataFrame-level persists (not the
     GC-reclaimed localCheckpoint RDDs), so empty-after-call is the
     precise no-leak assertion."""
+    from kmr_spark.llm_ops.corpus import doc_contamination
     from kmr_spark.llm_ops.dedup import (minhash_lsh_pairs,
                                          ngram_jaccard_pairs, simhash_pairs)
     from kmr_spark.llm_ops.packing import pack_sequences
@@ -25,13 +26,15 @@ def test_llm_queries_release_their_caches(spark):
                                               knn_quantized)
     from kmr_spark.llm_ops.textstats import doc_bigram_lm, doc_fingerprint
     from kmr_spark.plans.graphs import graph_bfs, triangle_stats
+    from kmr_spark.plans.training import epoch_shuffle
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
     assert cm.isEmpty()
     for fn in (knn_bruteforce, ann_ivf, knn_quantized, minhash_lsh_pairs,
                simhash_pairs, ngram_jaccard_pairs, doc_fingerprint,
-               doc_bigram_lm, pack_sequences, triangle_stats, graph_bfs):
+               doc_bigram_lm, pack_sequences, triangle_stats, graph_bfs,
+               doc_contamination, epoch_shuffle):
         out = fn(spark, "/root/testdata/sf0.001")
         assert out.count() >= 0
         assert cm.isEmpty(), f"{fn.__name__} left cached plans behind"
