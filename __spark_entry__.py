@@ -119,6 +119,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.bloomjoin as bloomjoin
+        modules.append(bloomjoin)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

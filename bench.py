@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "text_vocab_coverage",
     "train_epoch_shuffle",
     "train_source_mixture",
+    "train_temperature_mix",
+    "lineitem_bloom_prune",
 ]
 
 

@@ -125,12 +125,99 @@ ORDER BY t.source
 SOURCE_MIXTURE_SQL = _mixture_sql()
 
 
+# ------------------------------------------------- temperature mixing
+
+#: Temperature-sampling exponent: keep-probability per domain ∝
+#: n_domain^(ALPHA-1), i.e. low-resource domains are upsampled relative
+#: to their share — the standard multilingual-corpus recipe
+#: (p_l ∝ n_l^α with α < 1).
+MIX_ALPHA = 0.5
+MIX_TARGET = 0.5  # overall fraction of the corpus to keep
+MIX_SALT = 11
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing over the language column:
+    derive per-language keep rates r_l = C·n_l^(α-1) with C chosen so
+    the expected kept volume is MIX_TARGET of the corpus, then apply
+    them as one deterministic hash-threshold filter.
+
+    The rate table is data-derived: a domain-sized aggregate (|langs|
+    rows) is collected and folded in sorted-domain order with plain
+    IEEE arithmetic — sqrt and the fixed-order fold are bit-identical
+    in Python, the JVM, and DuckDB, so the derived thresholds agree
+    across engines (the oracle SQL spells out the same expression
+    tree). Scale shape: one tiny aggregate + collect (KMR-parity
+    replicated state), then a single codegen'd CASE-threshold scan —
+    the corpus is read twice and shuffled never.
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+
+    n_total = 0
+    for lang in sorted(counts):
+        n_total += counts[lang]
+    ssum = 0.0
+    for lang in sorted(counts):
+        ssum += math.sqrt(counts[lang])
+    rates = {}
+    for lang, n in counts.items():
+        # ((0.5 * N) / ssum) / sqrt(n): same association order as the SQL
+        rates[lang] = MIX_TARGET * n_total / ssum / math.sqrt(n)
+        if rates[lang] > 1.0:
+            raise ValueError(
+                f"temperature mix rate > 1 for {lang}; waterfilling clamp "
+                "not implemented (not reachable on this corpus)")
+    kept = stratified_sample(
+        docs, rates, stratum="lang", key="doc_id", salt=MIX_SALT)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kepts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(F.broadcast(kepts), "lang", "left")
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS n_total FROM counts),
+ssum AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        (SELECT list(sqrt(n) ORDER BY lang) FROM counts)),
+           (a, x) -> a + x) AS s),
+rates AS (
+  SELECT c.lang,
+         CAST(floor({MIX_TARGET} * t.n_total / s.s / sqrt(c.n)
+                    * 1000000007) AS BIGINT) AS thr
+  FROM counts c CROSS JOIN tot t CROSS JOIN ssum s),
+kept AS (
+  SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {sql_bucket('doc_id', salt=MIX_SALT)} < r.thr),
+totals AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+kepts AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang)
+SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN kepts k ON t.lang = k.lang
+ORDER BY t.lang
+"""
+
+
 QUERIES = {
     "train_epoch_shuffle": epoch_shuffle,
     "train_source_mixture": source_mixture,
+    "train_temperature_mix": temperature_mix,
 }
 
 ORACLE_SQL = {
     "train_epoch_shuffle": EPOCH_SHUFFLE_SQL,
     "train_source_mixture": SOURCE_MIXTURE_SQL,
+    "train_temperature_mix": TEMPERATURE_MIX_SQL,
 }

@@ -85,6 +85,21 @@ def test_source_mixture_matches_python_hash(spark):
     assert got == {s: (t, k) for s, (t, k) in want.items()}
 
 
+def test_temperature_mix_upsamples_low_resource_langs(spark):
+    """α < 1 must compress the domain imbalance: the kept fraction of
+    the SMALLEST language must exceed that of the largest, and overall
+    kept volume must land near MIX_TARGET."""
+    rows = training.temperature_mix(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    biggest = max(rows, key=lambda r: r.n_total)
+    smallest = min(rows, key=lambda r: r.n_total)
+    assert biggest.n_total > smallest.n_total  # corpus is imbalanced
+    assert (smallest.n_kept / smallest.n_total
+            > biggest.n_kept / biggest.n_total)
+    total, kept = sum(r.n_total for r in rows), sum(r.n_kept for r in rows)
+    assert abs(kept / total - training.MIX_TARGET) < 0.1
+
+
 def test_repetition_flags_and_ranges(spark):
     from kmr_spark.llm_ops.corpus import (TOP_BIGRAM_MAX, TOP_UNIGRAM_MAX,
                                           TTR_MIN, doc_repetition)
