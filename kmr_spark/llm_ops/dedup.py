@@ -401,6 +401,121 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: new-batch membership: doc_id % BATCH_MOD == 0 is "today's delta",
+#: the rest is the already-deduped historical corpus.
+BATCH_MOD = 5
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: screen a NEW batch of documents against
+    the historical corpus without re-deduping history — the daily-
+    ingest shape of a production pipeline (history's signatures are a
+    precomputed table there; recomputed here from the same corpus).
+
+    Per new doc: how many history docs share an LSH band (candidates),
+    how many survive Jaccard verification (dups), the smallest matching
+    history doc (dup_of), and keeper/duplicate status.
+
+    Plan shape at 100 TB: the delta's band table is SMALL (a day's
+    docs × 4 bands) — BROADCAST it against the corpus-sized history
+    band table, so history is scanned once and never shuffled; verify
+    joins fetch only candidate signatures.
+    """
+    sigs, th_table = _docs_with_sigs(spark, sf_dir)
+
+    def bands_of(side):
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.concat_ws(":", F.lit(b), F.col(f"sig{2 * b}"),
+                                F.col(f"sig{2 * b + 1}"))
+                    for b in range(H.N_BANDS)
+                ])
+            ).alias("band_key"),
+        )
+
+    is_new = F.col("doc_id") % BATCH_MOD == 0
+    new_bands = bands_of(sigs.filter(is_new))
+    hist_bands = bands_of(sigs.filter(~is_new))
+    cand = (
+        hist_bands.alias("h")
+        .join(F.broadcast(new_bands.alias("n")),
+              F.col("h.band_key") == F.col("n.band_key"))
+        .select(F.col("n.doc_id").alias("doc_id"),
+                F.col("h.doc_id").alias("hist_id"))
+        .distinct()
+    )
+    sn = sigs.select(F.col("doc_id"), F.col("shset").alias("set_n"))
+    sh = sigs.select(F.col("doc_id").alias("hist_id"), F.col("shset").alias("set_h"))
+    verified = (
+        cand.join(sn, "doc_id").join(sh, "hist_id")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("set_n", "set_h"))
+            / F.size(F.array_union("set_n", "set_h")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum((F.col("jac") >= JACCARD_THRESHOLD).cast("long"))
+            .cast("long").alias("n_dups"),
+            F.min(F.when(F.col("jac") >= JACCARD_THRESHOLD,
+                         F.col("hist_id"))).alias("dup_of"),
+        )
+    )
+    out = (
+        sigs.filter(is_new).select("doc_id")
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.when(F.coalesce("n_dups", F.lit(0)) > 0, F.lit("duplicate"))
+            .otherwise(F.lit("keeper")).alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+    return materialize_release(out, sigs, th_table)
+
+
+INCREMENTAL_SQL = f"""
+WITH {_sql_sigs_cte()},
+bands AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b+1}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         AS band_key
+  FROM sigs, unnest(range({H.N_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id
+  FROM bands n JOIN bands h ON n.band_key = h.band_key
+  WHERE n.doc_id % {BATCH_MOD} = 0 AND h.doc_id % {BATCH_MOD} <> 0),
+verified AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN CAST(len(list_intersect(sn.shset, sh.shset)) AS DOUBLE)
+                    / len(list_distinct(sn.shset || sh.shset))
+                  >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS n_dups,
+         MIN(CASE WHEN CAST(len(list_intersect(sn.shset, sh.shset)) AS DOUBLE)
+                    / len(list_distinct(sn.shset || sh.shset))
+                  >= {JACCARD_THRESHOLD} THEN c.hist_id END) AS dup_of
+  FROM cand c JOIN sigs sn ON c.doc_id = sn.doc_id
+              JOIN sigs sh ON c.hist_id = sh.doc_id
+  GROUP BY c.doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(v.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(v.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(v.dup_of AS BIGINT) AS dup_of,
+       CASE WHEN COALESCE(v.n_dups, 0) > 0 THEN 'duplicate'
+            ELSE 'keeper' END AS status
+FROM sigs s LEFT JOIN verified v ON s.doc_id = v.doc_id
+WHERE s.doc_id % {BATCH_MOD} = 0
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
@@ -408,9 +523,11 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_editdistance": editdistance_pairs,
     "dedup_clusters": duplicate_clusters,
+    "dedup_incremental": incremental_dedup,
 }
 
 ORACLE_SQL = {
+    "dedup_incremental": INCREMENTAL_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,

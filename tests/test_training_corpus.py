@@ -132,6 +132,22 @@ def test_contamination_excludes_benchmark_and_bounds(spark):
         "shared-vocab corpus must produce at least one overlap"
 
 
+def test_incremental_dedup_statuses(spark):
+    """Every new-batch doc gets a status; dup_of points into history
+    (never the batch) and only when status is duplicate."""
+    from kmr_spark.llm_ops.dedup import BATCH_MOD, incremental_dedup
+
+    rows = incremental_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % BATCH_MOD == 0
+        assert 0 <= r.n_dups <= r.n_candidates
+        if r.status == "duplicate":
+            assert r.dup_of is not None and r.dup_of % BATCH_MOD != 0
+        else:
+            assert r.status == "keeper" and r.dup_of is None
+
+
 def test_vocab_coverage_is_monotone_cdf(spark):
     from kmr_spark.llm_ops.corpus import vocab_coverage
 
