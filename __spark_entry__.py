@@ -124,6 +124,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.behavior as behavior
+        modules.append(behavior)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -1,0 +1,248 @@
+"""User-behavior modeling plans over the events table: SCD Type-2
+state history, Markov transition matrix, and an A/B significance gate.
+
+These are the warehouse/product-analytics operators a KMR user would
+hand-roll with sorted-KVS reduces (kmr_sort + kmr_reduce over
+(user, time)-keyed streams, reference src/kmrmoreops.c:391); here each
+is a single declarative window/aggregate plan:
+
+- SCD2:  one per-user window pass (lag -> change flag -> running sum)
+  then a keyed aggregate — the gaps-and-islands rewrite; no self-join,
+  so it scales linearly with the event log.
+- Markov: lead() per user then a |types|^2-sized aggregate with
+  map-side combine; the normalizing totals are a broadcast join.
+- A/B:   integer-moment Welch z-test (the repo's exact-oracle pattern,
+  see plans/timeseries.py events_anomaly_zscore): values quantized to
+  cents so n/S/Q are exact integer sums, variance and z computed in
+  one fixed float expression shape in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+#: two-sided 5% significance threshold for the A/B z-test
+Z_CRIT = 1.96
+
+
+def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) state history: collapse each
+    user's event stream into validity intervals of consecutive same
+    event_type runs — (user_id, state, valid_from, valid_to, n_events,
+    is_current), half-open [valid_from, valid_to), open-ended current
+    row.
+
+    Plan: gaps-and-islands — lag() flags run starts, a running sum
+    numbers runs, one groupBy collapses them, lead() closes intervals.
+    All four steps share the (user_id, time) window partitioning, so
+    Spark plans ONE Exchange for the whole query; state never grows
+    beyond the per-user event count.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = ev.withColumn(
+        "chg",
+        F.coalesce(
+            (F.col("event_type") != F.lag("event_type").over(w)).cast("long"),
+            F.lit(1)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"))
+    wrun = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        spans.withColumn("valid_to", F.lead("valid_from").over(wrun))
+        .select("user_id", "state", "valid_from", "valid_to", "n_events",
+                F.col("valid_to").isNull().alias("is_current"))
+        .orderBy("user_id", "valid_from")
+    )
+
+
+SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged),
+spans AS (
+  SELECT user_id, run_id, MIN(event_type) AS state,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         IS NULL AS is_current
+FROM spans
+ORDER BY user_id, valid_from
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    observed (event_type -> next_type) pair within a user's timeline,
+    the transition count and the row-normalized probability.
+
+    Plan: one lead() window pass (same Exchange as the user ordering),
+    a |types|^2 aggregate with map-side combine, and a broadcast join
+    against the |types|-row totals — nothing after the window is
+    corpus-sized. Probability is an exact integer ratio cast once, so
+    both engines emit the identical double.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = pairs.groupBy("event_type").agg(
+        F.sum("n_trans").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "event_type")
+        .select("event_type", "next_type", "n_trans",
+                (F.col("n_trans").cast("double") / F.col("row_total"))
+                .alias("prob"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n_trans
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT c.event_type, c.next_type, c.n_trans,
+       CAST(c.n_trans AS DOUBLE) / t.row_total AS prob
+FROM counts c
+JOIN (SELECT event_type, SUM(n_trans) AS row_total
+      FROM counts GROUP BY event_type) t USING (event_type)
+ORDER BY c.event_type, c.next_type
+"""
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test per event_type between experiment arms
+    (arm = user_id mod 2 — the deterministic hash-split an experiment
+    framework assigns): per type the arm sizes, mean values (in cents),
+    the z statistic, and a |z| > 1.96 significance flag.
+
+    Exactness: values are quantized to integer cents (floor(value*100),
+    exact for identical input doubles), so n/S=Σc/Q=Σc² are integer
+    moments — summed as DECIMAL(38,0) (order-free, no int64 overflow at
+    petabyte row counts) — and mean/variance/z are one fixed float
+    expression evaluated identically by both engines. Plan: a 2×|types|
+    map-side-combinable aggregate, then a |types|-row self-merge —
+    nothing after the first aggregate is corpus-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("c"))
+    m = ev.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"))
+
+    def stats(arm: int, suf: str) -> DataFrame:
+        return m.filter(F.col("arm") == arm).select(
+            "event_type", F.col("n").alias(f"n{suf}"),
+            F.col("s").alias(f"s{suf}"), F.col("q").alias(f"q{suf}"))
+
+    j = stats(0, "_a").join(stats(1, "_b"), "event_type")
+
+    def mean(suf: str):
+        return F.col(f"s{suf}").cast("double") / F.col(f"n{suf}")
+
+    def var(suf: str):
+        n = F.col(f"n{suf}").cast("double")
+        s = F.col(f"s{suf}").cast("double")
+        q = F.col(f"q{suf}").cast("double")
+        return (n * q - s * s) / (n * (n - F.lit(1.0)))
+
+    z = (mean("_a") - mean("_b")) / F.sqrt(
+        var("_a") / F.col("n_a") + var("_b") / F.col("n_b"))
+    return (
+        j.select("event_type", "n_a", "n_b",
+                 mean("_a").alias("mean_a_cents"),
+                 mean("_b").alias("mean_b_cents"),
+                 z.alias("z"),
+                 (F.abs(z) > F.lit(Z_CRIT)).alias("significant"))
+        .orderBy("event_type")
+    )
+
+
+AB_TEST_SQL = f"""
+WITH q AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(floor(value * 100) AS HUGEINT) AS c
+  FROM events),
+m AS (
+  SELECT event_type, arm, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+  FROM q GROUP BY event_type, arm),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.q AS q_a,
+         b.n AS n_b, b.s AS s_b, b.q AS q_b
+  FROM m a JOIN m b USING (event_type)
+  WHERE a.arm = 0 AND b.arm = 1)
+SELECT event_type, n_a, n_b,
+       CAST(s_a AS DOUBLE) / n_a AS mean_a_cents,
+       CAST(s_b AS DOUBLE) / n_b AS mean_b_cents,
+       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / sqrt(((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                  / n_a
+                + ((CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                  / n_b) AS z,
+       abs((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / sqrt(((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                  / n_a
+                + ((CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                  / n_b)) > {Z_CRIT} AS significant
+FROM j
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_scd2_state": events_scd2_state,
+    "events_markov_transitions": events_markov_transitions,
+    "events_ab_test": events_ab_test,
+}
+ORACLE_SQL = {
+    "events_scd2_state": SCD2_SQL,
+    "events_markov_transitions": MARKOV_SQL,
+    "events_ab_test": AB_TEST_SQL,
+}

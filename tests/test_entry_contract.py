@@ -31,11 +31,11 @@ def test_no_duplicate_names_across_modules():
     """QUERIES dicts merged in __spark_entry__ must not shadow each
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
-    from kmr_spark.plans import (analytics, basket, bloomjoin, generate,
-                                 graphs, graysort, incremental, iterative,
-                                 layout, linalg, quality, rfm, sampling,
-                                 semistruct, sketches, timeseries, tpch,
-                                 tpch_extra, training, wordcount)
+    from kmr_spark.plans import (analytics, basket, behavior, bloomjoin,
+                                 generate, graphs, graysort, incremental,
+                                 iterative, layout, linalg, quality, rfm,
+                                 sampling, semistruct, sketches, timeseries,
+                                 tpch, tpch_extra, training, wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -43,7 +43,8 @@ def test_no_duplicate_names_across_modules():
              layout.QUERIES, graphs.QUERIES, incremental.QUERIES,
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
              quality.QUERIES, basket.QUERIES, rfm.QUERIES,
-             training.QUERIES, bloomjoin.QUERIES, registry.QUERIES]
+             training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
+             registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
