@@ -92,6 +92,23 @@ def token_hash_table(docs, extra_cols: list[str] | None = None):
     return docs.select(*cols, th.alias("th")).persist()
 
 
+def span_hashes_col(th: Column, k: int) -> Column:
+    """Rolling k-token span hashes (generalized shingle: fold
+    acc*BETA + h mod P over each length-k window; k=3 reproduces
+    shingle_hashes_col). Empty if the doc has < k tokens."""
+    return F.when(
+        F.size(th) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * BETA + h) % P,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 # --------------------------------------------------------------- DuckDB side
 # SQL fragment generators — same math, same constants, same fold order.
 
@@ -124,3 +141,15 @@ def sql_minhash_sigs(sh_expr: str) -> list[str]:
         f"list_min(list_transform({sh_expr}, h -> ({a} * h + {b}) % {P})) AS sig{j}"
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
+
+
+def sql_span_hashes(th_expr: str, k: int) -> str:
+    """DuckDB twin of span_hashes_col: same fold, same constants."""
+    return (
+        f"CASE WHEN len({th_expr}) >= {k} THEN "
+        f"list_transform(range(1, len({th_expr}) - {k} + 2), i -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice({th_expr}, i, i + {k} - 1)), "
+        f"(acc, h) -> (acc * {BETA} + h) % {P})) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )

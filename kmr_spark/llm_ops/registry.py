@@ -1,11 +1,11 @@
 """Aggregated QUERIES / ORACLE_SQL for all llm_ops modules."""
 
 from kmr_spark.llm_ops import (chunking, corpus, dedup, multimodal, packing,
-                               pipeline, similarity, textstats)
+                               pipeline, similarity, spans, textstats)
 
 QUERIES = {}
 ORACLE_SQL = {}
 for _m in (chunking, dedup, multimodal, packing, pipeline, similarity,
-           textstats, corpus):
+           textstats, corpus, spans):
     QUERIES.update(_m.QUERIES)
     ORACLE_SQL.update(_m.ORACLE_SQL)

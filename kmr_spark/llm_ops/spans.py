@@ -1,0 +1,97 @@
+"""Cross-document duplicated-span detection over the documents table.
+
+The span-level view of training-data dedup (the ExactSubstr idea of
+Lee et al., "Deduplicating Training Data Makes Language Models
+Better", 2022 — there via a suffix array; here via rolling span
+hashes, the scalable shuffle-friendly form): a document that shares a
+verbatim k-token span with another document carries memorization
+risk even when whole-document near-dedup keeps both.
+
+Per document: how many distinct k-token spans it contains, how many
+of those also appear in at least one OTHER document, and the
+duplicated fraction — the score a curation pipeline thresholds to
+drop or trim span-level duplicates.
+
+Plan shape (100 TB): tokenize/hash at the scan (token_hash_table),
+explode distinct span hashes -> (doc_id, span) pairs, ONE hash
+shuffle on span to count carrier docs, one shuffle back on doc_id
+for the per-doc rollup. No self-join, no candidate pairs: cost is
+O(total spans), the same as a word count. The reference's suffix-
+array analog is a single-node in-memory algorithm; this form is the
+one that distributes.
+
+Reference parity: KMR expresses the grouping as kmr_shuffle
+(reference src/kmrbase.c:2094) + kmr_reduce (src/kmrbase.c:2607)
+over span keys; the arithmetic is this repo's portable hashing
+(functions/hashing.py) so DuckDB replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.functions import hashing as H
+from kmr_spark.session import load_tables, materialize_release, widen
+
+#: span length in tokens — long enough that sharing one is verbatim
+#: reuse, short enough to catch partial-overlap duplication
+SPAN_K = 5
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span duplication profile: (doc_id, n_spans,
+    n_dup_spans, dup_frac), docs with >= 1 span only."""
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs)
+    doc_spans = (
+        th_table.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(H.span_hashes_col(F.col("th"), SPAN_K))
+            ).alias("span"),
+        )
+    )
+    carriers = doc_spans.groupBy("span").agg(
+        F.count("*").alias("n_docs"))  # doc-distinct already
+    out = (
+        doc_spans.join(carriers, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id", "n_spans", "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return materialize_release(out, th_table)
+
+
+SPANS_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+  FROM documents),
+doc_spans AS (
+  SELECT DISTINCT doc_id, span
+  FROM th, unnest({H.sql_span_hashes('th', SPAN_K)}) AS t(span)),
+carriers AS (
+  SELECT span, COUNT(*) AS n_docs FROM doc_spans GROUP BY span)
+SELECT d.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM doc_spans d JOIN carriers c USING (span)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES = {"dedup_spans": duplicated_spans}
+ORACLE_SQL = {"dedup_spans": SPANS_SQL}
