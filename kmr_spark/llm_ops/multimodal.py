@@ -402,6 +402,34 @@ def encode_docs_as_wav(docs: DataFrame) -> DataFrame:
         run, schema="doc_id long, payload binary")
 
 
+def _riff_pcm16(raw: bytes, did: object) -> tuple[tuple, bytes]:
+    """Walk a RIFF/WAVE chunk list (validating magic, declared sizes,
+    even-byte padding, skipping unknown chunks) and return the unpacked
+    fmt tuple and the raw PCM16 data chunk. Raises on malformed input."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"doc {did}: not a RIFF/WAVE file")
+    (riff_sz,) = struct.unpack_from("<I", raw, 4)
+    if riff_sz + 8 != len(raw):
+        raise ValueError(f"doc {did}: RIFF size mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", raw, pos + 4)
+        if sz > len(raw) - pos - 8:
+            raise ValueError(f"doc {did}: chunk {cid!r} overruns the payload")
+        body = raw[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError(f"doc {did}: missing fmt or data chunk")
+    if fmt[0] != 1 or fmt[5] != 16:
+        raise ValueError(f"doc {did}: not PCM16")
+    return fmt, data
+
+
 def decode_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL RIFF/WAVE decode: validates RIFF/WAVE magic and the declared
     size, then walks the chunk list (skipping unknown chunks by their
@@ -415,30 +443,8 @@ def decode_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 "doc_id", "sample_rate", "channels", "bits",
                 "n_samples", "duration_ms", "sample_sum")}
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                raw = bytes(payload)
-                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                    raise ValueError(f"doc {did}: not a RIFF/WAVE file")
-                (riff_sz,) = struct.unpack_from("<I", raw, 4)
-                if riff_sz + 8 != len(raw):
-                    raise ValueError(f"doc {did}: RIFF size mismatch")
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(raw):
-                    cid = raw[pos:pos + 4]
-                    (sz,) = struct.unpack_from("<I", raw, pos + 4)
-                    if sz > len(raw) - pos - 8:
-                        raise ValueError(
-                            f"doc {did}: chunk {cid!r} overruns the payload")
-                    body = raw[pos + 8:pos + 8 + sz]
-                    if cid == b"fmt ":
-                        fmt = struct.unpack_from("<HHIIHH", body, 0)
-                    elif cid == b"data":
-                        data = body
-                    pos += 8 + sz + (sz & 1)  # chunks pad to even length
-                if fmt is None or data is None:
-                    raise ValueError(f"doc {did}: missing fmt or data chunk")
-                audio_fmt, channels, rate, _brate, _align, bits = fmt
-                if audio_fmt != 1 or bits != 16:
-                    raise ValueError(f"doc {did}: not PCM16")
+                fmt, data = _riff_pcm16(bytes(payload), did)
+                _fmt, channels, rate, _brate, _align, bits = fmt
                 n = len(data) // 2
                 samples = struct.unpack(f"<{n}h", data)
                 out["doc_id"].append(int(did))
@@ -476,6 +482,122 @@ SELECT doc_id,
        CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
        CAST(amp * n AS BIGINT) AS sample_sum
 FROM m ORDER BY doc_id
+"""
+
+
+# --------------------------------------- audio frame-feature extraction
+
+AUDIO_FRAME_LEN = 64
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, frame_idx int, n_samples long, energy long, "
+    "zero_crossings long, peak int"
+)
+
+
+def encode_docs_as_tone_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic VARYING waveform per document (PCM16 mono RIFF):
+    sample i is ``((doc_id + 7*i) mod 201) - 100`` — a sawtooth whose
+    sign flips within every frame, so frame energy, zero-crossing
+    counts, and peaks all genuinely depend on which samples land in
+    which frame (a constant tone would make every feature vacuous, the
+    same reason the resize oracle uses a gradient image)."""
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                did, tlen = int(did), int(tlen)
+                n = (tlen % 256) + 32
+                s = ((did + 7 * np.arange(n)) % 201 - 100).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(bytearray(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                    + chunks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").alias("tlen")).mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+def audio_frame_features(df: DataFrame, frame_len: int = AUDIO_FRAME_LEN,
+                         payload_col: str = "payload") -> DataFrame:
+    """Per-frame audio features over REAL RIFF/PCM16 decode: split each
+    clip into non-overlapping ``frame_len``-sample frames (last frame
+    may be short) and emit energy (sum of squares), zero-crossing count
+    (strict sign change between in-frame neighbors), and peak |sample|.
+
+    The per-clip compute is vectorized numpy inside Arrow-batched
+    mapInPandas — the multimodal slow-path pattern (SURVEY §2.9 UDF
+    surface): rows stay in their input partitions, output fanout is
+    n_samples/frame_len per clip, and no shuffle is introduced."""
+    if frame_len < 2:
+        raise ValueError(f"frame_len must be >= 2, got {frame_len}")
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "n_samples", "energy",
+                "zero_crossings", "peak")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _fmt, data = _riff_pcm16(bytes(payload), did)
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f0 in range(0, len(s), frame_len):
+                    fr = s[f0:f0 + frame_len]
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(f0 // frame_len)
+                    out["n_samples"].append(len(fr))
+                    out["energy"].append(int(np.sum(fr * fr)))
+                    out["zero_crossings"].append(
+                        int(np.sum(fr[:-1] * fr[1:] < 0)))
+                    out["peak"].append(int(np.max(np.abs(fr))))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as a sawtooth WAV, run the real frame-
+    feature extractor, return per-frame energy/ZCR/peak — the feature
+    pass an audio curation pipeline runs before filtering clips."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return audio_frame_features(
+        encode_docs_as_tone_wav(docs)).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_AUDIO_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id, (length(text) % 256) + 32 AS n
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, i, (doc_id + 7 * i) % 201 - 100 AS v
+  FROM m, unnest(range(n)) AS t(i)),
+fr AS (
+  SELECT doc_id, CAST(i // {AUDIO_FRAME_LEN} AS INTEGER) AS frame_idx, i, v,
+         LAG(v) OVER (PARTITION BY doc_id, i // {AUDIO_FRAME_LEN}
+                      ORDER BY i) AS pv
+  FROM s)
+SELECT doc_id, frame_idx,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak
+FROM fr GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
 """
 
 
@@ -696,6 +818,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 ORACLE_SQL = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
@@ -703,4 +826,5 @@ ORACLE_SQL = {
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_FEATURES_SQL,
 }

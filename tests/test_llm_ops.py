@@ -257,3 +257,39 @@ def test_wav_decoder_rejects_chunk_overrun(spark):
     df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="overruns"):
         decode_wav(df).collect()
+
+
+def test_audio_frame_features_hand_computed(spark):
+    """A hand-built two-frame PCM16 clip yields exactly the expected
+    energy / zero-crossing / peak per frame (frame_len=4: frames
+    [3,-2,5,0] and [-7,7])."""
+    import struct
+
+    from kmr_spark.llm_ops.multimodal import audio_frame_features
+
+    samples = [3, -2, 5, 0, -7, 7]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame([(9, bytearray(wav))],
+                               "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in
+            audio_frame_features(df, frame_len=4).collect()}
+    f0, f1 = rows[0], rows[1]
+    assert (f0.n_samples, f0.energy, f0.zero_crossings, f0.peak) == (
+        4, 9 + 4 + 25 + 0, 2, 5)  # crossings: 3->-2 and -2->5; 5->0 is not
+    assert (f1.n_samples, f1.energy, f1.zero_crossings, f1.peak) == (
+        2, 49 + 49, 1, 7)
+
+
+def test_audio_frame_features_rejects_bad_frame_len(spark):
+    import pytest
+
+    from kmr_spark.llm_ops.multimodal import audio_frame_features
+
+    df = spark.createDataFrame([(1, bytearray(b""))],
+                               "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        audio_frame_features(df, frame_len=1)
