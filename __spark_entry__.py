@@ -129,6 +129,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.diagnostics as diagnostics
+        modules.append(diagnostics)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

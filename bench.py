@@ -103,6 +103,19 @@ BENCH_QUERIES = [
     "train_source_mixture",
     "train_temperature_mix",
     "lineitem_bloom_prune",
+    # round-3 third batch: behavior / lexical / diagnostics families
+    "dedup_incremental",
+    "dedup_spans",
+    "multimodal_audio_features",
+    "events_scd2_state",
+    "events_markov_transitions",
+    "events_ab_test",
+    "events_path_trigrams",
+    "events_time_weighted_avg",
+    "text_token_entropy",
+    "text_pmi_pairs",
+    "text_pii_redact",
+    "skew_report_orders",
 ]
 
 

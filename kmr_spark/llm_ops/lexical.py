@@ -1,0 +1,267 @@
+"""Lexical corpus statistics + PII scrubbing over the documents table.
+
+Three curation-pipeline stages an LLM data engineer runs before
+training, each a single declarative aggregate (KMR would express the
+same as kmr_shuffle + kmr_reduce over token keys, reference
+src/kmrbase.c:2094/2607):
+
+- unigram ENTROPY per source — the corpus-diversity gate (a source
+  whose token distribution collapses is boilerplate/spam);
+- windowed PMI co-occurrence — word-association mining (the classic
+  Church & Hanks 1990 statistic), pairs built by array expression so
+  NO self-join touches the corpus;
+- PII redaction — regex scrub of emails/phone numbers with per-doc
+  redaction counts; the synthetic corpus contains no PII, so the
+  query SEEDS deterministic PII (the encode-then-decode pattern the
+  multimodal oracles use) and the oracle replays injection+redaction.
+
+Exactness: all distribution stats come from integer token counts; the
+only float steps are ln() and division in one fixed expression shape,
+identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+#: minimum pair occurrences for a PMI row (standard low-count cutoff:
+#: PMI explodes on hapax pairs)
+PMI_MIN_COUNT = 5
+#: co-occurrence window: token pairs at distance 1..PMI_WINDOW
+PMI_WINDOW = 2
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy: n_tokens, vocab_size,
+    entropy (nats), and entropy normalized by ln(vocab_size) — the
+    0..1 diversity score a mixture-weighting pass consumes.
+
+    H = ln(N) - (sum c*ln c)/N from per-(source, token) integer counts;
+    plan: one (source, token) aggregate with map-side combine, then a
+    |sources|-row fold. Nothing after the first aggregate is
+    corpus-sized.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    sclc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    ent = F.log(n) - sclc / n
+    return (
+        counts.groupBy("source")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count("*").alias("vocab_size"),
+             ent.alias("entropy"),
+             (ent / F.log(F.count("*").cast("double")))
+             .alias("norm_entropy"))
+        .orderBy("source")
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT source, tok
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok)
+SELECT source,
+       SUM(c) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       ln(CAST(SUM(c) AS DOUBLE))
+         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+           / CAST(SUM(c) AS DOUBLE) AS entropy,
+       (ln(CAST(SUM(c) AS DOUBLE))
+         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+           / CAST(SUM(c) AS DOUBLE))
+         / ln(CAST(COUNT(*) AS DOUBLE)) AS norm_entropy
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring within
+    PMI_WINDOW positions: pmi = ln((c_ab/Np) / ((c_a/Nt)*(c_b/Nt))),
+    pairs canonicalized (a <= b), low-count pairs cut at PMI_MIN_COUNT.
+
+    The pair stream is built by an ARRAY expression per document
+    (positions i paired with i+1..i+W) — no corpus self-join, no
+    shuffle before the keyed count; the three totals are broadcast
+    scalars (the k-means replicated-state pattern).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    # guard: sequence(0, n) with n < 0 descends (auto step -1) and
+    # would fabricate junk pairs for 0/1-token docs — emit no pairs
+    pair_arrays = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.flatten(F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(PMI_WINDOW)),
+                        lambda d: F.when(
+                            i + d < F.size("t"),
+                            F.struct(
+                                F.least(F.element_at(F.col("t"), i + 1),
+                                        F.element_at(F.col("t"), i + d + 1))
+                                .alias("a"),
+                                F.greatest(F.element_at(F.col("t"), i + 1),
+                                           F.element_at(F.col("t"), i + d + 1))
+                                .alias("b"))),
+                    ),
+                    lambda s: s.isNotNull()),
+            ))
+        ).alias("p"))
+    pair_counts = (
+        pair_arrays.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+    )
+    uni = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("nt"))
+    n_pairs = pair_counts.agg(F.sum("n_pair").alias("np"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("np"))
+        / ((F.col("c_a").cast("double") / F.col("nt"))
+           * (F.col("c_b").cast("double") / F.col("nt"))))
+    return (
+        pair_counts.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tok)).crossJoin(F.broadcast(n_pairs))
+        .select("a", "b", "n_pair", pmi.alias("pmi"))
+        .orderBy("a", "b")
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+pairs AS (
+  SELECT least(p1.tok, p2.tok) AS a, greatest(p1.tok, p2.tok) AS b
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.i - p1.i BETWEEN 1 AND {PMI_WINDOW}),
+pair_counts AS (
+  SELECT a, b, COUNT(*) AS n_pair FROM pairs GROUP BY a, b),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS nt,
+         (SELECT SUM(n_pair) FROM pair_counts) AS np)
+SELECT p.a, p.b, p.n_pair,
+       ln((CAST(p.n_pair AS DOUBLE) / t.np)
+          / ((CAST(ua.c AS DOUBLE) / t.nt)
+             * (CAST(ub.c AS DOUBLE) / t.nt))) AS pmi
+FROM pair_counts p
+JOIN uni ua ON p.a = ua.tok
+JOIN uni ub ON p.b = ub.tok
+CROSS JOIN tot t
+WHERE p.n_pair >= {PMI_MIN_COUNT}
+ORDER BY p.a, p.b
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with per-doc counts: docs are first SEEDED with
+    deterministic synthetic PII (every 3rd doc an email, every 5th a
+    phone number — the corpus itself contains none, and an all-zero
+    redaction pass would verify nothing), then emails/phones are
+    regex-redacted to [EMAIL]/[PHONE]. Returns per doc the redaction
+    counts, the redacted length, and an md5 digest of the redacted
+    text so the oracle pins the exact output string.
+
+    Plan: pure per-row expression work (regexp_count/regexp_replace at
+    the scan, no UDF, no shuffle) — at 100 TB this is a map-only pass
+    whose cost is the parquet read.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    red = F.regexp_replace(
+        F.regexp_replace("text", F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(PHONE_RE), F.lit("[PHONE]"))
+    return (
+        seeded.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(EMAIL_RE)).cast("long")
+            .alias("n_emails"),
+            F.regexp_count("text", F.lit(PHONE_RE)).cast("long")
+            .alias("n_phones"),
+            F.length(red).cast("long").alias("redacted_len"),
+            F.md5(red).alias("digest"))
+        .orderBy("doc_id")
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g') AS r
+  FROM seeded)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS digest
+FROM red ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_entropy": text_token_entropy,
+    "text_pmi_pairs": text_pmi_pairs,
+    "text_pii_redact": text_pii_redact,
+}
+ORACLE_SQL = {
+    "text_token_entropy": TOKEN_ENTROPY_SQL,
+    "text_pmi_pairs": PMI_SQL,
+    "text_pii_redact": PII_REDACT_SQL,
+}

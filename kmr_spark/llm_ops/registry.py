@@ -1,11 +1,12 @@
 """Aggregated QUERIES / ORACLE_SQL for all llm_ops modules."""
 
-from kmr_spark.llm_ops import (chunking, corpus, dedup, multimodal, packing,
-                               pipeline, similarity, spans, textstats)
+from kmr_spark.llm_ops import (chunking, corpus, dedup, lexical, multimodal,
+                               packing, pipeline, similarity, spans,
+                               textstats)
 
 QUERIES = {}
 ORACLE_SQL = {}
 for _m in (chunking, dedup, multimodal, packing, pipeline, similarity,
-           textstats, corpus, spans):
+           textstats, corpus, spans, lexical):
     QUERIES.update(_m.QUERIES)
     ORACLE_SQL.update(_m.ORACLE_SQL)

@@ -236,13 +236,50 @@ ORDER BY event_type
 """
 
 
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step event-type paths (a>b>c) across all user
+    timelines — the sequence-mining census behind "what do users do
+    next" product questions and next-action model features. One lead()
+    window pass (two offsets share the same sort), then a |types|^3-
+    bounded aggregate with map-side combine.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
+        .groupBy("path").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+    )
+
+
+PATH_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS t3
+  FROM events)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path
+"""
+
+
+
 QUERIES = {
     "events_scd2_state": events_scd2_state,
     "events_markov_transitions": events_markov_transitions,
     "events_ab_test": events_ab_test,
+    "events_path_trigrams": events_path_trigrams,
 }
 ORACLE_SQL = {
     "events_scd2_state": SCD2_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "events_ab_test": AB_TEST_SQL,
+    "events_path_trigrams": PATH_TRIGRAMS_SQL,
 }

@@ -1,0 +1,83 @@
+"""Join-key skew diagnostics — the profiling pass you run BEFORE
+choosing a join strategy (broadcast / salt / AQE skew-join) at scale.
+
+``skew_report_orders`` profiles the orders.o_custkey distribution the
+way a shuffle planner sees it: per-key row counts folded into one
+summary row — key cardinality, hottest-key share, and the Gini
+coefficient of the key histogram (0 = perfectly even shuffle, ->1 =
+one reducer owns the table). The repo's salted_join / AQE knobs
+(operators/skew.py) consume exactly this signal.
+
+Exactness: Gini uses the rank formula
+G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over counts sorted ascending —
+rank-weighted INTEGER sums, one fixed float expression at the end, so
+both engines emit the identical double. Ties in x contribute the same
+sum regardless of their relative order, so the tie-break (key asc)
+only pins determinism, not the value.
+
+Scale shape: per-key counts are one map-side-combinable aggregate;
+the rank comes from the repo's distributed exscan ``ranking`` operator
+(KMR parity: kmr_ranking, reference src/kmrmoreops.c:764) — a range
+partition + per-partition offsets, NO single-partition global window;
+the final fold is |keys| -> 1 row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.operators.sort import ranking
+from kmr_spark.session import load_tables, sized_shuffle_partitions
+
+
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew profile of orders.o_custkey: n_keys, n_rows,
+    max_cnt, avg_cnt, top1_share, gini."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    counts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt")).persist()
+    try:
+        # the rank sort runs over the |keys|-sized aggregate, not the
+        # table — size its shuffle to that (session-wide partitioning
+        # is sized for the corpus and would fan 200 near-empty tasks)
+        n_keys = counts.count()
+        with sized_shuffle_partitions(spark, n_keys):
+            ranked = ranking(counts, ["cnt", "k"], materialize=True)  # 0-based
+    finally:
+        counts.unpersist()
+    n = F.count(F.lit(1))
+    sx = F.sum("cnt")
+    six = F.sum((F.col("rank") + 1) * F.col("cnt"))  # 1-based rank * x
+    gini = (F.lit(2.0) * six.cast("double")) / (n.cast("double") * sx.cast("double")) \
+        - (n.cast("double") + 1.0) / n.cast("double")
+    return ranked.agg(
+        n.alias("n_keys"),
+        sx.alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (sx.cast("double") / n.cast("double")).alias("avg_cnt"),
+        (F.max("cnt").cast("double") / sx.cast("double")).alias("top1_share"),
+        gini.alias("gini"),
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS r FROM counts)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_cnt,
+       CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cnt,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top1_share,
+       (2.0 * CAST(SUM(r * cnt) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+         - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE)
+           AS gini
+FROM ranked
+"""
+
+
+QUERIES = {"skew_report_orders": skew_report_orders}
+ORACLE_SQL = {"skew_report_orders": SKEW_REPORT_SQL}

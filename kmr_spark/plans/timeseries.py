@@ -306,6 +306,59 @@ FROM g2 GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of value per user under last-observation-
+    carried-forward weighting (the TimescaleDB ``time_weight('LOCF')``
+    shape): each observation holds until the next one, so its weight is
+    the gap to the successor; the final observation carries no weight.
+    Users with a single event have no spanned time and are skipped.
+
+    Exactness: values quantized to integer cents, weights are integer
+    microsecond gaps, the numerator is a DECIMAL(38,0) sum (order-free,
+    overflow-safe at petabyte scale), and the average is one float
+    division — identical in both engines.
+
+    Plan: one per-user window pass (lead) sharing its Exchange with the
+    keyed aggregate that follows; output is |users|-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).alias("c"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("nxt", F.lead("us").over(w)).filter(
+        F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"),
+             F.sum(dt).alias("span_us"),
+             F.sum((F.col("c") * dt).cast("decimal(38,0)")).alias("num"))
+        .select("user_id", "n_gaps", "span_us",
+                (F.col("num").cast("double") / F.col("span_us").cast("double"))
+                .alias("twa_cents"))
+        .orderBy("user_id")
+    )
+
+
+TWA_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS nxt,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+       CAST(SUM(CAST(c * (nxt - us) AS HUGEINT)) AS DOUBLE)
+         / CAST(SUM(nxt - us) AS DOUBLE) AS twa_cents
+FROM g WHERE nxt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
@@ -313,6 +366,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_conversion_lag": events_conversion_lag,
     "events_dwell_time": events_dwell_time,
+    "events_time_weighted_avg": events_time_weighted_avg,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -321,4 +375,5 @@ ORACLE_SQL = {
     "events_anomaly_zscore": ANOMALY_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_dwell_time": DWELL_SQL,
+    "events_time_weighted_avg": TWA_SQL,
 }

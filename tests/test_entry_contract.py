@@ -32,10 +32,11 @@ def test_no_duplicate_names_across_modules():
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, basket, behavior, bloomjoin,
-                                 generate, graphs, graysort, incremental,
-                                 iterative, layout, linalg, quality, rfm,
-                                 sampling, semistruct, sketches, timeseries,
-                                 tpch, tpch_extra, training, wordcount)
+                                 diagnostics, generate, graphs, graysort,
+                                 incremental, iterative, layout, linalg,
+                                 quality, rfm, sampling, semistruct, sketches,
+                                 timeseries, tpch, tpch_extra, training,
+                                 wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -44,7 +45,7 @@ def test_no_duplicate_names_across_modules():
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
              quality.QUERIES, basket.QUERIES, rfm.QUERIES,
              training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
-             registry.QUERIES]
+             diagnostics.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

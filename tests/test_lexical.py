@@ -1,0 +1,94 @@
+"""Lexical corpus stats + PII redaction (llm_ops/lexical.py), the
+join-key skew report (plans/diagnostics.py), time-weighted averages
+and path trigrams."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_DIR, assert_matches_oracle
+
+from kmr_spark.llm_ops.lexical import (
+    PII_REDACT_SQL,
+    PMI_SQL,
+    TOKEN_ENTROPY_SQL,
+    text_pii_redact,
+    text_pmi_pairs,
+    text_token_entropy,
+)
+from kmr_spark.plans.behavior import PATH_TRIGRAMS_SQL, events_path_trigrams
+from kmr_spark.plans.diagnostics import SKEW_REPORT_SQL, skew_report_orders
+from kmr_spark.plans.timeseries import TWA_SQL, events_time_weighted_avg
+
+
+def test_entropy_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, text_token_entropy, TOKEN_ENTROPY_SQL)
+
+
+def test_pmi_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, text_pmi_pairs, PMI_SQL)
+
+
+def test_pii_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, text_pii_redact, PII_REDACT_SQL)
+
+
+def test_skew_report_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, skew_report_orders, SKEW_REPORT_SQL)
+
+
+def test_twa_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, events_time_weighted_avg, TWA_SQL)
+
+
+def test_path_trigrams_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, events_path_trigrams,
+                          PATH_TRIGRAMS_SQL)
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(vocab); norm in (0, 1]."""
+    for r in text_token_entropy(spark, SF_DIR).collect():
+        assert 0.0 <= r.entropy <= math.log(r.vocab_size) + 1e-9
+        assert 0.0 < r.norm_entropy <= 1.0 + 1e-9
+
+
+def test_pii_redaction_counts_and_shape(spark):
+    """Docs seeded with PII get exactly the expected counts; the
+    redacted text never contains a raw seeded email/phone."""
+    rows = text_pii_redact(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+
+
+def test_skew_report_gini_in_range(spark):
+    r = skew_report_orders(spark, SF_DIR).first()
+    assert 0.0 <= r.gini < 1.0
+    assert r.max_cnt >= r.avg_cnt
+    assert abs(r.top1_share - r.max_cnt / r.n_rows) < 1e-12
+
+
+def test_twa_shape_and_bounds(spark):
+    """Every row spans positive time with >= 1 gap, and the TWA sits
+    inside the user's [min, max] cent range (a weighted mean must)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.session import load_tables
+
+    rows = {r.user_id: r
+            for r in events_time_weighted_avg(spark, SF_DIR).collect()}
+    assert rows
+    bounds = {
+        r.user_id: r
+        for r in load_tables(spark, SF_DIR)["events"]
+        .groupBy("user_id")
+        .agg(F.min(F.floor(F.col("value") * 100)).alias("lo"),
+             F.max(F.floor(F.col("value") * 100)).alias("hi"))
+        .collect()
+    }
+    for uid, r in rows.items():
+        assert r.span_us > 0 and r.n_gaps >= 1
+        b = bounds[uid]
+        assert b.lo - 1e-9 <= r.twa_cents <= b.hi + 1e-9
