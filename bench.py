@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "text_pmi_pairs",
     "text_pii_redact",
     "skew_report_orders",
+    "events_session_campaign_overlap",
+    "sample_docs_weighted",
 ]
 
 
@@ -131,16 +133,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # optional prefix cap (e.g. =33 reproduces the round-2 list exactly)
+    # for round-over-round noise isolation; default times everything
+    bench_names = BENCH_QUERIES
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        bench_names = BENCH_QUERIES[:int(only)]
+
     # warmup pass: pays JVM/JIT/codegen cost once per code path so the
     # timed pass measures the engine, not the JVM compiler; the first
     # timed query gets a second rep — one execution isn't enough for the
     # JIT to reach steady state on the iterative multi-job plan
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    queries[BENCH_QUERIES[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    queries[bench_names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         # drop caches so every query pays its own materializations, and
         # settle the JVM (GC the warmup/previous query's broadcast and
         # shuffle debris) so a query isn't billed for its predecessor's

@@ -86,3 +86,59 @@ def range_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("__bk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join: pairs with
+    ``l_lo < r_hi AND r_lo < l_hi`` (half-open [lo, hi) semantics; a
+    raw theta join compiles to BroadcastNestedLoopJoin, this doesn't).
+
+    Same bucketing rewrite as :func:`range_join`, extended to two
+    exploded sides: every interval covers the buckets its span touches,
+    the equi-join meets candidate pairs bucket-by-bucket, and the exact
+    overlap predicate filters. Because an overlapping pair shares EVERY
+    bucket in the overlap region, the pair is kept only in the single
+    bucket containing ``greatest(l_lo, r_lo)`` — the overlap's first
+    instant — so no distinct is needed (the same exactly-once trick as
+    the point join, and the property the unit tests pin).
+
+    ``bucket_width`` defaults to :func:`auto_bucket_width` of the RIGHT
+    side; empty/inverted intervals on either side are dropped (they
+    overlap nothing under [lo, hi)).
+    """
+    if bucket_width is None:
+        bucket_width = auto_bucket_width(right, r_lo, r_hi)
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.filter(F.col(hi) > F.col(lo)).withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{lo} DIV {bucket_width}"),
+                    F.expr(f"({hi} - 1) DIV {bucket_width}"),
+                )
+            ),
+        )
+
+    lf = explode_side(left, l_lo, l_hi)
+    rf = explode_side(right, r_lo, r_hi)
+    return (
+        lf.join(rf, "__bk")
+        .filter(
+            (F.col(l_lo) < F.col(r_hi))
+            & (F.col(r_lo) < F.col(l_hi))
+            & (F.col("__bk")
+               == F.expr(f"greatest({l_lo}, {r_lo}) DIV {bucket_width}"))
+        )
+        .drop("__bk")
+    )

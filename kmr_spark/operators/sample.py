@@ -102,3 +102,21 @@ def sql_bucket(key_expr: str, salt: int = 0) -> str:
     """
     pm = f"((({key_expr}) % {_P_PRE} + {_P_PRE}) % {_P_PRE})"
     return f"(({pm} + {salt}) * {_A}) % {_P_MOD}"
+
+
+def weighted_sample_key(key: Column, weight: Column, salt: int = 0) -> Column:
+    """Efraimidis–Spirakis (2006) weighted-reservoir key: the k rows
+    with the LARGEST ``ln(u)/w`` (u = a deterministic uniform in (0,1]
+    from the row's hash, w > 0 the row weight) are an exact weighted
+    sample without replacement. ln(u)/w is order-equivalent to the
+    paper's u^(1/w) but avoids pow(); both engines compute the same
+    doubles because u is an exact integer ratio and ln/division are
+    IEEE-deterministic for identical inputs."""
+    u = (hash_bucket(key, salt) + 1).cast("double") / float(_P_MOD + 1)
+    return F.log(u) / weight
+
+
+def sql_weighted_key(key_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """Oracle twin of :func:`weighted_sample_key`."""
+    return (f"ln(CAST(({sql_bucket(key_expr, salt)}) + 1 AS DOUBLE)"
+            f" / {float(_P_MOD + 1)!r}) / ({weight_expr})")

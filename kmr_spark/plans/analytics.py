@@ -761,6 +761,90 @@ ORDER BY win_id
 """
 
 
+def events_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join (operators/interval.py
+    interval_overlap_join): gap-based session spans [first_event,
+    last_event + 1µs) against the 25 overlapping 42-hour campaign
+    windows — "which sessions were live during which campaign", the
+    composition of two operators this engine already proves separately
+    (sessionize + bucketed interval machinery). Per window: session
+    count, distinct users, and a join-sensitive checksum.
+
+    Scale shape: both sides explode to ~2 buckets each (W = the
+    windows' own mean span via auto_bucket_width), one equi-shuffle on
+    the bucket id, exactly-once pair meeting at the overlap's first
+    bucket — never a nested-loop join, never a distinct."""
+    from kmr_spark.operators.interval import interval_overlap_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    with_start = ev.withColumn(
+        "new_session",
+        (F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(SESSION_GAP_US + 1))
+         > SESSION_GAP_US).cast("long"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    sessions = (
+        with_start.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s_lo"),
+             (F.max("us") + 1).alias("s_hi"))  # half-open: +1µs keeps
+        # single-event sessions as a 1µs point interval, not empty
+    )
+    wins = t["nation"].select(
+        F.col("n_nationkey").alias("win_id"),
+        (F.lit(_EPOCH_2024_US)
+         + F.col("n_nationkey") * F.lit(CAMPAIGN_STRIDE_H * _H_US)).alias("lo_us"),
+        (F.lit(_EPOCH_2024_US)
+         + F.col("n_nationkey") * F.lit(CAMPAIGN_STRIDE_H * _H_US)
+         + F.lit(CAMPAIGN_SPAN_H * _H_US)).alias("hi_us"),
+    )
+    joined = interval_overlap_join(
+        sessions, wins, "s_lo", "s_hi", "lo_us", "hi_us")
+    return (
+        joined.groupBy("win_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.col("user_id") * 131 + F.col("session_id"))
+             .alias("checksum"))
+        .orderBy("win_id")
+    )
+
+
+SESSION_CAMPAIGN_OVERLAP_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             {SESSION_GAP_US + 1}) > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, us,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gaps),
+spans AS (
+  SELECT user_id, session_id, MIN(us) AS s_lo, MAX(us) + 1 AS s_hi
+  FROM sess GROUP BY user_id, session_id),
+wins AS (
+  SELECT n_nationkey AS win_id,
+         {_EPOCH_2024_US} + n_nationkey * {CAMPAIGN_STRIDE_H * _H_US} AS lo_us,
+         {_EPOCH_2024_US} + n_nationkey * {CAMPAIGN_STRIDE_H * _H_US}
+           + {CAMPAIGN_SPAN_H * _H_US} AS hi_us
+  FROM nation)
+SELECT w.win_id,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT s.user_id) AS n_users,
+       CAST(SUM(s.user_id * 131 + s.session_id) AS BIGINT) AS checksum
+FROM spans s JOIN wins w
+  ON s.s_lo < w.hi_us AND w.lo_us < s.s_hi
+GROUP BY w.win_id ORDER BY w.win_id
+"""
+
+
+
 QUERIES = {
     "events_type_stats": events_type_stats,
     "events_running_sum": events_running_sum,
@@ -783,6 +867,7 @@ QUERIES = {
     "events_attribution_streamed": events_attribution_streamed,
     "events_enriched_streamed": events_enriched_streamed,
     "events_attribution_outer_streamed": events_attribution_outer_streamed,
+    "events_session_campaign_overlap": events_session_campaign_overlap,
 }
 
 ORACLE_SQL = {
@@ -807,4 +892,5 @@ ORACLE_SQL = {
     "events_attribution_streamed": EVENTS_ATTRIBUTION_SQL,
     "events_enriched_streamed": EVENTS_ENRICHED_SQL,
     "events_attribution_outer_streamed": EVENTS_ATTRIBUTION_OUTER_SQL,
+    "events_session_campaign_overlap": SESSION_CAMPAIGN_OVERLAP_SQL,
 }

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from kmr_spark.operators.sample import (_P_MOD, hash_sample,
                                         sample_k_per_group, sql_bucket,
-                                        stratified_sample)
+                                        sql_weighted_key, stratified_sample,
+                                        weighted_sample_key)
 from kmr_spark.session import load_tables
 
 EVENT_RATES = {"purchase": 0.5, "click": 0.25, "view": 0.1}
@@ -82,14 +83,49 @@ WHERE rn <= {K_PER_USER}
 """
 
 
+WEIGHTED_K = 50
+WEIGHTED_SALT = 13
+
+
+def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    reservoir): the 50 docs with the largest ln(u)/n_chars keys — long
+    documents proportionally likelier, yet the draw is a pure function
+    of doc_id (retry/AQE/engine stable). Plan: a narrow key expression
+    + TakeOrderedAndProject (per-partition heap, driver merge of 50) —
+    the distributed form of a weighted reservoir, no global sort."""
+    from kmr_spark.operators.sort import top_k
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        weighted_sample_key(
+            F.col("doc_id"), F.col("n_chars").cast("double"),
+            WEIGHTED_SALT).alias("wkey"))
+    return top_k(keyed, WEIGHTED_K, F.desc("wkey"), F.col("doc_id"))
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, source, n_chars,
+       {sql_weighted_key('doc_id', 'CAST(n_chars AS DOUBLE)', WEIGHTED_SALT)}
+         AS wkey
+FROM documents
+WHERE n_chars > 0
+ORDER BY wkey DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "sample_events_stratified": sample_events_stratified,
     "sample_docs_holdout": sample_docs_holdout,
     "sample_k_per_user": sample_k_per_user,
+    "sample_docs_weighted": sample_docs_weighted,
 }
 
 ORACLE_SQL = {
     "sample_events_stratified": SAMPLE_EVENTS_SQL,
     "sample_docs_holdout": SAMPLE_DOCS_SQL,
     "sample_k_per_user": SAMPLE_K_PER_USER_SQL,
+    "sample_docs_weighted": SAMPLE_WEIGHTED_SQL,
 }

@@ -1,0 +1,79 @@
+"""Interval×interval overlap join (operators/interval.py) and the
+weighted reservoir sample (operators/sample.py)."""
+
+from __future__ import annotations
+
+import itertools
+
+from conftest import SF_DIR, assert_matches_oracle
+
+from kmr_spark.operators.interval import interval_overlap_join
+from kmr_spark.plans.analytics import (
+    SESSION_CAMPAIGN_OVERLAP_SQL,
+    events_session_campaign_overlap,
+)
+from kmr_spark.plans.sampling import (
+    SAMPLE_WEIGHTED_SQL,
+    sample_docs_weighted,
+)
+
+
+def test_session_campaign_overlap_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, events_session_campaign_overlap,
+                          SESSION_CAMPAIGN_OVERLAP_SQL)
+
+
+def test_weighted_sample_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, sample_docs_weighted,
+                          SAMPLE_WEIGHTED_SQL)
+
+
+def test_overlap_join_equals_naive_product(spark):
+    """Bucketed overlap join == brute-force theta join, exactly once
+    per pair, across adversarial interval shapes (tiny/huge spans,
+    shared endpoints, containment, negative coords, empty intervals)."""
+    left = [(i, lo, hi) for i, (lo, hi) in enumerate([
+        (-50, -40), (-5, 5), (0, 1), (0, 100), (10, 10),  # empty
+        (10, 11), (99, 101), (100, 200), (150, 160), (-1000, 1000),
+    ])]
+    right = [(j, lo, hi) for j, (lo, hi) in enumerate([
+        (-45, -44), (-100, -50), (0, 50), (1, 2), (5, 5),  # empty
+        (50, 150), (100, 100), (100, 101), (199, 300), (-2000, -999),
+    ])]
+    ldf = spark.createDataFrame(left, ["lid", "l_lo", "l_hi"])
+    rdf = spark.createDataFrame(right, ["rid", "r_lo", "r_hi"])
+    expected = sorted(
+        (li, rj)
+        for (li, llo, lhi), (rj, rlo, rhi) in itertools.product(left, right)
+        if llo < rhi and rlo < lhi and llo < lhi and rlo < rhi)
+    for w in (1, 7, 100, 10_000):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi",
+                bucket_width=w).collect())
+        assert got == expected, f"W={w}"
+
+
+def test_overlap_join_rejects_bad_width(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, 1)], ["i", "lo", "hi"])
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df.selectExpr("i as j", "lo as rlo",
+                                                "hi as rhi"),
+                              "lo", "hi", "rlo", "rhi", bucket_width=0)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Long docs must be overrepresented: the sampled mean n_chars
+    exceeds the corpus mean (law-of-large-numbers check at k=50)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.session import load_tables
+
+    sampled = sample_docs_weighted(spark, SF_DIR)
+    m_s = sampled.agg(F.avg("n_chars")).first()[0]
+    m_all = (load_tables(spark, SF_DIR)["documents"]
+             .agg(F.avg("n_chars")).first()[0])
+    assert m_s > m_all
