@@ -90,3 +90,17 @@ def save_kvs(df: DataFrame, path: str) -> None:
 def restore_kvs(spark: SparkSession, path: str) -> DataFrame:
     """kmr_restore_kvs <- parquet."""
     return spark.read.parquet(path)
+
+
+def save_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the second columnar format (Hive-ecosystem twin of
+    the parquet kmr_save_kvs path; same splittable/self-describing
+    contract, native vectorized reader)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source with the same pushdown/pruning properties as parquet
+    (predicate pushdown + column pruning ride the format's stripe
+    statistics)."""
+    return spark.read.orc(path)

@@ -190,3 +190,23 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC roundtrip preserves schema+rows; a filtered read shows the
+    predicate pushed to the scan (stripe-stats pruning at scale)."""
+    from kmr_spark.sources.files import read_orc, save_orc
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "orc_roundtrip")
+    save_orc(df, path)
+    back = read_orc(spark, path)
+    # (nullability flags legitimately widen on read; names/types must hold)
+    assert [(f.name, f.dataType) for f in back.schema] == \
+        [(f.name, f.dataType) for f in df.schema]
+    assert back.count() == 1000
+    filtered = back.filter("grp = 3").select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3" in plan, plan
+    assert filtered.count() == df.filter("id % 7 = 3").count()
