@@ -39,9 +39,10 @@ from kmr_spark.session import load_tables, materialize_release, widen
 SPAN_K = 5
 
 
-def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc span duplication profile: (doc_id, n_spans,
-    n_dup_spans, dup_frac), docs with >= 1 span only."""
+def _spans_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The un-materialized span-profile plan + its cached token table
+    (exposed separately so plan-shape tests can inspect the real
+    pipeline; the public query materializes and releases the cache)."""
     docs = widen(load_tables(spark, sf_dir)["documents"])
     th_table = H.token_hash_table(docs)
     doc_spans = (
@@ -68,6 +69,13 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return out, th_table
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span duplication profile: (doc_id, n_spans,
+    n_dup_spans, dup_frac), docs with >= 1 span only."""
+    out, th_table = _spans_plan(spark, sf_dir)
     return materialize_release(out, th_table)
 
 

@@ -190,3 +190,51 @@ def test_quantized_knn_queries_are_broadcast(spark):
     plan = _pre_materialization_plan(
         similarity, similarity.knn_quantized, spark)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_single_corpus_exchange(spark):
+    """SCD2's three windows + the run-collapse aggregate all reuse ONE
+    hash Exchange on user_id; the only other Exchange is the
+    presentation orderBy's range partitioning."""
+    from kmr_spark.plans.behavior import events_scd2_state
+
+    plan = _plan(events_scd2_state(spark, SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("rangepartitioning(") == 1, plan  # presentation sort
+    assert plan.count("partitioning(") == 2, plan       # and nothing else
+
+
+def test_spans_has_no_join_on_text(spark):
+    """dedup_spans shuffles span hashes, never text: the scan reads
+    only (doc_id, text), and text is projected away before any
+    Exchange."""
+    from kmr_spark.llm_ops.spans import _spans_plan
+
+    out, th_table = _spans_plan(spark, SF)
+    try:
+        plan = _plan(out)
+    finally:
+        th_table.unpersist()
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned scan
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"text crosses an Exchange: {line}")
+
+
+def test_overlap_join_is_equi_shuffle(spark):
+    """The interval-overlap composition compiles to a hash equi-join on
+    the bucket id — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from kmr_spark.plans.analytics import events_session_campaign_overlap
+
+    plan = _plan(events_session_campaign_overlap(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """Efraimidis–Spirakis top-k must be the per-partition-heap
+    TakeOrdered plan, not a global sort."""
+    from kmr_spark.plans.sampling import sample_docs_weighted
+
+    plan = _plan(sample_docs_weighted(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
