@@ -1,0 +1,98 @@
+"""Table-maintenance operators: small-file diagnosis + compaction.
+
+The operational reality of a 100 TB lake: streaming sinks, per-key
+sinks (sources/files.py save_partitioned_by_key), and high-parallelism
+writes leave thousands of KB-scale files; every subsequent scan then
+pays one task + one open per file and the NameNode/listing cost grows
+unbounded. The fix is a periodic compaction pass — read, re-balance to
+a target file size, atomically swap. KMR's analog is the
+file-reassembly path (reference src/kmrfiles.c:910 reassembly plans,
+which stitch per-rank fragments back into few large files); Spark-first
+this is a size-derived ``coalesce`` (NO shuffle — coalesce only merges
+read partitions) or ``repartition`` when a partition column must also
+be re-clustered.
+
+Atomicity on a real object store comes from write-to-temp + rename;
+here the temp dir + ``shutil`` swap models it and the tests assert
+content equality + file-count reduction.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kmr_spark.sources.files import enumerate_files
+
+#: default compaction target (128 MiB — one HDFS/S3-friendly block)
+TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _is_data_file(name: str) -> bool:
+    """Exclude _SUCCESS/_metadata sidecars and .crc/.tmp dotfiles."""
+    return not (name.startswith("_") or name.startswith("."))
+
+
+def small_files_report(spark: SparkSession, path: str,
+                       small_bytes: int = 4 * 1024 * 1024) -> DataFrame:
+    """Per-directory small-file diagnosis over a table path:
+    (dir, n_files, n_small, total_bytes, avg_bytes). Data files only
+    (excludes _SUCCESS/_metadata sidecars and .crc dotfiles)."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split("path", "/"), -1)
+    files = enumerate_files(spark, [path]).filter(
+        ~base.startswith("_") & ~base.startswith("."))
+    return (
+        files.select(
+            F.expr("substring_index(path, '/', size(split(path, '/')) - 1)")
+            .alias("dir"),
+            "size")
+        .groupBy("dir")
+        .agg(F.count("*").alias("n_files"),
+             F.sum((F.col("size") < small_bytes).cast("long"))
+             .alias("n_small"),
+             F.sum("size").alias("total_bytes"),
+             (F.sum("size") / F.count("*")).alias("avg_bytes"))
+        .orderBy("dir")
+    )
+
+
+def plan_compaction(spark: SparkSession, path: str,
+                    target_bytes: int = TARGET_BYTES) -> int:
+    """Number of output files a compaction of ``path`` should produce:
+    ceil(total_data_bytes / target). Always >= 1."""
+    total = sum(
+        r.size for r in enumerate_files(spark, [path]).collect()
+        if _is_data_file(os.path.basename(r.path)))
+    return max(1, math.ceil(total / target_bytes))
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_bytes: int = TARGET_BYTES) -> int:
+    """Compact a parquet table in place to ~``target_bytes`` files:
+    read, ``coalesce`` to the size-derived count (narrow — no shuffle;
+    each output task concatenates whole input partitions), write to a
+    temp dir, atomically swap. Returns the output file count.
+
+    Rows are preserved exactly (coalesce never drops/duplicates);
+    ordering within files may change, as in any table compaction.
+    """
+    n_out = plan_compaction(spark, path, target_bytes)
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="kmr_compact_",
+                           dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + ".compact_old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return n_out

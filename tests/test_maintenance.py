@@ -1,0 +1,74 @@
+"""Small-file compaction + diagnosis (operators/maintenance.py)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from kmr_spark.operators.maintenance import (
+    compact_parquet,
+    plan_compaction,
+    small_files_report,
+)
+
+
+def _data_files(path: str) -> list[str]:
+    return [p for p in glob.glob(f"{path}/**/*", recursive=True)
+            if "/_" not in p and not p.endswith((".crc", "_SUCCESS"))
+            and p.endswith(".parquet")]
+
+
+def test_compaction_shrinks_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 13 AS k")
+    df.repartition(64).write.parquet(path)  # 64 tiny fragments
+    assert len(_data_files(path)) == 64
+    before = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+
+    n_out = compact_parquet(spark, path, target_bytes=10**9)
+    assert n_out == 1
+    assert len(_data_files(path)) == 1
+    after = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_plan_compaction_scales_with_target(spark, tmp_path):
+    path = str(tmp_path / "sized")
+    spark.range(50_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s").repartition(8).write.parquet(path)
+    import os
+
+    from kmr_spark.operators.maintenance import _is_data_file
+    from kmr_spark.sources.files import enumerate_files
+
+    total = sum(
+        r.size for r in enumerate_files(spark, [path]).collect()
+        if _is_data_file(os.path.basename(r.path)))
+    assert plan_compaction(spark, path, target_bytes=total + 1) == 1
+    n = plan_compaction(spark, path, target_bytes=max(1, total // 4))
+    assert 4 <= n <= 5
+
+
+def test_small_files_report_counts(spark, tmp_path):
+    path = str(tmp_path / "rep")
+    spark.range(1000).repartition(16).write.parquet(path)
+    rep = small_files_report(spark, path, small_bytes=10**9).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_files == 16 and r.n_small == 16
+    assert r.total_bytes > 0 and abs(
+        r.avg_bytes - r.total_bytes / r.n_files) < 1e-6
+
+
+def test_compaction_failure_leaves_source_intact(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "keep")
+    spark.range(100).write.parquet(path)
+    before = len(_data_files(path))
+    # unwritable target_bytes type triggers the pre-write failure path
+    with pytest.raises(TypeError):
+        compact_parquet(spark, path, target_bytes="not-a-number")
+    assert len(_data_files(path)) == before
+    assert spark.read.parquet(path).count() == 100
