@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "skew_report_orders",
     "events_session_campaign_overlap",
     "sample_docs_weighted",
+    "join_size_estimate",
+    "events_multitouch_attribution",
 ]
 
 

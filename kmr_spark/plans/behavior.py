@@ -271,15 +271,90 @@ GROUP BY path ORDER BY n DESC, path
 
 
 
+ATTR_HORIZON_US = 3_600 * 1_000_000  # 1h lookback
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase credits ALL of
+    the user's clicks in the preceding hour equally (weight 1/k). Per
+    purchase: the touch count, the per-touch weight, and the first/last
+    click lags in seconds — the per-conversion detail a marketing
+    pipeline aggregates into channel credit.
+
+    Plan: a RANGE window over each user's (time-ordered) event stream
+    counts in-horizon clicks — NO self-join, no pair blowup; the
+    window shares the single user-keyed Exchange. Weights are emitted
+    per purchase (1/k, an exact IEEE division), never float-summed, so
+    the oracle compares them bit-for-bit.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    is_click = (F.col("event_type") == "click").cast("long")
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-(ATTR_HORIZON_US - 1), -1))
+    touched = ev.select(
+        "event_id", "user_id", "event_type", "us",
+        F.sum(is_click).over(w).alias("n_touches_raw"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us")))
+        .over(w).alias("first_click_us"),
+        F.max(F.when(F.col("event_type") == "click", F.col("us")))
+        .over(w).alias("last_click_us"))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("n_touches_raw", F.lit(0)).alias("n_touches"),
+            F.when(F.coalesce("n_touches_raw", F.lit(0)) > 0,
+                   F.lit(1.0) / F.col("n_touches_raw")).alias("w_per_touch"),
+            ((F.col("us") - F.col("first_click_us")) / F.lit(1_000_000))
+            .cast("long").alias("first_lag_s"),
+            ((F.col("us") - F.col("last_click_us")) / F.lit(1_000_000))
+            .cast("long").alias("last_lag_s"))
+        .orderBy("event_id")
+    )
+
+
+MULTITOUCH_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+touched AS (
+  SELECT event_id, user_id, event_type, us,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ATTR_HORIZON_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS n_touches_raw,
+         MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ATTR_HORIZON_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS first_click_us,
+         MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ATTR_HORIZON_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS last_click_us
+  FROM ev)
+SELECT event_id, user_id,
+       CAST(COALESCE(n_touches_raw, 0) AS BIGINT) AS n_touches,
+       CASE WHEN COALESCE(n_touches_raw, 0) > 0
+            THEN CAST(1.0 AS DOUBLE) / n_touches_raw END AS w_per_touch,
+       CAST((us - first_click_us) // 1000000 AS BIGINT) AS first_lag_s,
+       CAST((us - last_click_us) // 1000000 AS BIGINT) AS last_lag_s
+FROM touched WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_scd2_state": events_scd2_state,
     "events_markov_transitions": events_markov_transitions,
     "events_ab_test": events_ab_test,
     "events_path_trigrams": events_path_trigrams,
+    "events_multitouch_attribution": events_multitouch_attribution,
 }
 ORACLE_SQL = {
     "events_scd2_state": SCD2_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "events_ab_test": AB_TEST_SQL,
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
+    "events_multitouch_attribution": MULTITOUCH_SQL,
 }

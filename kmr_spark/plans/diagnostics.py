@@ -79,5 +79,61 @@ FROM ranked
 """
 
 
-QUERIES = {"skew_report_orders": skew_report_orders}
-ORACLE_SQL = {"skew_report_orders": SKEW_REPORT_SQL}
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted equi-join cardinalities WITHOUT running the joins —
+    the statistics pass a cost-based planner runs: |A ⋈ B| =
+    sum over matching keys of cnt_A(k) * cnt_B(k), computed from the
+    two per-key count tables. Reported for the schema's two big joins
+    (orders⋈lineitem on orderkey, customer⋈orders on custkey) next to
+    the build-side row counts a planner weighs them against.
+
+    Scale shape: each count table is one map-side-combinable aggregate;
+    the estimate join touches only key-table-sized inputs (|keys| ≪
+    |rows|), so predicting a petabyte join costs two scans and a
+    key-sized shuffle — exactly why planners use it.
+    """
+    t = load_tables(spark, sf_dir)
+
+    def est(name, left, lk, right, rk):
+        lc = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count("*").alias("cl"))
+        rc = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count("*").alias("cr"))
+        return (
+            lc.join(rc, "k")
+            .agg(F.sum(F.col("cl") * F.col("cr")).alias("est_rows"),
+                 F.count("*").alias("n_matching_keys"))
+            .select(F.lit(name).alias("join_name"), "est_rows",
+                    "n_matching_keys")
+        )
+
+    return est("orders_lineitem", t["orders"], "o_orderkey",
+               t["lineitem"], "l_orderkey").unionByName(
+        est("customer_orders", t["customer"], "c_custkey",
+            t["orders"], "o_custkey")).orderBy("join_name")
+
+
+JOIN_SIZE_SQL = """
+WITH ol AS (
+  SELECT CAST(SUM(a.cl * b.cr) AS BIGINT) AS est_rows,
+         COUNT(*) AS n_matching_keys
+  FROM (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1) a
+  JOIN (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem GROUP BY 1) b
+    USING (k)),
+co AS (
+  SELECT CAST(SUM(a.cl * b.cr) AS BIGINT) AS est_rows,
+         COUNT(*) AS n_matching_keys
+  FROM (SELECT c_custkey AS k, COUNT(*) AS cl FROM customer GROUP BY 1) a
+  JOIN (SELECT o_custkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1) b
+    USING (k))
+SELECT 'customer_orders' AS join_name, est_rows, n_matching_keys FROM co
+UNION ALL
+SELECT 'orders_lineitem' AS join_name, est_rows, n_matching_keys FROM ol
+ORDER BY join_name
+"""
+
+
+QUERIES = {"skew_report_orders": skew_report_orders,
+           "join_size_estimate": join_size_estimate}
+ORACLE_SQL = {"skew_report_orders": SKEW_REPORT_SQL,
+              "join_size_estimate": JOIN_SIZE_SQL}

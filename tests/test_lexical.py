@@ -92,3 +92,47 @@ def test_twa_shape_and_bounds(spark):
         assert r.span_us > 0 and r.n_gaps >= 1
         b = bounds[uid]
         assert b.lo - 1e-9 <= r.twa_cents <= b.hi + 1e-9
+
+
+def test_join_size_estimate_matches_oracle(spark, duck):
+    from kmr_spark.plans.diagnostics import JOIN_SIZE_SQL, join_size_estimate
+
+    assert_matches_oracle(spark, duck, join_size_estimate, JOIN_SIZE_SQL)
+
+
+def test_join_size_estimate_equals_actual_join(spark):
+    """The prediction must equal the REAL join cardinality (it is an
+    exact identity when computed from full count tables)."""
+    from kmr_spark.plans.diagnostics import join_size_estimate
+    from kmr_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    est = {r.join_name: r.est_rows
+           for r in join_size_estimate(spark, SF_DIR).collect()}
+    assert est["orders_lineitem"] == t["orders"].join(
+        t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey
+    ).count()
+    assert est["customer_orders"] == t["customer"].join(
+        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey
+    ).count()
+
+
+def test_multitouch_matches_oracle(spark, duck):
+    from kmr_spark.plans.behavior import (MULTITOUCH_SQL,
+                                          events_multitouch_attribution)
+
+    assert_matches_oracle(spark, duck, events_multitouch_attribution,
+                          MULTITOUCH_SQL)
+
+
+def test_multitouch_weights_consistent(spark):
+    from kmr_spark.plans.behavior import events_multitouch_attribution
+
+    rows = events_multitouch_attribution(spark, SF_DIR).collect()
+    assert rows and any(r.n_touches > 0 for r in rows)
+    for r in rows:
+        if r.n_touches == 0:
+            assert r.w_per_touch is None and r.first_lag_s is None
+        else:
+            assert abs(r.w_per_touch * r.n_touches - 1.0) < 1e-12
+            assert 0 <= r.last_lag_s <= r.first_lag_s < 3600
