@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "sample_docs_weighted",
     "join_size_estimate",
     "events_multitouch_attribution",
+    "train_split_leakage_safe",
 ]
 
 

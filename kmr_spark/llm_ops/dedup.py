@@ -284,6 +284,71 @@ FROM labels ORDER BY cluster_id, doc_id
 """
 
 
+from kmr_spark.operators.sample import _P_MOD as _SAMPLE_P_MOD
+from kmr_spark.operators.sample import sql_bucket as _sql_split_bucket
+
+TRAIN_RATE = 0.8
+SPLIT_SALT = 23
+_SQL_SPLIT_BUCKET = _sql_split_bucket("group_key", SPLIT_SALT)
+_SPLIT_THRESH = int(TRAIN_RATE * _SAMPLE_P_MOD)
+
+
+def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val split: the split key is a document's
+    near-duplicate CLUSTER label (min doc_id of its SimHash component),
+    falling back to its own id for unclustered docs — so near-dup pairs
+    can never straddle the split (the eval-contamination failure mode a
+    plain per-doc hash split has: b lands in val while its near-twin a
+    trains). Deterministic hash threshold at TRAIN_RATE, the repo's
+    retry-stable sampling arithmetic (operators/sample.py).
+
+    Output: (doc_id, group_key, split); the invariant "one cluster,
+    one split" is test-asserted and the oracle recomputes the identical
+    components + hash."""
+    from kmr_spark.operators.graph import connected_components
+    from kmr_spark.operators.sample import _P_MOD, hash_bucket
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    pairs = simhash_pairs(spark, sf_dir, sort=False).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label"))
+    thresh = int(TRAIN_RATE * _P_MOD)
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("group_key"))
+        .select(
+            "doc_id", "group_key",
+            F.when(hash_bucket(F.col("group_key"), SPLIT_SALT) < thresh,
+                   F.lit("train")).otherwise(F.lit("val")).alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE {_SIMHASH_CANDS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+adj AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.d, r.label FROM reach r JOIN adj a ON a.s = r.node
+  WHERE r.label < a.d),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)
+SELECT doc_id, group_key,
+       CASE WHEN {_SQL_SPLIT_BUCKET} < {_SPLIT_THRESH}
+            THEN 'train' ELSE 'val' END AS split
+FROM keyed ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard: docs sharing (lang, source) are compared
     by token-3-gram Jaccard. Blocking bounds the candidate set the same
@@ -524,9 +589,11 @@ QUERIES = {
     "dedup_editdistance": editdistance_pairs,
     "dedup_clusters": duplicate_clusters,
     "dedup_incremental": incremental_dedup,
+    "train_split_leakage_safe": train_split_leakage_safe,
 }
 
 ORACLE_SQL = {
+    "train_split_leakage_safe": LEAKAGE_SPLIT_SQL,
     "dedup_incremental": INCREMENTAL_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "dedup_exact": EXACT_DEDUP_SQL,

@@ -160,3 +160,23 @@ def test_vocab_coverage_is_monotone_cdf(spark):
             assert r.n_occ <= prev_occ, "terms must be frequency-sorted"
         prev_cov, prev_occ = r.cum_coverage, r.n_occ
     assert rows[-1].cum_coverage <= 1.0 + 1e-12
+
+
+def test_leakage_safe_split_cluster_invariant(spark):
+    """Every near-dup cluster lands wholly in ONE split, and the split
+    rate is near TRAIN_RATE over group keys."""
+    from collections import defaultdict
+
+    from kmr_spark.llm_ops.dedup import (TRAIN_RATE,
+                                         train_split_leakage_safe)
+
+    rows = train_split_leakage_safe(spark, SF_DIR).collect()
+    assert rows
+    by_group = defaultdict(set)
+    for r in rows:
+        by_group[r.group_key].add(r.split)
+    assert all(len(v) == 1 for v in by_group.values()), \
+        "a cluster straddles the split"
+    groups = len(by_group)
+    train_groups = sum(1 for k, v in by_group.items() if "train" in v)
+    assert abs(train_groups / groups - TRAIN_RATE) < 0.1
