@@ -245,3 +245,79 @@ def test_merge_user_state_associativity_random(spark, rows, cut):
         assert merged[uid].n_events == direct[uid].n_events
         assert merged[uid].sum_dec == direct[uid].sum_dec
         assert merged[uid].last == direct[uid].last
+
+
+# ---------------------------------------------------- round-3 operators
+
+
+@given(texts=texts_strategy, k=st.integers(2, 6))
+@SETTINGS
+def test_span_hash_twins_agree(spark, texts, k):
+    """span_hashes_col == sql_span_hashes on arbitrary ASCII and any
+    window k — the invariant dedup_spans' oracle rests on (also pins
+    the k=3 == shingle-hash identity documented in hashing.py)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    th = H.token_hashes_col(H.tokens_col("text"))
+    out = df.select(
+        "doc_id", H.span_hashes_col(th, k).alias("sp")
+    ).orderBy("doc_id").collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    sql = (
+        f"WITH a AS (SELECT doc_id, "
+        f"{H.sql_token_hashes(H.sql_tokens('text'))} AS th FROM d) "
+        f"SELECT doc_id, {H.sql_span_hashes('th', k)} AS sp "
+        f"FROM a ORDER BY doc_id"
+    )
+    drows = con.execute(sql).fetchall()
+    con.close()
+    for s, dd in zip(out, drows):
+        assert (s["doc_id"], s["sp"]) == tuple(dd)
+        if k == 3:
+            pass  # k=3 equivalence with shingles checked below
+
+    if k == 3:
+        sh = df.select(
+            "doc_id",
+            H.shingle_hashes_col(H.token_hashes_col(H.tokens_col("text")))
+            .alias("sh")).orderBy("doc_id").collect()
+        for a, b in zip(out, sh):
+            assert a["sp"] == b["sh"]
+
+
+overlap_side = st.lists(
+    st.tuples(st.integers(-100, 200), st.integers(-5, 60)),  # (lo, span)
+    min_size=1, max_size=12,
+)
+
+
+@given(left=overlap_side, right=overlap_side, width=st.integers(1, 80))
+@SETTINGS
+def test_interval_overlap_matches_naive(spark, left, right, width):
+    """Bucketed interval×interval overlap == brute-force filter for
+    random (possibly empty/negative) intervals at any bucket width."""
+    from kmr_spark.operators.interval import interval_overlap_join
+
+    lrows = [(i, lo, lo + sp) for i, (lo, sp) in enumerate(left)]
+    rrows = [(j, lo, lo + sp) for j, (lo, sp) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, ["lid", "l_lo", "l_hi"])
+    rdf = spark.createDataFrame(rrows, ["rid", "r_lo", "r_hi"])
+    expected = sorted(
+        (li, rj)
+        for li, llo, lhi in lrows for rj, rlo, rhi in rrows
+        if llo < rhi and rlo < lhi and llo < lhi and rlo < rhi)
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi",
+            bucket_width=width).collect())
+    assert got == expected
