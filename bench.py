@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "join_size_estimate",
     "events_multitouch_attribution",
     "train_split_leakage_safe",
+    "revenue_grouping_sets",
 ]
 
 

@@ -448,6 +448,43 @@ ORDER BY nation ASC NULLS FIRST, l_year ASC NULLS FIRST
 """
 
 
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: revenue by (nation, year), by year alone, and the grand total
+    (deliberately NOT the rollup lattice: no per-nation subtotal), via
+    the SQL front-end. grouping_id disambiguates NULL-as-subtotal from
+    NULL data, exactly as the oracle's GROUPING() does."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("_gs_lineitem")
+    t["supplier"].createOrReplaceTempView("_gs_supplier")
+    t["nation"].createOrReplaceTempView("_gs_nation")
+    from kmr_spark.plans.tpch import SQL_VOLUME_I as _vol
+    return spark.sql(f"""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(grouping(n_name) * 2 + grouping(year(l_shipdate))
+                    AS BIGINT) AS gid,
+               CAST(SUM({_vol}) AS DOUBLE) / 10000.0 AS revenue
+        FROM _gs_lineitem JOIN _gs_supplier ON s_suppkey = l_suppkey
+             JOIN _gs_nation ON s_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, year(l_shipdate)),
+                                (year(l_shipdate)), ())
+        ORDER BY gid, nation NULLS FIRST, l_year NULLS FIRST
+    """)
+
+
+REVENUE_GROUPING_SETS_SQL = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(year(l_shipdate))
+            AS BIGINT) AS gid,
+       CAST(SUM({SQL_VOLUME_I}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, year(l_shipdate)),
+                        (year(l_shipdate)), ())
+ORDER BY gid, nation NULLS FIRST, l_year NULLS FIRST
+"""
+
+
 def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization executed through the CUSTOM stateful
     streaming operator (applyInPandasWithState, see
@@ -868,6 +905,7 @@ QUERIES = {
     "events_enriched_streamed": events_enriched_streamed,
     "events_attribution_outer_streamed": events_attribution_outer_streamed,
     "events_session_campaign_overlap": events_session_campaign_overlap,
+    "revenue_grouping_sets": revenue_grouping_sets,
 }
 
 ORACLE_SQL = {
@@ -893,4 +931,5 @@ ORACLE_SQL = {
     "events_enriched_streamed": EVENTS_ENRICHED_SQL,
     "events_attribution_outer_streamed": EVENTS_ATTRIBUTION_OUTER_SQL,
     "events_session_campaign_overlap": SESSION_CAMPAIGN_OVERLAP_SQL,
+    "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
 }

@@ -72,3 +72,41 @@ def test_compaction_failure_leaves_source_intact(spark, tmp_path):
         compact_parquet(spark, path, target_bytes="not-a-number")
     assert len(_data_files(path)) == before
     assert spark.read.parquet(path).count() == 100
+
+
+def test_trimmed_mean_udaf_matches_python(spark):
+    """Grouped-agg pandas UDAF == pure-Python trimmed mean per group
+    (the kmr_reduce full-value-array redfn shape, §2.9)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions.udafs import TRIM_FRAC, trimmed_mean_col
+
+    rows = [(i % 5, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r.k: r.tm for r in df.groupBy("k")
+           .agg(trimmed_mean_col(F.col("v")).alias("tm")).collect()}
+
+    groups = defaultdict(list)
+    for k, v in rows:
+        groups[k].append(v)
+    for k, vs in groups.items():
+        vs.sort()
+        t = int(len(vs) * TRIM_FRAC)
+        if 2 * t >= len(vs):
+            t = 0
+        expect = sum(vs[t:len(vs) - t]) / (len(vs) - 2 * t)
+        assert math.isclose(got[k], expect, rel_tol=1e-12), (k, got[k], expect)
+
+
+def test_trimmed_mean_tiny_groups_fall_back_to_mean(spark):
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions.udafs import trimmed_mean_col
+
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], ["k", "v"])
+    got = {r.k: r.tm for r in df.groupBy("k")
+           .agg(trimmed_mean_col(F.col("v")).alias("tm")).collect()}
+    assert got[1] == 15.0 and got[2] == 5.0
