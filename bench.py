@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "events_multitouch_attribution",
     "train_split_leakage_safe",
     "revenue_grouping_sets",
+    "dedup_containment",
 ]
 
 

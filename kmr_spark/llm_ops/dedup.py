@@ -144,6 +144,90 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: pairs where the smaller doc's
+    shingle set is mostly inside the larger's — C(A→B) =
+    |A∩B| / |A| — the quote/subset duplication Jaccard under-scores
+    (a doc embedded in a 10× longer one has J ≈ 0.1 but C ≈ 1.0).
+    Emits LSH-banded candidates whose max-direction containment clears
+    CONTAINMENT_THRESHOLD, with both directions + Jaccard for triage.
+
+    Candidate generation reuses the Jaccard LSH bands; recall for
+    pure-containment pairs whose Jaccard is tiny would need
+    size-stratified banding at scale (documented trade — the gate
+    verifies what IS emitted, bit-exactly).
+    """
+    sigs, th_table = _docs_with_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(b), F.col(f"sig{2 * b}"),
+                            F.col(f"sig{2 * b + 1}"))
+                for b in range(H.N_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    c_ab = inter / F.size("set_a")
+    c_ba = inter / F.size("set_b")
+    out = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+            (inter / F.size(F.array_union("set_a", "set_b")))
+            .alias("jaccard"))
+        .filter(F.greatest("containment_a_in_b", "containment_b_in_a")
+                >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+    return materialize_release(out, sigs, th_table)
+
+
+CONTAINMENT_SQL = f"""
+WITH {_sql_sigs_cte()},
+bands AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b+1}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         AS band_key
+  FROM sigs, unnest(range({H.N_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+           / len(sa.shset) AS containment_a_in_b,
+         CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+           / len(sb.shset) AS containment_b_in_a,
+         CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+           / len(list_distinct(sa.shset || sb.shset)) AS jaccard
+  FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+            JOIN sigs sb ON cand.doc_b = sb.doc_id)
+SELECT * FROM scored
+WHERE greatest(containment_a_in_b, containment_b_in_a)
+        >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
     """Near-duplicate pairs via 32-bit frequency-weighted SimHash with
     banded candidate generation (4 bands of 8 bits; pigeonhole guarantees
@@ -590,9 +674,11 @@ QUERIES = {
     "dedup_clusters": duplicate_clusters,
     "dedup_incremental": incremental_dedup,
     "train_split_leakage_safe": train_split_leakage_safe,
+    "dedup_containment": containment_pairs,
 }
 
 ORACLE_SQL = {
+    "dedup_containment": CONTAINMENT_SQL,
     "train_split_leakage_safe": LEAKAGE_SPLIT_SQL,
     "dedup_incremental": INCREMENTAL_SQL,
     "dedup_clusters": CLUSTERS_SQL,

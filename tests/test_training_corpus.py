@@ -180,3 +180,45 @@ def test_leakage_safe_split_cluster_invariant(spark):
     groups = len(by_group)
     train_groups = sum(1 for k, v in by_group.items() if "train" in v)
     assert abs(train_groups / groups - TRAIN_RATE) < 0.1
+
+
+def test_containment_detects_embedded_doc(spark):
+    """A short doc fully embedded in a longer one scores containment
+    ~1.0 even when Jaccard is small — the asymmetry the operator
+    exists for (checked on a hand-built pair through the same scoring
+    arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions import hashing as H
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("pre one two three " + short + " post four five six seven "
+            "eight nine ten eleven twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], ["doc_id", "text"])
+    th = H.token_hash_table(docs)
+    sigs = th.select(
+        "doc_id",
+        F.array_distinct(H.shingle_hashes_col(F.col("th"))).alias("s"))
+    a = sigs.filter("doc_id = 1").select(F.col("s").alias("sa"))
+    b = sigs.filter("doc_id = 2").select(F.col("s").alias("sb"))
+    r = a.crossJoin(b).select(
+        (F.size(F.array_intersect("sa", "sb")) / F.size("sa"))
+        .alias("c_ab"),
+        (F.size(F.array_intersect("sa", "sb"))
+         / F.size(F.array_union("sa", "sb"))).alias("jac")).first()
+    th.unpersist()
+    assert r.c_ab == 1.0          # fully contained
+    assert r.jac < 0.5            # Jaccard would have missed it
+
+
+def test_containment_pairs_bounds(spark):
+    from kmr_spark.llm_ops.dedup import (CONTAINMENT_THRESHOLD,
+                                         containment_pairs)
+
+    rows = containment_pairs(spark, SF_DIR).collect()
+    for r in rows:
+        assert max(r.containment_a_in_b, r.containment_b_in_a) >= \
+            CONTAINMENT_THRESHOLD
+        assert r.jaccard <= min(r.containment_a_in_b,
+                                r.containment_b_in_a) + 1e-12
