@@ -332,7 +332,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("user_id")
         .agg(F.count("*").alias("n_gaps"),
              F.sum(dt).alias("span_us"),
-             F.sum((F.col("c") * dt).cast("decimal(38,0)")).alias("num"))
+             F.sum(F.col("c").cast("decimal(38,0)") * dt).alias("num"))
         .select("user_id", "n_gaps", "span_us",
                 (F.col("num").cast("double") / F.col("span_us").cast("double"))
                 .alias("twa_cents"))
@@ -351,7 +351,7 @@ WITH g AS (
 SELECT user_id,
        COUNT(*) AS n_gaps,
        CAST(SUM(nxt - us) AS BIGINT) AS span_us,
-       CAST(SUM(CAST(c * (nxt - us) AS HUGEINT)) AS DOUBLE)
+       CAST(SUM(CAST(c AS HUGEINT) * (nxt - us)) AS DOUBLE)
          / CAST(SUM(nxt - us) AS DOUBLE) AS twa_cents
 FROM g WHERE nxt IS NOT NULL
 GROUP BY user_id ORDER BY user_id
