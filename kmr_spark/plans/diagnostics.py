@@ -101,7 +101,10 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cr"))
         return (
             lc.join(rc, "k")
-            .agg(F.sum(F.col("cl") * F.col("cr")).alias("est_rows"),
+            # decimal product/sum: per-key count products can pass
+            # int64 under heavy skew; DuckDB's HUGEINT sum is the twin
+            .agg(F.sum(F.col("cl").cast("decimal(38,0)") * F.col("cr"))
+                 .cast("long").alias("est_rows"),
                  F.count("*").alias("n_matching_keys"))
             .select(F.lit(name).alias("join_name"), "est_rows",
                     "n_matching_keys")
