@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "train_split_leakage_safe",
     "revenue_grouping_sets",
     "dedup_containment",
+    "emb_power_iteration",
 ]
 
 

@@ -116,5 +116,101 @@ FROM stats ORDER BY dim
 """
 
 
-QUERIES = {"linalg_matmul": matmul, "emb_dim_stats": emb_dim_stats}
-ORACLE_SQL = {"linalg_matmul": MATMUL_SQL, "emb_dim_stats": EMB_DIM_STATS_SQL}
+PI_ITERS = 4
+PI_Q = 10**9
+PI_DIM = 64
+
+
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top singular direction of the embedding matrix by matrix-free
+    POWER ITERATION — the eigen-solver for PCA/whitening (and the same
+    computation pagerank is, done on a dense Gram operator): iterate
+    v <- normalize(Aᵀ(A v)), then score every vector by its projection
+    onto the iterated direction. Output (vec_id, score). Convergence
+    speed is (σ2/σ1)^iters — fast on real embedding corpora with a
+    spectral gap, slow on this deliberately isotropic synthetic data;
+    the operator contract (and the gate) is the exact iteration, with
+    the Rayleigh-improvement property test-asserted.
+
+    Cross-engine exactness (the kmeans recipe, iterative.py):
+    per-row dot products are fixed-order folds; the corpus-sized
+    reduction Aᵀ(·) is quantized — sum(floor(a_d * s * 1e9)) as int64,
+    exact and order-free; the 64-double direction state normalizes on
+    the DRIVER in fixed order and re-broadcasts as literals. Per
+    iteration: one narrow map + one 64-key aggregate; nothing leaves
+    the executors but 64 longs. At web scale this is one shuffle-free
+    pass per iteration over a columnar scan.
+    """
+    from kmr_spark.functions.vectors import dot, to_double_array
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", to_double_array("embedding").alias("vd")).persist()
+    try:
+        v = [0.125] * PI_DIM  # 1/sqrt(64), exact in binary
+        for _ in range(PI_ITERS):
+            v_lit = F.array(*[F.lit(x) for x in v])
+            proj = emb.select("vd", dot(F.col("vd"), v_lit).alias("s"))
+            sums = (
+                proj.select(F.posexplode(
+                    F.transform(
+                        F.col("vd"),
+                        lambda x: F.floor(x * F.col("s") * PI_Q).cast("long"))
+                ).alias("pos", "q"))
+                .groupBy("pos").agg(F.sum("q").alias("sq"))
+                .collect()
+            )
+            w = [0.0] * PI_DIM
+            for r in sums:
+                w[r["pos"]] = float(r["sq"]) / PI_Q
+            nrm = sum(x * x for x in w) ** 0.5
+            v = [x / nrm for x in w]
+        v_lit = F.array(*[F.lit(x) for x in v])
+        return (
+            emb.select("vec_id", dot(F.col("vd"), v_lit).alias("score"))
+            .orderBy("vec_id")
+        )
+    finally:
+        emb.unpersist()
+
+
+def _power_iteration_sql() -> str:
+    from kmr_spark.functions.vectors import sql_dot
+
+    v0 = "[" + ", ".join(["CAST(0.125 AS DOUBLE)"] * PI_DIM) + "]"
+    cte = f"""
+emb AS (SELECT vec_id, embedding FROM embeddings),
+v0 AS (SELECT {v0} AS v)"""
+    for it in range(PI_ITERS):
+        cte += f""",
+s{it} AS (
+  SELECT e.vec_id, e.embedding, {sql_dot('e.embedding', 'c.v')} AS s
+  FROM emb e CROSS JOIN v{it} c),
+q{it} AS (
+  SELECT d - 1 AS pos,
+         SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * s * {PI_Q})
+                  AS BIGINT)) AS sq
+  FROM s{it}, unnest(range(1, {PI_DIM} + 1)) AS t(d)
+  GROUP BY pos),
+w{it} AS (
+  SELECT list(CAST(sq AS DOUBLE) / {PI_Q} ORDER BY pos) AS w FROM q{it}),
+v{it + 1} AS (
+  SELECT list_transform(w, x -> x / sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(w, y -> y * y)),
+           (a, b) -> a + b))) AS v
+  FROM w{it})"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT e.vec_id, {sql_dot('e.embedding', 'c.v')} AS score\n"
+        f"FROM emb e CROSS JOIN v{PI_ITERS} c ORDER BY e.vec_id"
+    )
+
+
+POWER_ITERATION_SQL = _power_iteration_sql()
+
+
+QUERIES = {"linalg_matmul": matmul, "emb_dim_stats": emb_dim_stats,
+           "emb_power_iteration": emb_power_iteration}
+ORACLE_SQL = {"linalg_matmul": MATMUL_SQL,
+              "emb_dim_stats": EMB_DIM_STATS_SQL,
+              "emb_power_iteration": POWER_ITERATION_SQL}
