@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "revenue_grouping_sets",
     "dedup_containment",
     "emb_power_iteration",
+    "events_hll_streamed",
 ]
 
 

@@ -90,20 +90,36 @@ def _sql_linear_count(v: str) -> str:
     return f"(CASE {whens} END)"
 
 
-def hll_distinct(df: DataFrame, key: str,
-                 group: str | list[str]) -> DataFrame:
-    """(group..., hll_est, n_registers_hit) via portable HLL-64;
-    ``group`` may be one column or a composite key list."""
+def hll_registers(df: DataFrame, key: str,
+                  group: str | list[str]) -> DataFrame:
+    """The sketch STATE: (group..., bucket, m_j) register table.
+    Mergeable by per-register MAX (associative + idempotent), which is
+    what makes the sketch streamable and partition-order-free."""
     groups = [group] if isinstance(group, str) else list(group)
     h = _hash31(F.col(key))
     bucket = h % HLL_M
     w = (h / HLL_M).cast("long")
-    regs = (
+    return (
         df.select(*[F.col(g) for g in groups], bucket.alias("bucket"),
                   _rho_when(w).alias("rho"))
         .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame,
+                        groups: list[str]) -> DataFrame:
+    """Fold two register tables: per-register MAX — the HLL merge."""
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def hll_fold(regs: DataFrame, group: str | list[str]) -> DataFrame:
+    """Register table -> (group..., hll_est, n_registers_hit)."""
+    groups = [group] if isinstance(group, str) else list(group)
     # sum(2^-M_j) over present registers; absent registers contribute
     # 2^0 = 1 each. All terms are dyadic rationals with tiny exponent
     # spread, so the double sum is exact and order-independent.
@@ -129,6 +145,13 @@ def hll_distinct(df: DataFrame, key: str,
         est.alias("hll_est"),
         F.col("n_present").cast("long").alias("n_registers_hit"),
     )
+
+
+def hll_distinct(df: DataFrame, key: str,
+                 group: str | list[str]) -> DataFrame:
+    """(group..., hll_est, n_registers_hit) via portable HLL-64;
+    ``group`` may be one column or a composite key list."""
+    return hll_fold(hll_registers(df, key, group), group)
 
 
 def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,6 +219,36 @@ def events_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_distinct(ev, "user_id", ["event_type", "hour_ts"])
         .orderBy("event_type", "hour_ts")
     )
+
+
+def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly HLL rollup maintained INCREMENTALLY from the event
+    stream (streaming/windows.py hll_stream_to_state): per micro-batch
+    register deltas max-merged into a versioned state table, folded to
+    estimates at the end. Because register merge is associative and
+    idempotent, the result is bit-equal to the batch events_hll_hourly
+    whatever the micro-batch split — same oracle proves it."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.session import sized_shuffle_partitions
+    from kmr_spark.streaming.windows import (hll_stream_to_state,
+                                             sized_state_partitions,
+                                             stream_events)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    try:
+        with sized_shuffle_partitions(
+                spark, n_partitions=sized_state_partitions(spark, sf_dir)):
+            regs = hll_stream_to_state(stream_events(spark, sf_dir), st, ck)
+        out = hll_fold(regs, ["event_type", "hour_ts"]).orderBy(
+            "event_type", "hour_ts")
+        # the state files are about to be deleted; pin the rows first
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(st, ignore_errors=True)
 
 
 def _hll_hourly_sql() -> str:
@@ -336,10 +389,12 @@ SKETCH_QUANTILES_SQL = _sketch_quantiles_sql()
 QUERIES = {
     "events_hll_users": events_hll_users,
     "events_hll_hourly": events_hll_hourly,
+    "events_hll_streamed": events_hll_streamed,
     "events_sketch_quantiles": events_sketch_quantiles,
 }
 ORACLE_SQL = {
     "events_hll_users": EVENTS_HLL_SQL,
     "events_hll_hourly": HLL_HOURLY_SQL,
+    "events_hll_streamed": HLL_HOURLY_SQL,
     "events_sketch_quantiles": SKETCH_QUANTILES_SQL,
 }

@@ -155,28 +155,22 @@ def attribution_outer_stream(purchases: DataFrame, clicks: DataFrame,
     )
 
 
-def merge_stream_to_state(events: DataFrame, state_dir: str,
-                          checkpoint_dir: str) -> DataFrame:
-    """Maintain the per-user state table incrementally from a stream:
-    every micro-batch is aggregated to state records and MERGED into a
-    parquet state table via ``foreachBatch`` — the streaming form of
-    plans.incremental.merge_user_state, and the pattern a production
-    pipeline uses to keep a keyed serving table fresh without
-    recomputing history.
-
-    The merge is exactly associative (counts, DECIMAL sums,
-    lexicographic latest-row), so the final state equals the batch
-    recompute REGARDLESS of how the replay was split into micro-batches
-    — which is what the oracle checks. State swaps through a versioned
-    subdirectory per batch (read-old/write-new/repoint) so a failed
-    batch never corrupts the current version; the checkpoint makes
-    replayed batches re-MERGE idempotently onto the pre-batch version.
+def versioned_merge_stream(events: DataFrame, state_dir: str,
+                           checkpoint_dir: str, delta_fn, merge_fn) -> DataFrame:
+    """Generic incremental-state maintenance runner: for every
+    micro-batch, ``delta_fn(batch_df)`` builds the batch's state delta
+    and ``merge_fn(prior_state, delta)`` folds it into the running
+    state, which swaps through a versioned subdirectory per batch
+    (read-old/write-new/repoint) so a failed batch never corrupts the
+    current version; the checkpoint makes replayed batches re-merge
+    idempotently onto the pre-batch version. ``merge_fn`` must be
+    associative for the final state to equal the batch recompute
+    regardless of micro-batch splits — which is what the oracles of
+    both users of this runner check.
 
     Returns the final state as a batch DataFrame.
     """
     import os
-
-    from kmr_spark.plans.incremental import _user_state, merge_user_state
 
     spark = events.sparkSession
 
@@ -203,10 +197,10 @@ def merge_stream_to_state(events: DataFrame, state_dir: str,
                 f"state_dir has versions {existing} newer than batch "
                 f"{batch_id}; state_dir and checkpoint_dir belong to "
                 "different runs — clear one of them")
-        delta = _user_state(batch_df)
+        delta = delta_fn(batch_df)
         prior = [vid for vid in existing if vid < batch_id]
         merged = (delta if not prior
-                  else merge_user_state(_read_version(prior[-1]), delta))
+                  else merge_fn(_read_version(prior[-1]), delta))
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}"))
         # prune superseded versions, but KEEP the direct predecessor:
@@ -225,8 +219,47 @@ def merge_stream_to_state(events: DataFrame, state_dir: str,
     q.awaitTermination()
     versions = _versions()
     if not versions:
-        raise RuntimeError("merge_stream_to_state: no batches were processed")
+        raise RuntimeError("versioned_merge_stream: no batches were processed")
     return _read_version(versions[-1])
+
+
+def merge_stream_to_state(events: DataFrame, state_dir: str,
+                          checkpoint_dir: str) -> DataFrame:
+    """Maintain the per-user state table incrementally from a stream —
+    the streaming form of plans.incremental.merge_user_state (counts,
+    DECIMAL sums, lexicographic latest-row; exactly associative, so the
+    final state equals the batch recompute however the replay was
+    split)."""
+    from kmr_spark.plans.incremental import _user_state, merge_user_state
+
+    return versioned_merge_stream(
+        events, state_dir, checkpoint_dir, _user_state, merge_user_state)
+
+
+def hll_stream_to_state(events: DataFrame, state_dir: str,
+                        checkpoint_dir: str) -> DataFrame:
+    """Streamed HLL: maintain the per-(event_type, hour) REGISTER table
+    incrementally — each micro-batch contributes max-rho registers and
+    the merge is per-register MAX (associative AND idempotent, the
+    strongest replay guarantee), so the final registers are bit-equal
+    to the batch sketch however the stream was chopped. Returns the
+    register state; fold with plans.sketches.hll_fold."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.sketches import hll_registers, merge_hll_registers
+
+    groups = ["event_type", "hour_ts"]
+
+    def delta(batch_df: DataFrame) -> DataFrame:
+        return hll_registers(
+            batch_df.withColumn("hour_ts", F.date_trunc("hour", "ts")),
+            "user_id", groups)
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return merge_hll_registers(a, b, groups)
+
+    return versioned_merge_stream(
+        events, state_dir, checkpoint_dir, delta, merge)
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame,

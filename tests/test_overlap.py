@@ -77,3 +77,31 @@ def test_weighted_sample_favors_heavy_rows(spark):
     m_all = (load_tables(spark, SF_DIR)["documents"]
              .agg(F.avg("n_chars")).first()[0])
     assert m_s > m_all
+
+
+def test_hll_register_merge_split_invariance(spark):
+    """Register tables from arbitrary splits of the input max-merge to
+    the same state as the single-pass sketch (the associativity +
+    idempotence the streamed HLL rests on — including re-merging a
+    delta twice)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.sketches import (hll_fold, hll_registers,
+                                          merge_hll_registers)
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"].withColumn(
+        "hour_ts", F.date_trunc("hour", "ts"))
+    groups = ["event_type", "hour_ts"]
+    whole = {tuple(r) for r in hll_fold(
+        hll_registers(ev, "user_id", groups), groups).collect()}
+
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+    ra = hll_registers(a, "user_id", groups)
+    rb = hll_registers(b, "user_id", groups)
+    merged = merge_hll_registers(ra, rb, groups)
+    # idempotence: merging a's registers AGAIN must change nothing
+    merged_twice = merge_hll_registers(merged, ra, groups)
+    split = {tuple(r) for r in hll_fold(merged_twice, groups).collect()}
+    assert split == whole
