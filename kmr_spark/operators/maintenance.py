@@ -89,6 +89,10 @@ def compact_parquet(spark: SparkSession, path: str,
     try:
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         old = path.rstrip("/") + ".compact_old"
+        # a crashed previous run can leave the graveyard dir behind;
+        # the data dir itself is intact in that case, so clearing the
+        # leftover is safe and unblocks the swap
+        shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
