@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "emb_power_iteration",
     "events_hll_streamed",
+    "events_session_window_native",
 ]
 
 

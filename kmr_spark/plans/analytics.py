@@ -798,6 +798,48 @@ ORDER BY win_id
 """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the built-in
+    merging-window operator, usable batch AND streaming) over the same
+    30-min gap as events_sessionize: per (user, session) the event
+    count and window bounds. Differs from the gaps-and-islands form
+    only in the end bound (window end = last event + gap, by
+    definition of session_window) — the oracle recomputes exactly
+    that, proving the builtin against the island rewrite."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.col("session_window.start").alias("t_start"),
+                F.col("session_window.end").alias("t_end"),
+                "n_events")
+        .orderBy("user_id", "t_start")
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             {SESSION_GAP_US + 1}) > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps)
+SELECT user_id, MIN(ts) AS t_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_US} MICROSECONDS AS t_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, t_start
+"""
+
+
 def events_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval OVERLAP join (operators/interval.py
     interval_overlap_join): gap-based session spans [first_event,
@@ -906,6 +948,7 @@ QUERIES = {
     "events_attribution_outer_streamed": events_attribution_outer_streamed,
     "events_session_campaign_overlap": events_session_campaign_overlap,
     "revenue_grouping_sets": revenue_grouping_sets,
+    "events_session_window_native": events_session_window_native,
 }
 
 ORACLE_SQL = {
@@ -932,4 +975,5 @@ ORACLE_SQL = {
     "events_attribution_outer_streamed": EVENTS_ATTRIBUTION_OUTER_SQL,
     "events_session_campaign_overlap": SESSION_CAMPAIGN_OVERLAP_SQL,
     "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
+    "events_session_window_native": SESSION_WINDOW_NATIVE_SQL,
 }

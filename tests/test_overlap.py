@@ -105,3 +105,25 @@ def test_hll_register_merge_split_invariance(spark):
     merged_twice = merge_hll_registers(merged, ra, groups)
     split = {tuple(r) for r in hll_fold(merged_twice, groups).collect()}
     assert split == whole
+
+
+def test_native_session_window_agrees_with_islands(spark):
+    """Native session_window sessions == the gaps-and-islands
+    sessionize on (user, start, count); only the end bound definition
+    differs (last + gap), asserted exactly."""
+    from kmr_spark.plans.analytics import (SESSION_GAP_US,
+                                           events_session_window_native,
+                                           events_sessionize)
+
+    native = {(r.user_id, r.t_start): (r.t_end, r.n_events)
+              for r in events_session_window_native(spark, SF_DIR).collect()}
+    islands = {(r.user_id, r.t_start): (r.t_end, r.n_events)
+               for r in events_sessionize(spark, SF_DIR).collect()}
+    assert set(native) == set(islands)
+    import datetime
+
+    gap = datetime.timedelta(microseconds=SESSION_GAP_US)
+    for k, (end_n, n_n) in native.items():
+        end_i, n_i = islands[k]
+        assert n_n == n_i
+        assert end_n == end_i + gap
