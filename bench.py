@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "emb_power_iteration",
     "events_hll_streamed",
     "events_session_window_native",
+    "bpe_merge_candidates",
 ]
 
 

@@ -255,13 +255,69 @@ FROM red ORDER BY doc_id
 """
 
 
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training, distributed: count
+    every adjacent symbol pair over the corpus vocabulary, weighted by
+    word frequency (Sennrich et al. 2016's merge-candidate table — the
+    pair with the max count becomes merge #1). Returns the top
+    BPE_TOP_K candidates with an end-of-word marker '_' appended to
+    each word, as BPE does.
+
+    Plan: word counts are one map-side-combinable aggregate; pair
+    explosion runs over the |vocab|-sized DISTINCT word table (not the
+    corpus — the weighting rides along as a column), so the heavy text
+    is touched exactly once. Top-k is TakeOrderedAndProject.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .select(F.concat(F.col("w"), F.lit("_")).alias("w"), "c")
+    )
+    # w always ends in the marker so length >= 2; sequence is ascending
+    pairs = words.select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"))
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+    from kmr_spark.operators.sort import top_k
+
+    return top_k(agg, BPE_TOP_K, F.desc("n"), F.col("pair"))
+
+
+BPE_SQL = f"""
+WITH words AS (
+  SELECT w || '_' AS w, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, c
+  FROM words, unnest(range(1, length(w))) AS t(i))
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
     "text_token_entropy": text_token_entropy,
     "text_pmi_pairs": text_pmi_pairs,
     "text_pii_redact": text_pii_redact,
+    "bpe_merge_candidates": bpe_merge_candidates,
 }
 ORACLE_SQL = {
     "text_token_entropy": TOKEN_ENTROPY_SQL,
     "text_pmi_pairs": PMI_SQL,
     "text_pii_redact": PII_REDACT_SQL,
+    "bpe_merge_candidates": BPE_SQL,
 }

@@ -136,3 +136,33 @@ def test_multitouch_weights_consistent(spark):
         else:
             assert abs(r.w_per_touch * r.n_touches - 1.0) < 1e-12
             assert 0 <= r.last_lag_s <= r.first_lag_s < 3600
+
+
+def test_bpe_candidates_match_oracle(spark, duck):
+    from kmr_spark.llm_ops.lexical import BPE_SQL, bpe_merge_candidates
+
+    assert_matches_oracle(spark, duck, bpe_merge_candidates, BPE_SQL)
+
+
+def test_bpe_candidates_hand_corpus(spark):
+    """On 'low low lower' the classic first merges dominate: 'lo' and
+    'ow' appear in all 3 words; 'w_' only closes 'low' (count 2)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.sort import top_k
+
+    docs = spark.createDataFrame([(1, "low low lower")], ["doc_id", "text"])
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .select(F.concat(F.col("w"), F.lit("_")).alias("w"), "c"))
+    pairs = words.select(
+        "c",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    counts = {r.pair: r.n for r in
+              pairs.groupBy("pair").agg(F.sum("c").alias("n")).collect()}
+    assert counts["lo"] == 3 and counts["ow"] == 3
+    assert counts["w_"] == 2 and counts["er"] == 1
