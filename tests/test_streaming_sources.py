@@ -210,3 +210,42 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3" in plan, plan
     assert filtered.count() == df.filter("id % 7 = 3").count()
+
+
+def test_python_datasource_deterministic_and_partitioned(spark):
+    """The custom Python DataSource (format 'kmr_docs') yields the
+    declared partition count, a pure-function-of-index content (two
+    reads identical), and rows matching the generator formula."""
+    from kmr_spark.sources.pysource import _VOCAB, register_kmr_docs
+
+    register_kmr_docs(spark)
+    df = (spark.read.format("kmr_docs")
+          .option("rows", 100).option("partitions", 6).load())
+    assert df.rdd.getNumPartitions() == 6
+    rows = sorted((r.doc_id, r.part, r.text, r.n_tokens)
+                  for r in df.collect())
+    again = sorted((r.doc_id, r.part, r.text, r.n_tokens)
+                   for r in df.collect())
+    assert rows == again and len(rows) == 100
+    for i, _part, text, n in rows[:20]:
+        expect_n = (i * 7) % 13 + 3
+        assert n == expect_n
+        toks = text.split(" ")
+        assert len(toks) == expect_n
+        assert toks[0] == _VOCAB[(i * 31) % len(_VOCAB)]
+
+
+def test_python_datasource_composes_with_engine_ops(spark):
+    """Source rows flow through ordinary engine operators (wordcount
+    over the generated corpus) — the source is a first-class scan."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.sources.pysource import register_kmr_docs
+
+    register_kmr_docs(spark)
+    df = (spark.read.format("kmr_docs")
+          .option("rows", 200).option("partitions", 4).load())
+    wc = (df.select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").count())
+    total = wc.agg(F.sum("count")).first()[0]
+    assert total == df.agg(F.sum("n_tokens")).first()[0]
