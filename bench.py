@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "events_hll_streamed",
     "events_session_window_native",
     "bpe_merge_candidates",
+    "events_concurrent_sessions",
 ]
 
 

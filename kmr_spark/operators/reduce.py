@@ -98,3 +98,60 @@ def scan_on_values(df: DataFrame, value: str = "value",
         df.withColumn("scan", F.coalesce(F.sum(value).over(w), F.lit(0)))
         .crossJoin(F.broadcast(total))
     )
+
+
+def scan_distributed(df: DataFrame, value: str,
+                     order: list[str | Column]) -> DataFrame:
+    """Global NON-INCLUSIVE prefix sum at scale — the two-phase exscan
+    KMR itself uses (MPI_Exscan over per-rank totals,
+    src/kmrmoreops.c:943) and the strategy operators/sort.ranking
+    already applies to row counts, generalized to an integer measure:
+
+    1. range-partition + locally sort (orderBy, persisted);
+    2. collect per-partition SUMS (tiny — one long per partition);
+    3. exclusive-scan the sums on the driver, then a narrow Arrow pass
+       adds partition offset + local running sum.
+
+    No single-partition global window anywhere, so this is the form
+    that survives 100 TB (scan_on_values stays as the windowed
+    parity/debug surface). The measure column must be integral —
+    float prefix sums would be partition-order-dependent.
+
+    The result is materialized before returning (ranking's task-id
+    caveat: the offset lookup is only valid while the sorted frame runs
+    as its own job), so callers can compose it freely.
+    """
+    from pyspark import TaskContext
+    from pyspark.storagelevel import StorageLevel
+
+    from kmr_spark.session import materialize_release
+
+    sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = (
+        sdf.select(F.spark_partition_id().alias("pid"), F.col(value))
+        .groupBy("pid").agg(F.sum(value).alias("t"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["t"]
+
+    out_schema = "scan long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
+
+    def add_scan(batches):
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            vals = pdf[value].to_numpy()
+            csum = vals.cumsum()
+            out = pdf.copy()
+            # non-inclusive: shift the inclusive cumsum right by one
+            out.insert(0, "scan", pos + csum - vals)
+            pos += int(csum[-1]) if len(vals) else 0
+            yield out
+
+    out = sdf.mapInPandas(add_scan, schema=out_schema)
+    return materialize_release(out, sdf)

@@ -798,6 +798,90 @@ ORDER BY win_id
 """
 
 
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency census: how many sessions are open at
+    every session boundary — the classic interval-concurrency metric
+    (peak simultaneous users / capacity planning). Each session emits
+    +1 at its start and -1 one microsecond after its last event; the
+    GLOBAL running sum over time-ordered boundaries is the live count.
+
+    Scale shape: the global prefix sum is the distributed two-phase
+    exscan (operators/reduce.scan_distributed — range sort +
+    per-partition offsets), NOT a single-partition window; ties are
+    pinned (starts before ends, then user/session) so the scan is
+    deterministic in both engines."""
+    from kmr_spark.operators.reduce import scan_distributed
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    with_start = ev.withColumn(
+        "new_session",
+        (F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(SESSION_GAP_US + 1))
+         > SESSION_GAP_US).cast("long"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    spans = (
+        with_start.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s_lo"), (F.max("us") + 1).alias("s_hi"))
+    )
+    bounds = spans.select(
+        "user_id", "session_id", F.col("s_lo").alias("bus"),
+        F.lit(1).alias("delta")
+    ).unionByName(spans.select(
+        "user_id", "session_id", F.col("s_hi").alias("bus"),
+        F.lit(-1).alias("delta"))).persist()
+    try:
+        # the scan sorts the |boundaries| table (2 rows per session),
+        # not the event log — size its range partitioning to that
+        from kmr_spark.session import sized_shuffle_partitions
+        with sized_shuffle_partitions(spark, bounds.count()):
+            scanned = scan_distributed(
+                bounds, "delta",
+                [F.col("bus"), F.col("delta").desc(), F.col("user_id"),
+                 F.col("session_id")])
+    finally:
+        bounds.unpersist()
+    return (
+        scanned.select(
+            F.timestamp_micros("bus").alias("t"), "user_id", "session_id",
+            "delta", (F.col("scan") + F.col("delta")).alias("concurrency"))
+        .orderBy("t", F.col("delta").desc(), "user_id", "session_id")
+    )
+
+
+CONCURRENT_SESSIONS_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             {SESSION_GAP_US + 1}) > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps),
+spans AS (
+  SELECT user_id, session_id, MIN(us) AS s_lo, MAX(us) + 1 AS s_hi
+  FROM sess GROUP BY user_id, session_id),
+bounds AS (
+  SELECT user_id, session_id, s_lo AS bus, 1 AS delta FROM spans
+  UNION ALL
+  SELECT user_id, session_id, s_hi AS bus, -1 AS delta FROM spans)
+SELECT make_timestamp(bus) AS t, user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(delta AS INTEGER) AS delta,
+       CAST(SUM(delta) OVER (ORDER BY bus, delta DESC, user_id, session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS concurrency
+FROM bounds
+ORDER BY bus, delta DESC, user_id, session_id
+"""
+
+
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window aggregation (the built-in
     merging-window operator, usable batch AND streaming) over the same
@@ -949,6 +1033,7 @@ QUERIES = {
     "events_session_campaign_overlap": events_session_campaign_overlap,
     "revenue_grouping_sets": revenue_grouping_sets,
     "events_session_window_native": events_session_window_native,
+    "events_concurrent_sessions": events_concurrent_sessions,
 }
 
 ORACLE_SQL = {
@@ -976,4 +1061,5 @@ ORACLE_SQL = {
     "events_session_campaign_overlap": SESSION_CAMPAIGN_OVERLAP_SQL,
     "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
     "events_session_window_native": SESSION_WINDOW_NATIVE_SQL,
+    "events_concurrent_sessions": CONCURRENT_SESSIONS_SQL,
 }

