@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "events_session_window_native",
     "bpe_merge_candidates",
     "events_concurrent_sessions",
+    "events_seasonal_baseline",
 ]
 
 

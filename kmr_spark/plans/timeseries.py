@@ -359,6 +359,69 @@ GROUP BY user_id ORDER BY user_id
 
 
 
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: predict each (event_type,
+    hour-of-day) slot's hourly volume as the slot's historical mean,
+    and report the fit per slot — n observed hours, the prediction,
+    and the mean absolute error of the baseline over history. The
+    sanity yardstick every real forecasting pipeline must beat first.
+
+    Exactness: predictions are exact integer ratios (sum/n as one
+    double division); MAE compares integer counts to that double in a
+    single fixed expression — no float accumulation across rows except
+    the final |err| sum, which is a sum of values that are all exact
+    (count - s/n) doubles... so the MAE numerator is made order-free by
+    summing |n*count - s| as INTEGERS and dividing by n*n_hours once.
+
+    Plan: hourly counts (map-side combinable) -> slot aggregate ->
+    broadcast-join back for residuals -> slot rollup. Nothing after
+    the first aggregate is corpus-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("hod", F.hour("hour_ts"))
+    )
+    slots = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s"))
+    j = hourly.join(F.broadcast(slots), ["event_type", "hod"])
+    # |n*count - s| is exact int64; MAE = sum(...) / (n_hours * n_hours_total)
+    abs_resid = F.abs(F.col("n") * F.col("n_hours") - F.col("s"))
+    return (
+        j.groupBy("event_type", "hod")
+        .agg(F.first("n_hours").alias("n_hours"),
+             (F.first("s").cast("double") / F.first("n_hours"))
+             .alias("predicted"),
+             (F.sum(abs_resid).cast("double")
+              / (F.first("n_hours").cast("double")
+                 * F.first("n_hours").cast("double"))).alias("mae"))
+        .orderBy("event_type", "hod")
+    )
+
+
+SEASONAL_BASELINE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+hod AS (
+  SELECT event_type, EXTRACT(hour FROM hour_ts) AS hod, n FROM hourly),
+slots AS (
+  SELECT event_type, hod, COUNT(*) AS n_hours, SUM(n) AS s
+  FROM hod GROUP BY event_type, hod)
+SELECT h.event_type, CAST(h.hod AS INTEGER) AS hod,
+       CAST(sl.n_hours AS BIGINT) AS n_hours,
+       CAST(sl.s AS DOUBLE) / sl.n_hours AS predicted,
+       CAST(SUM(abs(h.n * sl.n_hours - sl.s)) AS DOUBLE)
+         / (CAST(sl.n_hours AS DOUBLE) * CAST(sl.n_hours AS DOUBLE)) AS mae
+FROM hod h JOIN slots sl USING (event_type, hod)
+GROUP BY h.event_type, h.hod, sl.n_hours, sl.s
+ORDER BY h.event_type, hod
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
@@ -367,6 +430,7 @@ QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_dwell_time": events_dwell_time,
     "events_time_weighted_avg": events_time_weighted_avg,
+    "events_seasonal_baseline": events_seasonal_baseline,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -376,4 +440,5 @@ ORACLE_SQL = {
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_dwell_time": DWELL_SQL,
     "events_time_weighted_avg": TWA_SQL,
+    "events_seasonal_baseline": SEASONAL_BASELINE_SQL,
 }

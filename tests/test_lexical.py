@@ -166,3 +166,40 @@ def test_bpe_candidates_hand_corpus(spark):
               pairs.groupBy("pair").agg(F.sum("c").alias("n")).collect()}
     assert counts["lo"] == 3 and counts["ow"] == 3
     assert counts["w_"] == 2 and counts["er"] == 1
+
+
+def test_seasonal_baseline_matches_oracle(spark, duck):
+    from kmr_spark.plans.timeseries import (SEASONAL_BASELINE_SQL,
+                                            events_seasonal_baseline)
+
+    assert_matches_oracle(spark, duck, events_seasonal_baseline,
+                          SEASONAL_BASELINE_SQL)
+
+
+def test_seasonal_baseline_prediction_is_slot_mean(spark):
+    """predicted == mean of that slot's hourly counts; MAE >= 0 and 0
+    only when the slot is perfectly flat."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.timeseries import events_seasonal_baseline
+    from kmr_spark.session import load_tables
+
+    rows = events_seasonal_baseline(spark, SF_DIR).collect()
+    assert rows
+    hourly = (
+        load_tables(spark, SF_DIR)["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.hour("h").alias("hod"), "n").collect())
+    from collections import defaultdict
+
+    slots = defaultdict(list)
+    for r in hourly:
+        slots[(r.event_type, r.hod)].append(r.n)
+    for r in rows:
+        ns = slots[(r.event_type, r.hod)]
+        assert r.n_hours == len(ns)
+        assert abs(r.predicted - sum(ns) / len(ns)) < 1e-9
+        assert r.mae >= 0
+        if len(set(ns)) == 1:
+            assert r.mae == 0.0
