@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "events_concurrent_sessions",
     "events_seasonal_baseline",
+    "emb_knn_classify",
 ]
 
 

@@ -417,12 +417,99 @@ ORDER BY vec_a, vec_b
 """
 
 
+CLASSIFY_K = 8          # neighbors voting per query
+CLASSIFY_HOLDOUT = 5    # vec_id % 5 == 0 is the unlabeled holdout
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION — the end-use the similarity family exists
+    for: every 5th vector is treated as unlabeled and receives the
+    majority label of its CLASSIFY_K nearest labeled neighbors by
+    cosine (ties: higher vote count, then smaller label; neighbor
+    rank ties: larger cosine, then smaller id — fully deterministic).
+    Output (vec_id, predicted_label, n_votes, true_label) so accuracy
+    is inspectable downstream.
+
+    Plan shape: the holdout side broadcasts (it is 1/5 of the corpus —
+    at real scale the queries batch through the IVF path instead, same
+    as sim_ann_ivf); scoring pays one dot per pair against precomputed
+    norms; both rankings are bounded per-query windows.
+    """
+    emb = _emb(spark, sf_dir).withColumn("nv", V.norm(F.col("vd")))
+    labels = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("label").cast("int").alias("label"))
+    emb = emb.join(labels, "vec_id").persist()
+    is_holdout = F.col("vec_id") % CLASSIFY_HOLDOUT == 0
+    queries = emb.filter(is_holdout).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        F.col("nv").alias("nq"), F.col("label").alias("true_label"))
+    corpus = emb.filter(~is_holdout)
+    scored = (
+        F.broadcast(queries).crossJoin(corpus)
+        .select(
+            "query_id", "true_label", F.col("label").alias("nb_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv")))
+            .alias("cosine"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= CLASSIFY_K)
+        .groupBy("query_id", "true_label", "nb_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc())
+    out = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(F.col("query_id").alias("vec_id"),
+                F.col("nb_label").alias("predicted_label"),
+                F.col("n_votes").cast("long").alias("n_votes"),
+                "true_label")
+        .orderBy("vec_id")
+    )
+    return materialize_release(out, emb)
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id,
+         CAST(q.label AS INTEGER) AS true_label,
+         CAST(e.label AS INTEGER) AS nb_label,
+         e.vec_id AS neighbor_id,
+         {V.sql_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings e
+    ON q.vec_id % {CLASSIFY_HOLDOUT} = 0
+   AND e.vec_id % {CLASSIFY_HOLDOUT} <> 0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs),
+votes AS (
+  SELECT query_id, true_label, nb_label, COUNT(*) AS n_votes
+  FROM ranked WHERE rn <= {CLASSIFY_K}
+  GROUP BY query_id, true_label, nb_label),
+winner AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, nb_label ASC) AS vr
+  FROM votes)
+SELECT query_id AS vec_id, nb_label AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes, true_label
+FROM winner WHERE vr = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_ivf": ann_ivf,
     "sim_ann_ivf_multiprobe": ann_ivf_multiprobe,
     "sim_knn_quantized": knn_quantized,
     "dedup_embedding": embedding_near_dup,
+    "emb_knn_classify": knn_classify,
 }
 
 ORACLE_SQL = {
@@ -431,4 +518,5 @@ ORACLE_SQL = {
     "sim_ann_ivf_multiprobe": ANN_MULTIPROBE_SQL,
     "sim_knn_quantized": KNN_QUANTIZED_SQL,
     "dedup_embedding": EMB_DEDUP_SQL,
+    "emb_knn_classify": KNN_CLASSIFY_SQL,
 }

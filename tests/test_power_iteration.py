@@ -67,3 +67,58 @@ def test_power_iteration_releases_cache(spark):
     emb_power_iteration(spark, SF_DIR).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+def test_knn_classify_matches_oracle(spark, duck):
+    from kmr_spark.llm_ops.similarity import KNN_CLASSIFY_SQL, knn_classify
+
+    assert_matches_oracle(spark, duck, knn_classify, KNN_CLASSIFY_SQL)
+
+
+def test_knn_classify_shape_and_determinism(spark):
+    """Every holdout vector gets exactly one prediction with a vote
+    count in [1, K], and a planted tight cluster is classified
+    correctly (the testdata's own labels are geometrically random, so
+    accuracy there is chance by construction — the gate checks the
+    vote arithmetic, this checks the classifier semantics)."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions import vectors as V
+    from kmr_spark.llm_ops.similarity import (CLASSIFY_HOLDOUT, CLASSIFY_K,
+                                              knn_classify)
+    from kmr_spark.session import load_tables
+
+    rows = knn_classify(spark, SF_DIR).collect()
+    n_holdout = (load_tables(spark, SF_DIR)["embeddings"]
+                 .filter(f"vec_id % {CLASSIFY_HOLDOUT} = 0").count())
+    assert len(rows) == n_holdout
+    for r in rows:
+        assert 1 <= r.n_votes <= CLASSIFY_K
+
+    # planted cluster: 9 labeled vectors around +e0 with label 7, one
+    # query on e0; 9 labeled around -e1 with label 3 -> predict 7
+    import itertools
+
+    data = []
+    for i, eps in enumerate(itertools.product([0.0, 0.01, 0.02], repeat=2)):
+        data.append((i * 5 + 1, [1.0, eps[0], eps[1], 0.0], 7))
+        data.append((i * 5 + 2, [0.0, -1.0, eps[0], eps[1]], 3))
+    data.append((0, [1.0, 0.005, 0.0, 0.0], 99))  # query (holdout id)
+    df = spark.createDataFrame(
+        data, "vec_id long, vd array<double>, label int")
+    q = df.filter("vec_id = 0").select(
+        F.col("vd").alias("qv"), V.norm(F.col("vd")).alias("nq"))
+    c = df.filter("vec_id <> 0").withColumn("nv", V.norm(F.col("vd")))
+    from pyspark.sql import Window
+
+    scored = F.broadcast(q).crossJoin(c).select(
+        "label", "vec_id",
+        (V.dot(F.col("qv"), F.col("vd")) / (F.col("nq") * F.col("nv")))
+        .alias("cos"))
+    top = (scored.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), F.col("vec_id"))))
+        .filter(F.col("rn") <= CLASSIFY_K))
+    votes = {r.label: r.n for r in
+             top.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert max(votes, key=lambda k: (votes[k], -k)) == 7
