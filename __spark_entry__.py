@@ -134,6 +134,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.valuation as valuation
+        modules.append(valuation)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

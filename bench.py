@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "events_concurrent_sessions",
     "events_seasonal_baseline",
     "emb_knn_classify",
+    "events_decayed_value",
+    "orders_pareto_share",
+    "users_spearman_freq_value",
 ]
 
 

@@ -100,7 +100,7 @@ def scan_on_values(df: DataFrame, value: str = "value",
     )
 
 
-def scan_distributed(df: DataFrame, value: str,
+def scan_distributed(df: DataFrame, value: str | list[str],
                      order: list[str | Column]) -> DataFrame:
     """Global NON-INCLUSIVE prefix sum at scale — the two-phase exscan
     KMR itself uses (MPI_Exscan over per-rank totals,
@@ -126,31 +126,36 @@ def scan_distributed(df: DataFrame, value: str,
 
     from kmr_spark.session import materialize_release
 
+    values = [value] if isinstance(value, str) else list(value)
     sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
     totals = (
-        sdf.select(F.spark_partition_id().alias("pid"), F.col(value))
-        .groupBy("pid").agg(F.sum(value).alias("t"))
+        sdf.select(F.spark_partition_id().alias("pid"),
+                   *[F.col(v) for v in values])
+        .groupBy("pid").agg(*[F.sum(v).alias(v) for v in values])
         .collect()
     )
-    offsets: dict[int, int] = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(values)
     for r in sorted(totals, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = acc
-        acc += r["t"]
+        offsets[r["pid"]] = list(acc)
+        acc = [a + r[v] for a, v in zip(acc, values)]
 
-    out_schema = "scan long, " + ", ".join(
+    scan_cols = [f"scan_{v}" if len(values) > 1 else "scan"
+                 for v in values]
+    out_schema = ", ".join(f"{c} long" for c in scan_cols) + ", " + ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
 
     def add_scan(batches):
         pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
+        pos = list(offsets.get(pid, [0] * len(values)))
         for pdf in batches:
-            vals = pdf[value].to_numpy()
-            csum = vals.cumsum()
             out = pdf.copy()
-            # non-inclusive: shift the inclusive cumsum right by one
-            out.insert(0, "scan", pos + csum - vals)
-            pos += int(csum[-1]) if len(vals) else 0
+            for j, (v, c) in enumerate(zip(values, scan_cols)):
+                vals = pdf[v].to_numpy()
+                csum = vals.cumsum()
+                # non-inclusive: shift the inclusive cumsum right by one
+                out.insert(j, c, pos[j] + csum - vals)
+                pos[j] += int(csum[-1]) if len(vals) else 0
             yield out
 
     out = sdf.mapInPandas(add_scan, schema=out_schema)

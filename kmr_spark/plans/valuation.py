@@ -1,0 +1,225 @@
+"""Customer/user valuation analytics: decayed lifetime value, Pareto
+revenue concentration, and rank correlation between engagement and
+spend — the census trio behind "who matters and do our metrics agree".
+
+Exactness recipes (this repo's standard kit):
+- decay weights are transcendental (0.97^age) so they are precomputed
+  in Python ONCE and emitted as literals into both engines (the HLL
+  linear-counting trick); per-event contributions are then quantized
+  (floor(cents * w * 1e6)) so the corpus-sized sum is integer-exact.
+- Pareto cumulative shares ride the distributed two-phase exscan
+  (operators/reduce.scan_distributed, multi-measure form) — no global
+  window; the only floats are final divisions by the grand total.
+- Spearman's rho uses the tie-broken row_number variant: ranks from
+  the distributed ranking operator, Σd² integer, one closed-form
+  float expression at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+DECAY = 0.97          # per-day retention of value
+DECAY_Q = 1_000_000   # quantization of cents * weight
+US_PER_DAY = 86_400 * 1_000_000
+#: decay-table size: ages clamp here (0.97^400 ~ 5e-6 — value floor);
+#: a FIXED cap keeps the weight table a static literal in both engines
+MAX_AGE_DAYS = 400
+
+
+def _decay_weights(max_age: int) -> list[float]:
+    w, out = 1.0, []
+    for _ in range(max_age + 1):
+        out.append(w)
+        w *= DECAY
+    return out
+
+
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed user value: each event contributes
+    value-cents * DECAY^age_days (age relative to the newest event in
+    the log); per user the event count and the decayed total. The
+    recency-weighted LTV every growth dashboard shows.
+
+    Plan: one tiny max(ts) collect (replicated state), then a single
+    map-side-combinable aggregate over a narrow expression — the decay
+    table rides the plan as a literal array, so the corpus pass is
+    pure codegen with zero joins and zero shuffles beyond the user
+    aggregate."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).alias("c"))
+    ref_us = ev.agg(F.max("us")).first()[0]  # replicated scalar state
+    weights = _decay_weights(MAX_AGE_DAYS)
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    age = F.least(
+        ((F.lit(ref_us) - F.col("us")) / F.lit(US_PER_DAY)).cast("long"),
+        F.lit(MAX_AGE_DAYS))
+    q = F.floor(F.col("c")
+                * F.element_at(w_arr, (age + 1).cast("int")) * DECAY_Q)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(q.cast("decimal(38,0)")).alias("sq"))
+        .select("user_id", "n_events",
+                (F.col("sq").cast("double") / DECAY_Q)
+                .alias("decayed_cents"))
+        .orderBy("user_id")
+    )
+
+
+def _decayed_value_sql() -> str:
+    weights = _decay_weights(MAX_AGE_DAYS)
+    lits = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights)
+    return f"""
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+ev AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS c,
+         least(CAST((ref.ref_us - epoch_us(ts)) // {US_PER_DAY} AS BIGINT),
+               {MAX_AGE_DAYS}) AS age
+  FROM events, ref)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(c * ([{lits}])[age + 1] * {DECAY_Q})
+                     AS HUGEINT)) AS DOUBLE) / {DECAY_Q} AS decayed_cents
+FROM ev GROUP BY user_id ORDER BY user_id
+"""
+
+
+DECAYED_VALUE_SQL = _decayed_value_sql()
+
+
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) census: customers sorted by
+    revenue descending, folded into deciles — per decile the customer
+    count, its revenue, and the cumulative revenue share at the
+    decile's end (the "top 10% drive X%" number).
+
+    Plan: per-customer cents (one aggregate), then ONE pass of the
+    multi-measure distributed exscan gives both the 0-based rank and
+    the cumulative revenue — no global window; the grand total is a
+    broadcast scalar."""
+    from kmr_spark.operators.reduce import scan_distributed
+    from kmr_spark.session import sized_shuffle_partitions
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    rev = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("r")).persist()
+    try:
+        n = rev.count()
+        with sized_shuffle_partitions(spark, n):
+            scanned = scan_distributed(
+                rev.select("k", "r", F.lit(1).alias("one")),
+                ["r", "one"], [F.col("r").desc(), F.col("k")])
+    finally:
+        rev.unpersist()
+    total = scanned.agg(F.sum("r").alias("tot"))
+    return (
+        scanned.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"(scan_one * 10) DIV {n}").alias("decile"),
+            "r", (F.col("scan_r") + F.col("r")).alias("cum_r"), "tot")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("r").alias("decile_rev_cents"),
+             (F.max("cum_r").cast("double") / F.first("tot"))
+             .alias("cum_share"))
+        .orderBy("decile")
+    )
+
+
+PARETO_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT k, r,
+         ROW_NUMBER() OVER (ORDER BY r DESC, k) - 1 AS rank0,
+         SUM(r) OVER (ORDER BY r DESC, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_r
+  FROM rev),
+tot AS (SELECT SUM(r) AS tot, COUNT(*) AS n FROM rev)
+SELECT CAST((rank0 * 10) // t.n AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(r) AS BIGINT) AS decile_rev_cents,
+       CAST(MAX(cum_r) AS DOUBLE) / t.tot AS cum_share
+FROM ranked, tot t
+GROUP BY decile, t.tot
+ORDER BY decile
+"""
+
+
+def users_spearman_freq_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a user's event FREQUENCY and
+    total VALUE (tie-broken row_number variant — ties ordered by
+    user_id, documented): do the engagement and spend metrics rank
+    users the same way? One summary row (n_users, sum_d2, rho).
+
+    Plan: per-user aggregate, then TWO distributed ranking passes
+    (range sort + exscan offsets — no global windows) joined on user,
+    integer Σd², closed-form rho."""
+    from kmr_spark.operators.sort import ranking
+    from kmr_spark.session import sized_shuffle_partitions
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.floor(F.col("value") * 100).alias("c"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("f"), F.sum("c").alias("m")).persist()
+    try:
+        n = per_user.count()
+        with sized_shuffle_partitions(spark, n):
+            rf = ranking(per_user, [F.col("f"), F.col("user_id")],
+                         materialize=True).select(
+                "user_id", F.col("rank").alias("rank_f"))
+            rm = ranking(per_user, [F.col("m"), F.col("user_id")],
+                         materialize=True).select(
+                "user_id", F.col("rank").alias("rank_m"))
+    finally:
+        per_user.unpersist()
+    d = F.col("rank_f") - F.col("rank_m")
+    nn = F.lit(float(n))
+    return (
+        rf.join(rm, "user_id")
+        .agg(F.count("*").alias("n_users"),
+             F.sum(d * d).alias("sum_d2"))
+        .select("n_users", "sum_d2",
+                (F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double")
+                 / (nn * (nn * nn - F.lit(1.0)))).alias("rho"))
+    )
+
+
+SPEARMAN_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS f,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS m
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (ORDER BY f, user_id) - 1 AS rank_f,
+         ROW_NUMBER() OVER (ORDER BY m, user_id) - 1 AS rank_m
+  FROM per_user)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM((rank_f - rank_m) * (rank_f - rank_m)) AS BIGINT) AS sum_d2,
+       1.0 - 6.0 * CAST(SUM((rank_f - rank_m) * (rank_f - rank_m)) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE)
+            * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0))
+         AS rho
+FROM ranked
+"""
+
+
+QUERIES = {
+    "events_decayed_value": events_decayed_value,
+    "orders_pareto_share": orders_pareto_share,
+    "users_spearman_freq_value": users_spearman_freq_value,
+}
+ORACLE_SQL = {
+    "events_decayed_value": DECAYED_VALUE_SQL,
+    "orders_pareto_share": PARETO_SQL,
+    "users_spearman_freq_value": SPEARMAN_SQL,
+}

@@ -36,7 +36,7 @@ def test_no_duplicate_names_across_modules():
                                  incremental, iterative, layout, linalg,
                                  quality, rfm, sampling, semistruct, sketches,
                                  timeseries, tpch, tpch_extra, training,
-                                 wordcount)
+                                 valuation, wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -45,7 +45,7 @@ def test_no_duplicate_names_across_modules():
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
              quality.QUERIES, basket.QUERIES, rfm.QUERIES,
              training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
-             diagnostics.QUERIES, registry.QUERIES]
+             diagnostics.QUERIES, valuation.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

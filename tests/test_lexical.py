@@ -203,3 +203,54 @@ def test_seasonal_baseline_prediction_is_slot_mean(spark):
         assert r.mae >= 0
         if len(set(ns)) == 1:
             assert r.mae == 0.0
+
+
+def test_valuation_trio_matches_oracle(spark, duck):
+    from kmr_spark.plans.valuation import (
+        DECAYED_VALUE_SQL, PARETO_SQL, SPEARMAN_SQL, events_decayed_value,
+        orders_pareto_share, users_spearman_freq_value)
+
+    assert_matches_oracle(spark, duck, events_decayed_value,
+                          DECAYED_VALUE_SQL)
+    assert_matches_oracle(spark, duck, orders_pareto_share, PARETO_SQL)
+    assert_matches_oracle(spark, duck, users_spearman_freq_value,
+                          SPEARMAN_SQL)
+
+
+def test_pareto_shares_monotone_to_one(spark):
+    from kmr_spark.plans.valuation import orders_pareto_share
+
+    rows = orders_pareto_share(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    shares = [r.cum_share for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    # revenue-sorted deciles: later deciles never out-earn earlier ones
+    revs = [r.decile_rev_cents for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_decayed_value_bounded_by_raw_total(spark):
+    """Decay only shrinks: decayed_cents <= raw cents total per user,
+    with equality only if all value sits at the reference instant."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.valuation import events_decayed_value
+    from kmr_spark.session import load_tables
+
+    decayed = {r.user_id: r.decayed_cents
+               for r in events_decayed_value(spark, SF_DIR).collect()}
+    raw = {r.user_id: r.tot for r in
+           load_tables(spark, SF_DIR)["events"].groupBy("user_id")
+           .agg(F.sum(F.floor(F.col("value") * 100)).alias("tot")).collect()}
+    assert decayed and set(decayed) == set(raw)
+    for u, d in decayed.items():
+        assert d <= raw[u] + 1e-9
+
+
+def test_spearman_rho_in_range(spark):
+    from kmr_spark.plans.valuation import users_spearman_freq_value
+
+    r = users_spearman_freq_value(spark, SF_DIR).first()
+    assert -1.0 <= r.rho <= 1.0
+    assert r.sum_d2 >= 0 and r.n_users > 0
