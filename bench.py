@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "events_decayed_value",
     "orders_pareto_share",
     "users_spearman_freq_value",
+    "graph_components",
 ]
 
 

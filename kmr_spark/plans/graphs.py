@@ -217,5 +217,56 @@ SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
 """
 
 
-QUERIES = {"graph_triangles": triangle_stats, "graph_bfs": graph_bfs}
-ORACLE_SQL = {"graph_triangles": TRIANGLES_SQL, "graph_bfs": BFS_SQL}
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the R-MAT graph through the
+    production CC operator (operators/graph.connected_components —
+    contraction + pointer-jumping, O(log n) rounds): per node its
+    component label (min node id), the component size, and whether the
+    node IS the label. Same operator the dedup keeper-selection uses;
+    running it on the power-law multigraph exercises the skewed-degree
+    path the LSH pair graphs don't.
+
+    Nodes with no edges don't appear (a component needs an incident
+    edge); self-loops contribute their endpoint as a trivial member.
+    Oracle: the min-reachability recursive CTE fixpoint — engine-
+    independent because the minimum label per component is unique.
+    """
+    from pyspark.sql import Window
+
+    from kmr_spark.operators.graph import connected_components
+
+    edges = rmat_raw_edges(spark).select("src", "dst").distinct()
+    labels = connected_components(edges, "src", "dst")
+    w = Window.partitionBy("label")
+    return (
+        labels.withColumn("component_size", F.count("*").over(w))
+        .select(F.col("node"), F.col("label").alias("component_id"),
+                "component_size",
+                (F.col("node") == F.col("label")).alias("is_root"))
+        .orderBy("component_id", "node")
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE raw AS ({RMAT_RAW_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+adj AS (SELECT src AS s, dst AS d FROM edges
+        UNION ALL SELECT dst AS s, src AS d FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.d, r.label FROM reach r JOIN adj a ON a.s = r.node
+  WHERE r.label < a.d),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT node, label AS component_id,
+       COUNT(*) OVER (PARTITION BY label) AS component_size,
+       node = label AS is_root
+FROM labels ORDER BY component_id, node
+"""
+
+
+QUERIES = {"graph_triangles": triangle_stats, "graph_bfs": graph_bfs,
+           "graph_components": graph_components}
+ORACLE_SQL = {"graph_triangles": TRIANGLES_SQL, "graph_bfs": BFS_SQL,
+              "graph_components": COMPONENTS_SQL}

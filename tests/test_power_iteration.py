@@ -122,3 +122,28 @@ def test_knn_classify_shape_and_determinism(spark):
     votes = {r.label: r.n for r in
              top.groupBy("label").agg(F.count("*").alias("n")).collect()}
     assert max(votes, key=lambda k: (votes[k], -k)) == 7
+
+
+def test_graph_components_matches_oracle(spark, duck):
+    from kmr_spark.plans.graphs import COMPONENTS_SQL, graph_components
+
+    assert_matches_oracle(spark, duck, graph_components, COMPONENTS_SQL)
+
+
+def test_graph_components_partition_properties(spark):
+    """Labels are the component minimum, exactly one root per
+    component, sizes consistent, and the giant R-MAT component exists
+    (power-law graphs connect most reached nodes)."""
+    from collections import defaultdict
+
+    from kmr_spark.plans.graphs import graph_components
+
+    rows = graph_components(spark, SF_DIR).collect()
+    comps = defaultdict(list)
+    for r in rows:
+        comps[r.component_id].append(r)
+    for label, members in comps.items():
+        assert min(m.node for m in members) == label
+        assert sum(1 for m in members if m.is_root) == 1
+        assert all(m.component_size == len(members) for m in members)
+    assert max(len(m) for m in comps.values()) > len(rows) // 2
