@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "orders_pareto_share",
     "users_spearman_freq_value",
     "graph_components",
+    "text_langid_confusion",
+    "multimodal_image_ahash",
 ]
 
 

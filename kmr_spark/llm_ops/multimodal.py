@@ -349,6 +349,93 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
+AHASH_SIDE = 8  # aHash operates on an 8x8 grayscale thumbnail
+
+
+def ahash_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual AVERAGE-HASH over real 8x8 BMP thumbnails: per image
+    the 64 threshold bits (pixel > image mean, integer-compared as
+    px*64 > sum so no float mean exists), packed into two BIGINTs
+    (hi/lo 32 bits, j = y*8+x in storage order) plus the popcount.
+    Near-duplicate images differ in a few bits — the classic aHash
+    dedup primitive (Monga & Evans 2006 family), computed here over
+    the repo's own codec with exact integer arithmetic."""
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "ahash_hi", "ahash_lo", "n_ones")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                m = _parse_bmp(raw, f"doc {did}")
+                if m["width"] != AHASH_SIDE or m["height"] != AHASH_SIDE:
+                    raise ValueError(
+                        f"doc {did}: ahash expects {AHASH_SIDE}x{AHASH_SIDE}, "
+                        f"got {m['width']}x{m['height']}")
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8,
+                    count=m["height"] * m["stride"], offset=m["off"])
+                px = (arr.reshape(m["height"], m["stride"])
+                      [:, :m["width"] * 3:3].astype(np.int64))  # gray = ch0
+                total = int(px.sum())
+                bits = (px * (AHASH_SIDE * AHASH_SIDE) > total).astype(
+                    np.int64).ravel()  # j = y*8 + x
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                out["doc_id"].append(int(did))
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+                out["n_ones"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="doc_id long, ahash_hi long, ahash_lo long, n_ones int")
+
+
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient BMP -> REAL nearest-neighbor resize to 8x8 -> aHash:
+    the perceptual-dedup fingerprint pass of an image curation
+    pipeline, end-to-end through the real codec."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    thumbs = resize_bmp_nn(
+        encode_docs_as_gradient_bmp(docs), AHASH_SIDE, AHASH_SIDE)
+    return ahash_bmp(thumbs).orderBy("doc_id")
+
+
+MULTIMODAL_AHASH_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         (length(text) % 31) + 2 AS w,
+         (doc_id % 17) + 2 AS h,
+         doc_id % 251 AS fill
+  FROM documents WHERE text IS NOT NULL),
+px AS (
+  SELECT doc_id, yo * {AHASH_SIDE} + xo AS j,
+         (fill + 3 * ((xo * w) // {AHASH_SIDE})
+               + 5 * ((yo * h) // {AHASH_SIDE})) % 251 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, {AHASH_SIDE} - 1)) AS xo),
+       LATERAL (SELECT unnest(generate_series(0, {AHASH_SIDE} - 1)) AS yo)),
+tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.j,
+         CASE WHEN px.v * {AHASH_SIDE * AHASH_SIDE} > t.total
+              THEN 1 ELSE 0 END AS b
+  FROM px JOIN tot t USING (doc_id))
+SELECT doc_id,
+       CAST(SUM(CASE WHEN j >= 32 THEN b * (CAST(2 AS BIGINT) ^ (j - 32))
+                ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(SUM(CASE WHEN j < 32 THEN b * (CAST(2 AS BIGINT) ^ j)
+                ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(SUM(b) AS INTEGER) AS n_ones
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document as a real BMP, decode it back with the
     real parser, return the decoded header fields + pixel checksum."""
@@ -819,6 +906,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_ahash": multimodal_image_ahash,
 }
 ORACLE_SQL = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
@@ -827,4 +915,5 @@ ORACLE_SQL = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_FEATURES_SQL,
+    "multimodal_image_ahash": MULTIMODAL_AHASH_SQL,
 }

@@ -410,10 +410,49 @@ FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION census: the confusion matrix between the
+    corpus's stored lang labels and the marker-word classifier's
+    predictions — (label, predicted, n, share-of-label) — the accuracy
+    accounting any classifier in the curation loop needs before its
+    threshold is trusted. share is an exact integer ratio.
+
+    Plan: doc_langid's narrow scan expression followed by a
+    |langs|²-bounded aggregate with map-side combine plus a broadcast
+    join to the per-label totals — nothing after the scan is
+    corpus-sized."""
+    pred = doc_langid(spark, sf_dir)
+    cm = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count("*").alias("n"))
+    totals = cm.groupBy("lang_label").agg(F.sum("n").alias("label_total"))
+    return (
+        cm.join(F.broadcast(totals), "lang_label")
+        .select("lang_label", "lang_pred", "n",
+                (F.col("n").cast("double") / F.col("label_total"))
+                .alias("share"))
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({LANGID_SQL.replace("ORDER BY doc_id", "")}),
+cm AS (
+  SELECT lang_label, lang_pred, COUNT(*) AS n
+  FROM pred GROUP BY lang_label, lang_pred),
+tot AS (
+  SELECT lang_label, SUM(n) AS label_total FROM cm GROUP BY lang_label)
+SELECT cm.lang_label, cm.lang_pred, cm.n,
+       CAST(cm.n AS DOUBLE) / tot.label_total AS share
+FROM cm JOIN tot USING (lang_label)
+ORDER BY cm.lang_label, cm.lang_pred
+"""
+
+
 QUERIES = {
     "text_stats": doc_textstats,
     "text_token_counts": doc_token_counts,
     "text_langid": doc_langid,
+    "text_langid_confusion": langid_confusion,
     "text_fingerprint": doc_fingerprint,
     "text_quality_filter": doc_quality_filter,
     "text_tfidf_top_terms": doc_tfidf_top_terms,
@@ -425,6 +464,7 @@ ORACLE_SQL = {
     "text_stats": TEXTSTATS_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_langid": LANGID_SQL,
+    "text_langid_confusion": LANGID_CONFUSION_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "text_quality_filter": QUALITY_FILTER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,

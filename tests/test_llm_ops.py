@@ -293,3 +293,65 @@ def test_audio_frame_features_rejects_bad_frame_len(spark):
                                "doc_id long, payload binary")
     with pytest.raises(ValueError):
         audio_frame_features(df, frame_len=1)
+
+
+def test_ahash_near_duplicate_images_close_in_hamming(spark):
+    """aHash of an image and its lightly-corrupted copy differ in few
+    bits; two different gradients differ in many — the separation the
+    perceptual fingerprint exists for. Also: wrong thumbnail size is
+    rejected."""
+    import numpy as np
+    import pytest
+
+    from kmr_spark.llm_ops.multimodal import _bmp_encode, ahash_bmp
+
+    def gradient_bmp(w, h, fill, noise=0):
+        stride = ((w * 3 + 3) // 4) * 4
+        grad = ((fill + 3 * np.arange(w)[None, :]
+                 + 5 * np.arange(h)[:, None]) % 251).astype(np.int64)
+        if noise:
+            grad[0, 0] = (grad[0, 0] + noise) % 251  # one corrupted px
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, :w * 3] = np.repeat(grad.astype(np.uint8), 3, axis=1)
+        return bytearray(_bmp_encode(w, h, padded.tobytes()))
+
+    df = spark.createDataFrame(
+        [(1, gradient_bmp(8, 8, 10)),
+         (2, gradient_bmp(8, 8, 10, noise=3)),   # near-dup
+         (3, gradient_bmp(8, 8, 200))],          # different image
+        "doc_id long, payload binary")
+    got = {r.doc_id: (r.ahash_hi, r.ahash_lo) for r in
+           ahash_bmp(df).collect()}
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0])).count("1") + bin((a[1] ^ b[1])).count("1")
+
+    assert hamming(got[1], got[2]) <= 2
+    assert hamming(got[1], got[3]) > 8
+
+    bad = spark.createDataFrame([(9, gradient_bmp(4, 4, 0))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="ahash expects"):
+        ahash_bmp(bad).collect()
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    """Per label the shares form a distribution; matrix counts total
+    the corpus size."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from kmr_spark.llm_ops.textstats import langid_confusion
+    from kmr_spark.session import load_tables
+
+    rows = langid_confusion(spark, SF_DIR).collect()
+    assert rows
+    share_by_label = defaultdict(float)
+    n_total = 0
+    for r in rows:
+        share_by_label[r.lang_label] += r.share
+        n_total += r.n
+    for label, tot in share_by_label.items():
+        assert abs(tot - 1.0) < 1e-9, label
+    assert n_total == load_tables(spark, SF_DIR)["documents"].count()
