@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "graph_components",
     "text_langid_confusion",
     "multimodal_image_ahash",
+    "text_ngram_novelty",
 ]
 
 

@@ -101,5 +101,61 @@ ORDER BY d.doc_id
 """
 
 
-QUERIES = {"dedup_spans": duplicated_spans}
-ORACLE_SQL = {"dedup_spans": SPANS_SQL}
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation census: per document (in doc_id ingestion
+    order) the fraction of its distinct shingles whose FIRST occurrence
+    in the corpus is this document — the novelty curve data engineers
+    watch to decide when more of a source stops adding information
+    (novelty → 0 as a crawl saturates).
+
+    Plan: same word-count shape as duplicated_spans — one shuffle
+    keyed on shingle to find each shingle's min carrier, one join
+    back, one per-doc rollup. O(total shingles), no pairs.
+    """
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs)
+    doc_sh = th_table.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            H.shingle_hashes_col(F.col("th")))).alias("sh"))
+    first = doc_sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    out = (
+        doc_sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+             .alias("n_novel"))
+        .select("doc_id", "n_shingles", "n_novel",
+                (F.col("n_novel").cast("double") / F.col("n_shingles"))
+                .alias("novelty"))
+        .orderBy("doc_id")
+    )
+    return materialize_release(out, th_table)
+
+
+NOVELTY_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+  FROM documents),
+doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM th, unnest({H.sql_shingle_hashes('th')}) AS t(sh)),
+first AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM doc_sh GROUP BY sh)
+SELECT d.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+FROM doc_sh d JOIN first f USING (sh)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES = {"dedup_spans": duplicated_spans,
+           "text_ngram_novelty": ngram_novelty}
+ORACLE_SQL = {"dedup_spans": SPANS_SQL,
+              "text_ngram_novelty": NOVELTY_SQL}

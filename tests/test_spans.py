@@ -52,3 +52,19 @@ def test_spans_detects_planted_duplicate(spark):
     th.unpersist()
     assert flagged[1] > 0 and flagged[2] > 0
     assert flagged[3] == 0
+
+
+def test_novelty_first_doc_is_fully_novel_and_saturates(spark):
+    """doc 0 (first in corpus order) is 100% novel; mean novelty over
+    later docs is lower (saturation); exact duplicates of earlier docs
+    score 0 when they exist."""
+    from kmr_spark.llm_ops.spans import ngram_novelty
+
+    rows = {r.doc_id: r for r in ngram_novelty(spark, SF_DIR).collect()}
+    first_id = min(rows)
+    assert rows[first_id].novelty == 1.0
+    later = [r.novelty for d, r in rows.items() if d != first_id]
+    assert sum(later) / len(later) < 1.0
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
