@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "text_langid_confusion",
     "multimodal_image_ahash",
     "text_ngram_novelty",
+    "dedup_summary",
 ]
 
 

@@ -410,6 +410,56 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT: cluster-size histogram over the near-dup
+    components — per size the number of clusters, docs involved, and
+    docs that would be dropped under keeper-only retention — plus the
+    rate numbers a curation run publishes. One row per distinct
+    cluster size; the corpus-level dedup rate is derivable by summing
+    (docs_dropped / corpus size).
+
+    Plan: duplicate_clusters' component labels folded twice
+    (|clusters|-sized inputs); nothing here is corpus-sized beyond the
+    underlying pair pipeline."""
+    clusters = duplicate_clusters(spark, sf_dir)
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .alias("n_dropped_keeper_only"))
+        .orderBy("cluster_size")
+    )
+    return sizes
+
+
+DEDUP_SUMMARY_SQL = f"""
+WITH RECURSIVE {_SIMHASH_CANDS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+adj AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.d, r.label FROM reach r JOIN adj a ON a.s = r.node
+  WHERE r.label < a.d),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+csizes AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
+         AS n_dropped_keeper_only
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 LEAKAGE_SPLIT_SQL = f"""
 WITH RECURSIVE {_SIMHASH_CANDS_CTE},
 pairs AS (SELECT doc_a, doc_b FROM cand
@@ -675,9 +725,11 @@ QUERIES = {
     "dedup_incremental": incremental_dedup,
     "train_split_leakage_safe": train_split_leakage_safe,
     "dedup_containment": containment_pairs,
+    "dedup_summary": dedup_summary,
 }
 
 ORACLE_SQL = {
+    "dedup_summary": DEDUP_SUMMARY_SQL,
     "dedup_containment": CONTAINMENT_SQL,
     "train_split_leakage_safe": LEAKAGE_SPLIT_SQL,
     "dedup_incremental": INCREMENTAL_SQL,

@@ -222,3 +222,21 @@ def test_containment_pairs_bounds(spark):
             CONTAINMENT_THRESHOLD
         assert r.jaccard <= min(r.containment_a_in_b,
                                 r.containment_b_in_a) + 1e-12
+
+
+def test_dedup_summary_consistent_with_clusters(spark):
+    from collections import Counter
+
+    from kmr_spark.llm_ops.dedup import dedup_summary, duplicate_clusters
+
+    sizes = Counter(r.cluster_size for r in
+                    duplicate_clusters(spark, SF_DIR)
+                    .groupBy("cluster_id").count()
+                    .withColumnRenamed("count", "cluster_size").collect())
+    rows = {r.cluster_size: r for r in dedup_summary(spark, SF_DIR).collect()}
+    assert set(rows) == set(sizes)
+    for size, r in rows.items():
+        assert r.n_clusters == sizes[size]
+        assert r.n_docs == size * sizes[size]
+        assert r.n_dropped_keeper_only == (size - 1) * sizes[size]
+        assert size >= 2  # singleton "clusters" never appear (need an edge)
