@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "multimodal_image_ahash",
     "text_ngram_novelty",
     "dedup_summary",
+    "events_gate_streamed",
 ]
 
 

@@ -66,5 +66,139 @@ ORDER BY r.rule
 """
 
 
-QUERIES = {"validate_events": validate_events}
-ORACLE_SQL = {"validate_events": VALIDATE_EVENTS_SQL}
+def events_gate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality gate with dead-letter routing: the event
+    stream forks into two checkpointed exactly-once parquet sinks —
+    rows passing every ROW-LOCAL rule (not_null × 3, accepted type,
+    value range, props regex) publish to the good table; violating
+    rows quarantine to the DLQ with their reason list. The report
+    (per-rule violation counts + routed row totals, recomputed from
+    the WRITTEN tables so the sinks themselves are what is verified)
+    must equal the batch rule pass — which is the oracle.
+
+    Cross-row rules (unique, referential) stay in the batch gate
+    (validate_events): they need global state a row-router doesn't
+    have — the standard split between streaming admission control and
+    batch reconciliation.
+
+    The testdata is clean by construction, so the stream first SEEDS
+    deterministic corruption (every 97th event gets a bogus type,
+    every 101st a negative value — the PII-seeding pattern): a gate
+    whose DLQ is provably empty verifies nothing. The oracle replays
+    the same corruption.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kmr_spark.streaming.windows import (run_available_now_to_parquet,
+                                             stream_events)
+
+    def flags(df: DataFrame) -> DataFrame:
+        types = F.array(*[F.lit(t) for t in EVENT_TYPES])
+        reasons = F.filter(
+            F.array(
+                F.when(F.col("event_id").isNull(), F.lit("null_event_id")),
+                F.when(F.col("ts").isNull(), F.lit("null_ts")),
+                F.when(F.col("user_id").isNull(), F.lit("null_user_id")),
+                F.when(F.col("event_type").isNotNull()
+                       & ~F.array_contains(types, F.col("event_type")),
+                       F.lit("bad_type")),
+                F.when(F.col("value").isNotNull()
+                       & ((F.col("value") < 0.0)
+                          | (F.col("value") > 1_000_000.0)),
+                       F.lit("bad_range")),
+                F.when(F.col("props").isNotNull()
+                       & ~F.col("props").rlike(r"^\{.*\}$"),
+                       F.lit("bad_props")),
+            ),
+            lambda x: x.isNotNull())
+        return df.withColumn("reasons", reasons)
+
+    def corrupt(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 97 == 0, F.lit("bogus"))
+            .otherwise(F.col("event_type"))
+        ).withColumn(
+            "value",
+            F.when(F.col("event_id") % 101 == 0, F.lit(-5.0))
+            .otherwise(F.col("value")))
+
+    dirs = [tempfile.mkdtemp(prefix=f"kmr_gate_{k}_")
+            for k in ("ok", "dlq", "ck1", "ck2")]
+    ok_dir, dlq_dir, ck1, ck2 = dirs
+    try:
+        good = run_available_now_to_parquet(
+            flags(corrupt(stream_events(spark, sf_dir)))
+            .filter(F.size("reasons") == 0).drop("reasons"),
+            ok_dir, ck1)
+        bad = run_available_now_to_parquet(
+            flags(corrupt(stream_events(spark, sf_dir)))
+            .filter(F.size("reasons") > 0)
+            .withColumn("reasons", F.concat_ws(",", "reasons")),
+            dlq_dir, ck2)
+        n_ok, n_dlq = good.count(), bad.count()
+        per_rule = (
+            bad.select(F.explode(F.split("reasons", ",")).alias("rule"))
+            .groupBy("rule").agg(F.count("*").alias("n_violations"))
+        )
+        totals = spark.createDataFrame(
+            [("rows_ok", n_ok), ("rows_quarantined", n_dlq)],
+            "rule string, n_violations long")
+        return per_rule.unionByName(totals).orderBy("rule").localCheckpoint()
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_GS_TYPES = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+GATE_STREAMED_SQL = f"""
+WITH corrupted AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN event_id % 97 = 0 THEN 'bogus' ELSE event_type END
+           AS event_type,
+         CASE WHEN event_id % 101 = 0 THEN -5.0 ELSE value END AS value,
+         props
+  FROM events),
+flagged AS (
+  SELECT *,
+         (CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS f_eid,
+         (CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS f_ts,
+         (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS f_uid,
+         (CASE WHEN event_type IS NOT NULL
+                AND event_type NOT IN ({_GS_TYPES}) THEN 1 ELSE 0 END) AS f_type,
+         (CASE WHEN value IS NOT NULL
+                AND (value < 0.0 OR value > 1000000.0) THEN 1 ELSE 0 END) AS f_range,
+         (CASE WHEN props IS NOT NULL
+                AND NOT regexp_matches(props, '^\{{.*\}}$') THEN 1 ELSE 0 END) AS f_props
+  FROM corrupted),
+rules AS (
+  SELECT 'null_event_id' AS rule, SUM(f_eid) AS n FROM flagged
+  UNION ALL SELECT 'null_ts', SUM(f_ts) FROM flagged
+  UNION ALL SELECT 'null_user_id', SUM(f_uid) FROM flagged
+  UNION ALL SELECT 'bad_type', SUM(f_type) FROM flagged
+  UNION ALL SELECT 'bad_range', SUM(f_range) FROM flagged
+  UNION ALL SELECT 'bad_props', SUM(f_props) FROM flagged),
+totals AS (
+  SELECT 'rows_quarantined' AS rule,
+         SUM(CASE WHEN f_eid + f_ts + f_uid + f_type + f_range + f_props > 0
+                  THEN 1 ELSE 0 END) AS n
+  FROM flagged
+  UNION ALL
+  SELECT 'rows_ok',
+         SUM(CASE WHEN f_eid + f_ts + f_uid + f_type + f_range + f_props = 0
+                  THEN 1 ELSE 0 END)
+  FROM flagged)
+SELECT rule, CAST(n AS BIGINT) AS n_violations
+FROM (SELECT * FROM rules WHERE n > 0 UNION ALL SELECT * FROM totals)
+ORDER BY rule
+"""
+
+
+QUERIES = {"validate_events": validate_events,
+           "events_gate_streamed": events_gate_streamed}
+ORACLE_SQL = {"validate_events": VALIDATE_EVENTS_SQL,
+              "events_gate_streamed": GATE_STREAMED_SQL}

@@ -249,3 +249,21 @@ def test_python_datasource_composes_with_engine_ops(spark):
           .groupBy("w").count())
     total = wc.agg(F.sum("count")).first()[0]
     assert total == df.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_streamed_gate_routes_and_conserves(spark):
+    """Good + DLQ row counts conserve the input, and the quarantined
+    total matches the per-row union of seeded violations."""
+    from kmr_spark.plans.quality import events_gate_streamed
+    from kmr_spark.session import load_tables
+
+    rows = {r.rule: r.n_violations for r in
+            events_gate_streamed(spark, SF_SMALL).collect()}
+    n = load_tables(spark, SF_SMALL)["events"].count()
+    assert rows["rows_ok"] + rows["rows_quarantined"] == n
+    assert rows["rows_quarantined"] > 0  # seeded corruption is routed
+    per_rule = sum(v for k, v in rows.items()
+                   if k not in ("rows_ok", "rows_quarantined"))
+    # a row can violate two rules at once (97*101 overlap) so the
+    # union is <= the sum of rule counts
+    assert rows["rows_quarantined"] <= per_rule or per_rule == 0
