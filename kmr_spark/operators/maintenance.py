@@ -100,3 +100,55 @@ def compact_parquet(spark: SparkSession, path: str,
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return n_out
+
+
+def selective_delete(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Right-to-be-forgotten rewrite: remove every row matching
+    ``predicate`` (a SQL boolean expression) from a parquet table via
+    the same write-temp-then-swap protocol as compaction — without a
+    transactional table format this is THE erasure primitive (Delta's
+    DELETE does the same rewrite under the hood). Returns an audit
+    dict (rows_before / rows_deleted / rows_after) the compliance log
+    stores. Output file count follows the compaction size targeting.
+    """
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    kept = df.filter(f"NOT ({predicate})")
+    rows_after = kept.count()
+    n_out = plan_compaction(spark, path)
+    tmp = tempfile.mkdtemp(prefix="kmr_delete_",
+                           dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        kept.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + ".delete_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return {"rows_before": rows_before,
+            "rows_deleted": rows_before - rows_after,
+            "rows_after": rows_after}
+
+
+def schema_drift(spark: SparkSession, old_path: str, new_path: str) -> DataFrame:
+    """Schema diff between two parquet snapshots: one row per drifted
+    column — (column, change ∈ {added, removed, type_changed},
+    old_type, new_type). Empty result = schemas compatible. The check
+    an ingest pipeline runs before appending a new day's data."""
+    old = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(old_path).schema}
+    new = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(new_path).schema}
+    rows = []
+    for c in sorted(set(old) | set(new)):
+        if c not in new:
+            rows.append((c, "removed", old[c], None))
+        elif c not in old:
+            rows.append((c, "added", None, new[c]))
+        elif old[c] != new[c]:
+            rows.append((c, "type_changed", old[c], new[c]))
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string")

@@ -110,3 +110,33 @@ def test_trimmed_mean_tiny_groups_fall_back_to_mean(spark):
     got = {r.k: r.tm for r in df.groupBy("k")
            .agg(trimmed_mean_col(F.col("v")).alias("tm")).collect()}
     assert got[1] == 15.0 and got[2] == 5.0
+
+
+def test_selective_delete_erases_and_audits(spark, tmp_path):
+    from kmr_spark.operators.maintenance import selective_delete
+
+    path = str(tmp_path / "users")
+    spark.range(1000).selectExpr("id AS user_id", "id % 7 AS grp") \
+        .repartition(8).write.parquet(path)
+    audit = selective_delete(spark, path, "user_id % 10 = 3")
+    assert audit == {"rows_before": 1000, "rows_deleted": 100,
+                     "rows_after": 900}
+    back = spark.read.parquet(path)
+    assert back.count() == 900
+    assert back.filter("user_id % 10 = 3").count() == 0
+
+
+def test_schema_drift_reports_all_change_kinds(spark, tmp_path):
+    from kmr_spark.operators.maintenance import schema_drift
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.range(5).selectExpr("id", "CAST(id AS INT) AS a", "'x' AS gone") \
+        .write.parquet(old_p)
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS a",
+                              "1.5 AS fresh").write.parquet(new_p)
+    drift = {(r.column, r.change) for r in
+             schema_drift(spark, old_p, new_p).collect()}
+    assert drift == {("gone", "removed"), ("fresh", "added"),
+                     ("a", "type_changed")}
+    same = schema_drift(spark, old_p, old_p)
+    assert same.count() == 0
