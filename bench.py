@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     "dedup_summary",
     "events_gate_streamed",
+    "events_ab_test_sequential",
 ]
 
 

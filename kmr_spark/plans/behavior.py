@@ -344,12 +344,140 @@ ORDER BY event_id
 """
 
 
+def events_ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL A/B monitoring — the peeking curve: for every
+    (event_type, day) the Welch z statistic computed over all data up
+    TO that day, i.e. what a dashboard shows while the experiment
+    runs. Significance flags use the same 1.96 threshold; watching
+    this curve is exactly the "peeking" multiple-testing hazard, which
+    is why it belongs next to the terminal test (events_ab_test).
+
+    Exactness: per-day integer moments (cents) zero-filled onto a
+    dense (type, day, arm) grid, DECIMAL cumulative-sum windows (exact
+    at any scale), then the fixed Welch expression — every day's z is
+    bit-identical across engines. Plan: one daily aggregate, a tiny
+    grid join, |types|×|days|×2-sized windows — nothing after the
+    first aggregate is corpus-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("c"))
+    daily = ev.groupBy("event_type", "day", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"))
+    grid = (
+        daily.select("event_type", "day").distinct()
+        .crossJoin(spark.range(2).select(F.col("id").alias("arm")))
+    )
+    dense = (
+        grid.join(daily, ["event_type", "day", "arm"], "left")
+        .select("event_type", "day", "arm",
+                F.coalesce("n", F.lit(0)).alias("n"),
+                F.coalesce("s", F.lit(0).cast("decimal(38,0)")).alias("s"),
+                F.coalesce("q", F.lit(0).cast("decimal(38,0)")).alias("q"))
+    )
+    w = (Window.partitionBy("event_type", "arm")
+         .orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+    cum = dense.select(
+        "event_type", "day", "arm",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("q").over(w).alias("cq"))
+
+    def side(arm, suf):
+        return cum.filter(F.col("arm") == arm).select(
+            "event_type", "day", F.col("cn").alias(f"n{suf}"),
+            F.col("cs").alias(f"s{suf}"), F.col("cq").alias(f"q{suf}"))
+
+    j = side(0, "_a").join(side(1, "_b"), ["event_type", "day"])
+
+    def mean(suf):
+        return F.col(f"s{suf}").cast("double") / F.col(f"n{suf}")
+
+    def var(suf):
+        n = F.col(f"n{suf}").cast("double")
+        sm = F.col(f"s{suf}").cast("double")
+        q = F.col(f"q{suf}").cast("double")
+        return (n * q - sm * sm) / (n * (n - F.lit(1.0)))
+
+    z = (mean("_a") - mean("_b")) / F.sqrt(
+        var("_a") / F.col("n_a") + var("_b") / F.col("n_b"))
+    return (
+        j.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .select("event_type", "day", "n_a", "n_b", z.alias("z"),
+                (F.abs(z) > F.lit(Z_CRIT)).alias("significant"))
+        .orderBy("event_type", "day")
+    )
+
+
+AB_SEQUENTIAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         user_id % 2 AS arm,
+         CAST(floor(value * 100) AS HUGEINT) AS c
+  FROM events),
+daily AS (
+  SELECT event_type, day, arm, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+  FROM ev GROUP BY event_type, day, arm),
+grid AS (
+  SELECT DISTINCT event_type, day FROM daily),
+dense AS (
+  SELECT g.event_type, g.day, a.arm,
+         COALESCE(d.n, 0) AS n,
+         COALESCE(d.s, 0) AS s,
+         COALESCE(d.q, 0) AS q
+  FROM grid g
+  CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+  LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day = g.day AND d.arm = a.arm),
+cum AS (
+  SELECT event_type, day, arm,
+         SUM(n) OVER wnd AS cn, SUM(s) OVER wnd AS cs, SUM(q) OVER wnd AS cq
+  FROM dense
+  WINDOW wnd AS (PARTITION BY event_type, arm ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+j AS (
+  SELECT a.event_type, a.day,
+         a.cn AS n_a, a.cs AS s_a, a.cq AS q_a,
+         b.cn AS n_b, b.cs AS s_b, b.cq AS q_b
+  FROM cum a JOIN cum b
+    ON a.event_type = b.event_type AND a.day = b.day
+   AND a.arm = 0 AND b.arm = 1)
+SELECT event_type, day,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / sqrt(((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                  / n_a
+                + ((CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                  / n_b) AS z,
+       abs((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / sqrt(((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                  / n_a
+                + ((CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                  / n_b)) > {Z_CRIT} AS significant
+FROM j WHERE n_a >= 2 AND n_b >= 2
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_scd2_state": events_scd2_state,
     "events_markov_transitions": events_markov_transitions,
     "events_ab_test": events_ab_test,
     "events_path_trigrams": events_path_trigrams,
     "events_multitouch_attribution": events_multitouch_attribution,
+    "events_ab_test_sequential": events_ab_test_sequential,
 }
 ORACLE_SQL = {
     "events_scd2_state": SCD2_SQL,
@@ -357,4 +485,5 @@ ORACLE_SQL = {
     "events_ab_test": AB_TEST_SQL,
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
     "events_multitouch_attribution": MULTITOUCH_SQL,
+    "events_ab_test_sequential": AB_SEQUENTIAL_SQL,
 }

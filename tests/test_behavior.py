@@ -67,3 +67,26 @@ def test_ab_test_arm_counts_cover_all_events(spark):
     assert total == n_events
     for r in rows:
         assert r.significant == (abs(r.z) > 1.96)
+
+
+def test_ab_sequential_matches_oracle(spark, duck):
+    from kmr_spark.plans.behavior import (AB_SEQUENTIAL_SQL,
+                                          events_ab_test_sequential)
+
+    assert_matches_oracle(spark, duck, events_ab_test_sequential,
+                          AB_SEQUENTIAL_SQL)
+
+
+def test_ab_sequential_final_day_equals_terminal_test(spark):
+    """The curve's last day per type must reproduce the terminal
+    events_ab_test z exactly (same moments, same expression)."""
+    from kmr_spark.plans.behavior import (events_ab_test,
+                                          events_ab_test_sequential)
+
+    terminal = {r.event_type: (r.n_a, r.n_b, r.z)
+                for r in events_ab_test(spark, SF_DIR).collect()}
+    curve = events_ab_test_sequential(spark, SF_DIR).collect()
+    last = {}
+    for r in curve:
+        last[r.event_type] = (r.n_a, r.n_b, r.z)  # ordered by day
+    assert last == terminal
