@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "dedup_summary",
     "events_gate_streamed",
     "events_ab_test_sequential",
+    "events_cusum_drift",
 ]
 
 

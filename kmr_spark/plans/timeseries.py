@@ -422,6 +422,98 @@ ORDER BY h.event_type, hod
 """
 
 
+CUSUM_H_SIGMA = 4.0  # flag threshold in per-type volume sigmas
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over hourly volumes per event_type — the
+    sequential changepoint monitor (Page 1954) that catches a sustained
+    LEVEL SHIFT long before any single hour looks anomalous (the
+    z-score flags, events_anomaly_zscore, miss slow drifts by design).
+
+    The recursive CUSUM S_t = max(0, S_{t-1} + x_t - mean) is rewritten
+    window-free-of-recursion: with D_t = n*x_t - total (integer,
+    mean-centered scaled by n), P_t = cumsum(D), the reset-at-zero
+    statistic is exactly S_t = P_t - min_{j<=t} P_j — a prefix sum and
+    a running min, both plain windows over INTEGERS, so the statistic
+    is exact in both engines. The flag compares S_t against
+    CUSUM_H_SIGMA sigmas (sigma from integer moments, one fixed float
+    expression).
+
+    Plan: hourly counts (map-side combine) -> per-type windows over
+    |hours| rows -> broadcast moments join. Nothing after the first
+    aggregate is corpus-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("x") * F.col("x")).alias("q"))
+    d = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type", "hour_ts", "x", "nh", "tot", "q",
+        (F.col("nh") * F.col("x") - F.col("tot")).alias("dd"))
+    w = (Window.partitionBy("event_type").orderBy("hour_ts")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    p = d.withColumn("pp", F.sum("dd").over(w))
+    # the running min must include the EMPTY prefix (P_0 = 0), or an
+    # initially-positive drift would be measured from its own first
+    # prefix instead of zero — that is what makes this equal to the
+    # textbook recursion max(0, S_{t-1} + d_t)
+    scored = p.withColumn(
+        "s", F.col("pp") - F.least(F.min("pp").over(w), F.lit(0)))
+    sigma = F.sqrt(
+        (F.col("nh").cast("double") * F.col("q").cast("double")
+         - F.col("tot").cast("double") * F.col("tot").cast("double"))
+        / (F.col("nh").cast("double") * F.col("nh").cast("double")))
+    # S is in n*count units; the threshold scales by n as well
+    thresh = F.lit(CUSUM_H_SIGMA) * sigma * F.col("nh").cast("double")
+    return (
+        scored.select(
+            "event_type", "hour_ts", "x",
+            F.col("s").alias("cusum_scaled"),
+            (F.col("s").cast("double") > thresh).alias("drift_flag"))
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS nh, SUM(x) AS tot, SUM(x * x) AS q
+  FROM hourly GROUP BY event_type),
+d AS (
+  SELECT h.event_type, h.hour_ts, h.x, s.nh, s.tot, s.q,
+         s.nh * h.x - s.tot AS dd
+  FROM hourly h JOIN stats s USING (event_type)),
+p AS (
+  SELECT *, SUM(dd) OVER wnd AS pp
+  FROM d
+  WINDOW wnd AS (PARTITION BY event_type ORDER BY hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT *, pp - least(MIN(pp) OVER wnd, 0) AS s
+  FROM p
+  WINDOW wnd AS (PARTITION BY event_type ORDER BY hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, hour_ts, x,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       CAST(s AS DOUBLE) >
+         {CUSUM_H_SIGMA} * sqrt((CAST(nh AS DOUBLE) * CAST(q AS DOUBLE)
+              - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+             / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)))
+           * CAST(nh AS DOUBLE) AS drift_flag
+FROM scored
+ORDER BY event_type, hour_ts
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
@@ -431,6 +523,7 @@ QUERIES = {
     "events_dwell_time": events_dwell_time,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_seasonal_baseline": events_seasonal_baseline,
+    "events_cusum_drift": events_cusum_drift,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -441,4 +534,5 @@ ORACLE_SQL = {
     "events_dwell_time": DWELL_SQL,
     "events_time_weighted_avg": TWA_SQL,
     "events_seasonal_baseline": SEASONAL_BASELINE_SQL,
+    "events_cusum_drift": CUSUM_SQL,
 }

@@ -254,3 +254,40 @@ def test_spearman_rho_in_range(spark):
     r = users_spearman_freq_value(spark, SF_DIR).first()
     assert -1.0 <= r.rho <= 1.0
     assert r.sum_d2 >= 0 and r.n_users > 0
+
+
+def test_cusum_matches_oracle(spark, duck):
+    from kmr_spark.plans.timeseries import CUSUM_SQL, events_cusum_drift
+
+    assert_matches_oracle(spark, duck, events_cusum_drift, CUSUM_SQL)
+
+
+def test_cusum_equals_recursive_definition(spark):
+    """The window rewrite (prefix sum minus running min) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + (n*x_t - total)) per
+    type, computed in Python over the same hour order."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kmr_spark.plans.timeseries import events_cusum_drift
+    from kmr_spark.session import load_tables
+
+    got = defaultdict(list)
+    for r in events_cusum_drift(spark, SF_DIR).collect():
+        got[r.event_type].append((r.hour_ts, r.x, r.cusum_scaled))
+
+    hourly = defaultdict(list)
+    for r in (load_tables(spark, SF_DIR)["events"]
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("x")).collect()):
+        hourly[r.event_type].append((r.h, r.x))
+    for t, seq in hourly.items():
+        seq.sort()
+        n, tot = len(seq), sum(x for _, x in seq)
+        s, expect = 0, []
+        for _, x in seq:
+            s = max(0, s + (n * x - tot))
+            expect.append(s)
+        assert [c for _, _, c in got[t]] == expect, t
+        assert all(c >= 0 for _, _, c in got[t])
