@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "events_gate_streamed",
     "events_ab_test_sequential",
     "events_cusum_drift",
+    "events_user_entropy",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -792,6 +792,67 @@ ORDER BY doc_id, frame_idx
 """
 
 
+SCENE_CUT_DELTA = 50.0  # mean-intensity jump that counts as a cut
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL video path: demux every frame
+    (every_n=1), compute each frame's mean intensity from its decoded
+    pixel sum, and flag frames whose mean jumps more than
+    SCENE_CUT_DELTA from the previous frame — the shot-boundary
+    primitive a video curation pipeline uses to pick keyframes.
+
+    The synthetic fills advance by 1 per frame (mod 251), so most
+    deltas are tiny and the mod wrap produces genuine large jumps —
+    the detector has real positives and negatives. Mean intensity is
+    an exact integer ratio; the lag window is per-doc ordered by
+    frame index."""
+    from pyspark.sql import Window
+
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    frames = sample_video_frames(encode_docs_as_video(docs), every_n=1)
+    mean_i = (F.col("pixel_sum").cast("double")
+              / (F.col("width") * 3 * F.col("height")).cast("double"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    scored = (
+        frames.withColumn("mean_intensity", mean_i)
+        .withColumn("delta",
+                    F.abs(F.col("mean_intensity")
+                          - F.lag("mean_intensity").over(w)))
+        .filter(F.col("delta").isNotNull())
+    )
+    return (
+        scored.select(
+            "doc_id", "frame_idx", "mean_intensity", "delta",
+            (F.col("delta") > F.lit(SCENE_CUT_DELTA)).alias("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MULTIMODAL_SCENE_CUTS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, (doc_id % 5) + 2 AS n_frames,
+         (length(text) % 31) + 2 AS w
+  FROM documents WHERE text IS NOT NULL),
+frames AS (
+  SELECT doc_id, f AS frame_idx,
+         CAST(((doc_id * 7 + f) % 251) AS DOUBLE) AS mean_intensity
+  FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f)),
+scored AS (
+  SELECT doc_id, frame_idx, mean_intensity,
+         abs(mean_intensity - LAG(mean_intensity) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+  FROM frames)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       mean_intensity, delta,
+       delta > {SCENE_CUT_DELTA} AS is_cut
+FROM scored WHERE delta IS NOT NULL
+ORDER BY doc_id, frame_idx
+"""
+
+
 MULTIMODAL_DECODE_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -907,6 +968,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_image_ahash": multimodal_image_ahash,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
 }
 ORACLE_SQL = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
@@ -916,4 +978,5 @@ ORACLE_SQL = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_FEATURES_SQL,
     "multimodal_image_ahash": MULTIMODAL_AHASH_SQL,
+    "multimodal_scene_cuts": MULTIMODAL_SCENE_CUTS_SQL,
 }

@@ -471,6 +471,43 @@ ORDER BY event_type, day
 """
 
 
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the user's
+    event-type distribution (0 = habitual single-action user, ln(5) =
+    uniform explorer) plus counts — the engagement-mix feature
+    churn/recommendation models consume.
+
+    Same integer-count entropy recipe as text_token_entropy: H =
+    ln(n) - (sum c*ln c)/n from per-(user, type) integer counts; two
+    map-side-combinable aggregates, |users|-sized output."""
+    ev = load_tables(spark, sf_dir)["events"]
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    sclc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return (
+        counts.groupBy("user_id")
+        .agg(F.sum("c").alias("n_events"),
+             F.count("*").alias("n_types"),
+             (F.log(n) - sclc / n).alias("entropy"))
+        .orderBy("user_id")
+    )
+
+
+USER_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       SUM(c) AS n_events,
+       COUNT(*) AS n_types,
+       ln(CAST(SUM(c) AS DOUBLE))
+         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+           / CAST(SUM(c) AS DOUBLE) AS entropy
+FROM counts GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_scd2_state": events_scd2_state,
     "events_markov_transitions": events_markov_transitions,
@@ -478,6 +515,7 @@ QUERIES = {
     "events_path_trigrams": events_path_trigrams,
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_ab_test_sequential": events_ab_test_sequential,
+    "events_user_entropy": events_user_entropy,
 }
 ORACLE_SQL = {
     "events_scd2_state": SCD2_SQL,
@@ -486,4 +524,5 @@ ORACLE_SQL = {
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
     "events_multitouch_attribution": MULTITOUCH_SQL,
     "events_ab_test_sequential": AB_SEQUENTIAL_SQL,
+    "events_user_entropy": USER_ENTROPY_SQL,
 }

@@ -355,3 +355,21 @@ def test_langid_confusion_shares_sum_to_one(spark):
     for label, tot in share_by_label.items():
         assert abs(tot - 1.0) < 1e-9, label
     assert n_total == load_tables(spark, SF_DIR)["documents"].count()
+
+
+def test_scene_cuts_flag_wraps_only(spark):
+    """Consecutive frames advance fill by 1 (delta 1, no cut); the mod
+    wrap makes a 250 jump (cut). Both behaviors must appear, and every
+    flag must equal (delta > threshold)."""
+    from tests.conftest import SF_DIR
+
+    from kmr_spark.llm_ops.multimodal import (SCENE_CUT_DELTA,
+                                              multimodal_scene_cuts)
+
+    rows = multimodal_scene_cuts(spark, SF_DIR).collect()
+    assert rows
+    deltas = {round(r.delta) for r in rows}
+    assert 1 in deltas and 250 in deltas
+    for r in rows:
+        assert r.is_cut == (r.delta > SCENE_CUT_DELTA)
+    assert any(r.is_cut for r in rows) and any(not r.is_cut for r in rows)
