@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "events_cusum_drift",
     "events_user_entropy",
     "multimodal_scene_cuts",
+    "events_value_deciles",
+    "events_value_minmax_norm",
 ]
 
 

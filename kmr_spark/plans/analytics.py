@@ -1007,6 +1007,100 @@ GROUP BY w.win_id ORDER BY w.win_id
 """
 
 
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of ``value`` per event_type — the
+    quantile discretization a feature pipeline runs before bucketized
+    training columns (vs events_value_histogram's equal-WIDTH bins).
+
+    Scale shape: same count-table rewrite as events_exact_percentiles —
+    aggregate to per-(type, cents) counts first (map-side combinable),
+    then the cumulative window runs over |distinct values| per type,
+    never |rows|.  A distinct value lands wholly in one bin:
+    decile = (10 * rows_before) DIV rows_total, so bins split only at
+    value boundaries (standard distinct-value quantile binning; ntile's
+    row-splitting of ties is NOT reproduced — it would serialize a full
+    type through one task).  All-integer math both engines.
+    """
+    ev = _events(spark, sf_dir)
+    c = (ev.select("event_type",
+                   F.floor(F.col("value") * 100).cast("long").alias("cents"))
+         .groupBy("event_type", "cents").agg(F.count("*").alias("c")))
+    w_cum = (Window.partitionBy("event_type").orderBy("cents")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("event_type")
+    return (
+        c.withColumn("cum_before", F.sum("c").over(w_cum) - F.col("c"))
+        .withColumn("total", F.sum("c").over(w_tot))
+        .withColumn("decile",
+                    F.expr("CAST((10 * cum_before) DIV total AS INT)"))
+        .groupBy("event_type", "decile")
+        .agg(F.sum("c").alias("n_rows"),
+             F.min("cents").alias("lo_cents"),
+             F.max("cents").alias("hi_cents"))
+        .orderBy("event_type", "decile")
+    )
+
+
+EVENTS_DECILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+              AS BIGINT) AS cum_before,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM c)
+SELECT event_type, CAST((10 * cum_before) // total AS INT) AS decile,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_value_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type min-max normalization of ``value`` to integer permille —
+    the feature-scaling pass that precedes model training, kept exact by
+    integer cents + integer division (no float divide to disagree on).
+
+    Scale shape: the per-type (min, max) table is a map-side-combinable
+    aggregation to |types| rows, broadcast back onto the fact rows — one
+    narrow pass over the corpus, no shuffle of the big side.  Degenerate
+    groups (max == min) normalize to 0 rather than divide by zero.
+    """
+    ev = _events(spark, sf_dir)
+    c = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    mm = (c.groupBy("event_type")
+          .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx")))
+    return (
+        c.join(F.broadcast(mm), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.expr("CAST(CASE WHEN mx > mn THEN "
+                   "((cents - mn) * 1000) DIV (mx - mn) "
+                   "ELSE 0 END AS INT)").alias("norm_permille"))
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MINMAX_NORM_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+mm AS (SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
+       FROM c GROUP BY 1)
+SELECT c.event_id, c.event_type,
+       CAST(CASE WHEN mx > mn THEN ((cents - mn) * 1000) // (mx - mn)
+            ELSE 0 END AS INT) AS norm_permille
+FROM c JOIN mm USING (event_type)
+ORDER BY c.event_id
+"""
+
 
 QUERIES = {
     "events_type_stats": events_type_stats,
@@ -1034,6 +1128,8 @@ QUERIES = {
     "revenue_grouping_sets": revenue_grouping_sets,
     "events_session_window_native": events_session_window_native,
     "events_concurrent_sessions": events_concurrent_sessions,
+    "events_value_deciles": events_value_deciles,
+    "events_value_minmax_norm": events_value_minmax_norm,
 }
 
 ORACLE_SQL = {
@@ -1062,4 +1158,6 @@ ORACLE_SQL = {
     "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
     "events_session_window_native": SESSION_WINDOW_NATIVE_SQL,
     "events_concurrent_sessions": CONCURRENT_SESSIONS_SQL,
+    "events_value_deciles": EVENTS_DECILES_SQL,
+    "events_value_minmax_norm": EVENTS_MINMAX_NORM_SQL,
 }
