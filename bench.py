@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "multimodal_scene_cuts",
     "events_value_deciles",
     "events_value_minmax_norm",
+    "events_rolling_wau",
 ]
 
 

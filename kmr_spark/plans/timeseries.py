@@ -514,6 +514,82 @@ ORDER BY event_type, hour_ts
 """
 
 
+WAU_HORIZON = 6  # rolling window = day and the 6 days before it
+
+
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users (WAU) per calendar day.
+
+    The naive form — COUNT(DISTINCT user_id) over a 7-day sliding
+    window — re-deduplicates the user set for every day, and a windowed
+    distinct over raw rows is O(days x actives) state.  The scale-correct
+    rewrite never runs a windowed distinct:
+
+    1. reduce to distinct (user_id, day) pairs (map-side combinable);
+    2. per user, merge activity days into coverage islands via the
+       lag/cumsum islands pattern (a day covers [d, d+6]; days <= 6
+       apart fuse into one interval) — same shape as sessionize;
+    3. sweep-line: +1 at island start, -1 after island end, aggregated
+       to per-day deltas, prefix-summed over the dense day spine.
+
+    Per-user work is |active days|, the sweep input is O(islands), and
+    the only ordered global pass runs over the |calendar days| spine
+    (bounded by the time range, not the corpus — precedent:
+    events_concurrent_sessions).  All-integer; oracle states the naive
+    COUNT DISTINCT semantics directly.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = (ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'1970-01-01')").alias("di"))
+        .distinct())
+    w = Window.partitionBy("user_id").orderBy("di")
+    islands = (
+        ud.withColumn(
+            "new_island",
+            F.when(F.col("di") - F.lag("di").over(w) > WAU_HORIZON, 1)
+            .otherwise(0))
+        .withColumn("island", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(F.min("di").alias("start"),
+             (F.max("di") + WAU_HORIZON).alias("end")))
+    deltas = (
+        islands.select(F.col("start").alias("di"), F.lit(1).alias("delta"))
+        .unionAll(islands.select((F.col("end") + 1).alias("di"),
+                                 F.lit(-1).alias("delta")))
+        .groupBy("di").agg(F.sum("delta").alias("delta")))
+    bounds = ud.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("di"))
+    return (
+        spine.join(deltas, "di", "left")
+        .withColumn("wau", F.sum(F.coalesce("delta", F.lit(0))).over(
+            Window.orderBy("di")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(
+            F.expr("date_add(DATE'1970-01-01', CAST(di AS INT))")
+            .alias("day"),
+            F.col("wau").cast("long").alias("wau"))
+        .orderBy("day")
+    )
+
+
+WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS di
+  FROM events),
+bounds AS (SELECT MIN(di) AS lo, MAX(di) AS hi FROM ud),
+grid AS (SELECT UNNEST(range(lo, hi + 1)) AS di FROM bounds)
+SELECT DATE '1970-01-01' + CAST(g.di AS INT) AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM grid g LEFT JOIN ud u
+  ON u.di BETWEEN g.di - {WAU_HORIZON} AND g.di
+GROUP BY g.di ORDER BY day
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
@@ -524,6 +600,7 @@ QUERIES = {
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_seasonal_baseline": events_seasonal_baseline,
     "events_cusum_drift": events_cusum_drift,
+    "events_rolling_wau": events_rolling_wau,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -535,4 +612,5 @@ ORACLE_SQL = {
     "events_time_weighted_avg": TWA_SQL,
     "events_seasonal_baseline": SEASONAL_BASELINE_SQL,
     "events_cusum_drift": CUSUM_SQL,
+    "events_rolling_wau": WAU_SQL,
 }

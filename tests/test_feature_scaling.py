@@ -1,7 +1,10 @@
-"""Invariant tests for the feature-scaling queries: equi-depth decile
-binning and per-group min-max permille normalization (plans/analytics.py).
-Oracle value-parity is covered by scripts/check_queries.py / the driver
-gate; these pin the algebraic invariants on tiny controlled inputs."""
+"""Invariant tests for the round-3 closing queries: equi-depth decile
+binning, per-group min-max permille normalization (plans/analytics.py)
+and rolling-WAU island/sweep rewrite (plans/timeseries.py).  Oracle
+value-parity is covered by scripts/check_queries.py / the driver gate;
+these pin the algebraic invariants on tiny controlled inputs."""
+
+import datetime
 
 from pyspark.sql import functions as F
 
@@ -9,6 +12,7 @@ from kmr_spark.plans.analytics import (
     events_value_deciles,
     events_value_minmax_norm,
 )
+from kmr_spark.plans.timeseries import events_rolling_wau
 
 SF_SMALL = "/root/testdata/sf0.001"
 
@@ -72,3 +76,29 @@ def test_minmax_norm_degenerate_group(spark):
     finally:
         an._events = orig
     assert got == {1: 0, 2: 0, 3: 0, 4: 1000}
+
+
+def test_rolling_wau_islands_match_bruteforce(spark):
+    # user 10: days 0 and 6 (gap == 6 -> ONE island, covers [0, 12])
+    # user 20: days 0 and 7 (gap == 7 -> TWO islands, [0,6] and [7,13])
+    # user 30: single day 3 (covers [3, 9])
+    days = [(10, 0), (10, 6), (20, 0), (20, 7), (30, 3)]
+    rows = [(u, datetime.datetime(1970, 1, 1, 12) +
+             datetime.timedelta(days=d)) for u, d in days]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import kmr_spark.plans.timeseries as ts
+    orig = ts.load_tables
+    ts.load_tables = lambda spark, sf_dir: {"events": ev}
+    try:
+        got = {r.day: r.wau
+               for r in events_rolling_wau(spark, "unused").collect()}
+    finally:
+        ts.load_tables = orig
+
+    epoch = datetime.date(1970, 1, 1)
+    for d in range(0, 8):  # spine = [min activity day, max activity day]
+        expect = len({u for u, a in days if d - 6 <= a <= d})
+        assert got[epoch + datetime.timedelta(days=d)] == expect
+    assert set(got) == {epoch + datetime.timedelta(days=d)
+                        for d in range(0, 8)}
