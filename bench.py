@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "events_value_deciles",
     "events_value_minmax_norm",
     "events_rolling_wau",
+    "events_user_streaks",
 ]
 
 

@@ -590,6 +590,51 @@ GROUP BY g.di ORDER BY day
 """
 
 
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks (gaps-and-islands):
+    total active days, number of streaks, and the longest streak.
+
+    The di − row_number() trick groups consecutive days into one
+    constant key, so streaks fall out of two keyed aggregations — no
+    self-join, no per-user UDF.  Both windows and both aggregations
+    partition by user_id (bucketing events by user makes them
+    co-partitioned at scale); all arithmetic is integer day indices.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = (ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'1970-01-01')").alias("di"))
+        .distinct())
+    w = Window.partitionBy("user_id").orderBy("di")
+    streaks = (
+        ud.withColumn("grp", F.col("di") - F.row_number().over(w))
+        .groupBy("user_id", "grp").agg(F.count("*").alias("len")))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.sum("len").alias("active_days"),
+             F.count("*").alias("n_streaks"),
+             F.max("len").alias("longest_streak"))
+        .orderBy("user_id")
+    )
+
+
+USER_STREAKS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS di
+  FROM events),
+g AS (
+  SELECT user_id, di,
+         di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di) AS grp
+  FROM ud),
+s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_resample_1h": events_resample_1h,
     "events_funnel": events_funnel,
@@ -601,6 +646,7 @@ QUERIES = {
     "events_seasonal_baseline": events_seasonal_baseline,
     "events_cusum_drift": events_cusum_drift,
     "events_rolling_wau": events_rolling_wau,
+    "events_user_streaks": events_user_streaks,
 }
 ORACLE_SQL = {
     "events_resample_1h": RESAMPLE_SQL,
@@ -613,4 +659,5 @@ ORACLE_SQL = {
     "events_seasonal_baseline": SEASONAL_BASELINE_SQL,
     "events_cusum_drift": CUSUM_SQL,
     "events_rolling_wau": WAU_SQL,
+    "events_user_streaks": USER_STREAKS_SQL,
 }

@@ -102,3 +102,22 @@ def test_rolling_wau_islands_match_bruteforce(spark):
         assert got[epoch + datetime.timedelta(days=d)] == expect
     assert set(got) == {epoch + datetime.timedelta(days=d)
                         for d in range(0, 8)}
+
+
+def test_user_streaks_gaps_and_islands(spark):
+    # user 1: days 0,1,2 + 5,6  -> streaks {3, 2}; user 2: day 4 only
+    days = [(1, 0), (1, 1), (1, 2), (1, 5), (1, 6), (2, 4), (1, 1)]
+    rows = [(u, datetime.datetime(1970, 1, 1, 8) +
+             datetime.timedelta(days=d)) for u, d in days]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import kmr_spark.plans.timeseries as ts
+    from kmr_spark.plans.timeseries import events_user_streaks
+    orig = ts.load_tables
+    ts.load_tables = lambda spark, sf_dir: {"events": ev}
+    try:
+        got = {r.user_id: (r.active_days, r.n_streaks, r.longest_streak)
+               for r in events_user_streaks(spark, "unused").collect()}
+    finally:
+        ts.load_tables = orig
+    assert got == {1: (5, 2, 3), 2: (1, 1, 1)}
