@@ -175,18 +175,13 @@ _DRIVER_CHECKED = frozenset({
     "events_attribution_streamed",
     "iter_pagerank", "iter_kmeans", "linalg_matmul", "gen_rmat",
     "sample_events_stratified", "sample_docs_holdout", "sample_k_per_user",
-})
-
-
-# The 50 never-driver-checked queries targeted at the round-3 gate
-# window (exactly fills the driver's 50-entry check).  Pinning them
-# explicitly keeps queries added later in the round from displacing
-# them; new queries slot in right after and rotate forward next round.
-_R3_WINDOW = (
+    # round-3 window: the 48 green rows of CORRECTNESS_r03.json (the
+    # full _R3_WINDOW minus the two typed-hash fails, which retry in
+    # the round-4 window below)
     "events_enriched_streamed", "events_attribution_outer_streamed",
     "emb_dim_stats", "events_zorder_layout", "profile_lineitem",
     "graph_triangles", "graph_bfs", "events_incremental_merge",
-    "events_state_streamed", "events_props_extract", "events_value_rank",
+    "events_state_streamed", "events_value_rank",
     "events_hll_users", "events_hll_hourly", "events_sketch_quantiles",
     "events_resample_1h", "events_funnel", "events_retention_cohorts",
     "events_anomaly_zscore", "events_conversion_lag", "events_dwell_time",
@@ -198,16 +193,52 @@ _R3_WINDOW = (
     "corpus_clean_keepers", "sim_knn_bruteforce", "sim_ann_ivf",
     "sim_ann_ivf_multiprobe", "sim_knn_quantized", "dedup_embedding",
     "text_stats", "text_token_counts", "text_langid", "text_fingerprint",
-    "text_quality_filter", "text_tfidf_top_terms", "text_bigram_lm",
-    "text_normalize",
+    "text_quality_filter", "text_tfidf_top_terms", "text_normalize",
+})
+
+
+# The 50 queries targeted at the round-4 gate window (exactly fills
+# the driver's 50-entry check): the two round-3 typed-hash retries
+# (oracle SUM left as HUGEINT — fixed by CAST ... AS BIGINT) first,
+# then 48 of the 50 round-3-fresh queries. Pinning them explicitly
+# keeps queries added later in the round from displacing them; new
+# queries slot in right after and rotate forward next round.
+#
+# ROUND-5 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
+# green), then pin _R5_WINDOW = the 2 deferred round-3 queries
+# (events_rolling_wau, events_user_streaks) + every query added in
+# round 4 + backfill from _DRIVER_CHECKED rotation if short of 50.
+_R4_WINDOW = (
+    "events_props_extract", "text_bigram_lm",
+    "events_session_campaign_overlap", "revenue_grouping_sets",
+    "events_session_window_native", "events_concurrent_sessions",
+    "emb_power_iteration", "sample_docs_weighted", "graph_components",
+    "events_hll_streamed", "events_time_weighted_avg",
+    "events_seasonal_baseline", "events_cusum_drift",
+    "events_gate_streamed", "train_epoch_shuffle",
+    "train_source_mixture", "train_temperature_mix",
+    "lineitem_bloom_prune", "events_scd2_state",
+    "events_markov_transitions", "events_ab_test",
+    "events_path_trigrams", "events_multitouch_attribution",
+    "events_ab_test_sequential", "events_user_entropy",
+    "skew_report_orders", "join_size_estimate", "events_decayed_value",
+    "orders_pareto_share", "users_spearman_freq_value",
+    "dedup_incremental", "train_split_leakage_safe",
+    "dedup_containment", "dedup_summary", "multimodal_audio_features",
+    "multimodal_image_ahash", "multimodal_scene_cuts", "emb_knn_classify",
+    "text_langid_confusion", "text_repetition", "text_contamination",
+    "text_vocab_coverage", "dedup_spans", "text_ngram_novelty",
+    "text_token_entropy", "text_pmi_pairs", "text_pii_redact",
+    "bpe_merge_candidates", "events_value_deciles",
+    "events_value_minmax_norm",
 )
 
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
-    the pinned round-3 window, then other fresh (post-pin) queries, then
+    the pinned round-4 window, then other fresh (post-pin) queries, then
     already-green entries in reverse registration order."""
-    pinned = [n for n in _R3_WINDOW if n in queries]
+    pinned = [n for n in _R4_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]

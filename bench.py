@@ -2,9 +2,12 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints per-query timings on a detail
+line (also written to bench_detail.json), then ENDS with one compact
+JSON summary line (the driver tail-captures ~2KB, so the last line
+must stay <300B):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "sf": <sf>, "n_queries": N}
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver collect skew). Timings are per-query wall clock after a warmup
@@ -192,12 +195,29 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Per-query detail goes on an EARLIER line (and to a file): the
+    # driver captures only the ~2KB tail of stdout, and the full
+    # timings dict (~4KB at 112 queries) overflowed it in round 3
+    # (BENCH_r03.json "parsed": null).  The LAST line must stay a
+    # compact (<300B) JSON summary so the tail capture always parses.
+    detail = {
+        "metric": "kmr_spark per-query noop-sink wall clock",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     result = {
         "metric": "kmr_spark headline queries, warm-JVM cold-cache noop-sink wall clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
     }
     print(json.dumps(result))
 

@@ -370,7 +370,7 @@ bg AS (
   FROM docs2),
 model AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
-       SUM({_sql_floor_log2('m.c')}) AS lm_sum,
+       CAST(SUM({_sql_floor_log2('m.c')}) AS BIGINT) AS lm_sum,
        CAST(SUM({_sql_floor_log2('m.c')}) AS DOUBLE) / COUNT(*) AS lm_score
 FROM bg b JOIN model m ON b.bg = m.bg
 GROUP BY b.doc_id ORDER BY b.doc_id

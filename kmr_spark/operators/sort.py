@@ -137,6 +137,98 @@ def ranking(df: DataFrame, order: list[str | Column],
     return out
 
 
+def ranking_per_group(df: DataFrame, group_cols: list[str],
+                      order: list[str | Column],
+                      materialize: bool = False) -> DataFrame:
+    """Per-group 0-based rank + group size under an explicit total
+    order, without a ``Window.partitionBy`` (kmr_ranking generalized;
+    reference src/kmrmoreops.c:764-805 exscan shape).
+
+    A rank window partitioned by a low-cardinality key (e.g. 5 event
+    types) funnels the whole table through |groups| tasks. This keeps
+    the data range-partitioned instead: sort by (group, order) — the
+    RangePartitioner spreads each group across MANY partitions — then
+    exscan per-(partition, group) counts driver-side (tiny: at most
+    |partitions|x|groups| rows) and add offsets in one narrow Arrow
+    pass. Adds ``rank`` (0-based within group) and ``n_group`` columns.
+
+    Group keys must be null-free, hashable scalars (strings/ints);
+    same TaskContext caveat as :func:`ranking` — pass
+    ``materialize=True`` when composing into a union.
+    """
+    gcols = list(group_cols)
+    sdf = df.orderBy(*[F.col(c).asc() for c in gcols], *order).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        sdf.select(F.spark_partition_id().alias("pid"), *gcols)
+        .groupBy("pid", *gcols)
+        .count()
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    totals: dict[tuple, int] = {}
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        key = tuple(r[c] for c in gcols)
+        offsets[(r["pid"],) + key] = totals.get(key, 0)
+        totals[key] = totals.get(key, 0) + r["count"]
+
+    out_schema = "rank long, n_group long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields
+    )
+    from pyspark import TaskContext
+
+    import numpy as np
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seen: dict[tuple, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            ranks = np.empty(n, dtype="int64")
+            ngrp = np.empty(n, dtype="int64")
+            if gcols:
+                for key, idx in pdf.groupby(gcols, sort=False).indices.items():
+                    kt = key if isinstance(key, tuple) else (key,)
+                    base = offsets.get((pid,) + kt, 0) + seen.get(kt, 0)
+                    ranks[idx] = base + np.arange(len(idx))
+                    ngrp[idx] = totals.get(kt, 0)
+                    seen[kt] = seen.get(kt, 0) + len(idx)
+            else:
+                base = offsets.get((pid,), 0) + seen.get((), 0)
+                ranks[:] = base + np.arange(n)
+                ngrp[:] = totals.get((), 0)
+                seen[()] = seen.get((), 0) + n
+            pdf = pdf.copy()
+            pdf.insert(0, "n_group", ngrp)
+            pdf.insert(0, "rank", ranks)
+            yield pdf
+
+    out = sdf.mapInPandas(add_rank, schema=out_schema)
+    if materialize:
+        from kmr_spark.session import materialize_release
+
+        return materialize_release(out, sdf)
+    return out
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact SQL NTILE(k) bucket from a 1-based rank ``rn`` and group
+    size ``n`` — the first ``n % k`` buckets get ``n//k + 1`` rows, the
+    rest ``n//k``. Lets a distributed exscan rank replace an NTILE
+    window while staying value-identical to the window function.
+    """
+    q = F.floor(n / F.lit(k)).cast("long")
+    r = n % F.lit(k)
+    cut = r * (q + F.lit(1))
+    # when n < k, q == 0 and rn <= cut always holds, so the q-division
+    # branch is never evaluated (CaseWhen short-circuits per row)
+    return (
+        F.when(rn <= cut, F.floor((rn - 1) / (q + F.lit(1))) + F.lit(1))
+        .otherwise(r + F.floor((rn - F.lit(1) - cut) / q) + F.lit(1))
+        .cast("long")
+    )
+
+
 def choose_first_part(df: DataFrame, n: int, order: list[str | Column] | None = None) -> DataFrame:
     """Global LIMIT n (kmr_choose_first_part, src/kmrmoreops.c:1145-1163).
 

@@ -1,4 +1,4 @@
-"""Semi-structured (JSON) extraction and rank-window analytics.
+"""Semi-structured (JSON) extraction and rank analytics.
 
 The events table carries a JSON ``props`` column — the shape every
 real event pipeline has. Parsing happens at the scan with built-in
@@ -6,33 +6,46 @@ JSON path extraction (JVM codegen, no Python), so Catalyst still
 prunes columns and pushes filters; at 100 TB the alternative (a UDF
 parse) would dominate the query.
 
-events_props_extract also exercises rank windows (percent_rank /
-ntile) keyed per event_type — partitioned window input, no global
-single-partition window.
+Rank analytics (quartiles / percent_rank / cume_dist per event_type)
+deliberately avoid ``Window.partitionBy("event_type")``: with ~5
+event types the whole table would funnel through 5 tasks. Instead
+ranks come from the distributed exscan
+(:func:`kmr_spark.operators.sort.ranking_per_group` — range-partition
+by (type, key), per-(partition, type) count exscan, narrow Arrow
+offset pass; reference analog: KMR's sampling-sort splitters,
+src/kmrmoreops.c:469-536,764-805), and NTILE is reconstructed exactly
+from (rank, group size) via
+:func:`kmr_spark.operators.sort.ntile_from_rank`.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
 from kmr_spark.session import load_tables
 
 
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type stats over the JSON `k` property: count, sum, min/max,
-    plus how many events sit in the top ntile(4) of k within their type."""
+    per exact NTILE(4) quartile of k within the type.
+
+    All output columns are int64 in BOTH engines (the oracle CASTs its
+    SUM and NTILE, which DuckDB would otherwise widen to HUGEINT /
+    keep at window-default width — the round-3 hash-fail cause).
+    """
     ev = load_tables(spark, sf_dir)["events"]
     k = F.get_json_object("props", "$.k").cast("long")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("k").asc(), F.col("event_id").asc())
     parsed = ev.select("event_id", "event_type", k.alias("k")).filter(
         F.col("k").isNotNull())
-    with_rank = parsed.select(
-        "event_type", "k",
-        F.ntile(4).over(w).alias("quartile"))
+    ranked = ranking_per_group(
+        parsed, ["event_type"], [F.col("k").asc(), F.col("event_id").asc()])
+    rn = F.col("rank") + F.lit(1)
+    quartile = ntile_from_rank(rn, F.col("n_group"), 4)
     return (
-        with_rank.groupBy("event_type", "quartile")
+        ranked.select("event_type", "k", quartile.alias("quartile"))
+        .groupBy("event_type", "quartile")
         .agg(F.count("*").alias("n"),
              F.sum("k").alias("k_sum"),
              F.min("k").alias("k_min"),
@@ -49,32 +62,39 @@ WITH parsed AS (
   WHERE json_extract(props, '$.k') IS NOT NULL),
 ranked AS (
   SELECT event_type, k,
-         NTILE(4) OVER (PARTITION BY event_type
-                        ORDER BY k ASC, event_id ASC) AS quartile
+         CAST(NTILE(4) OVER (PARTITION BY event_type
+                             ORDER BY k ASC, event_id ASC) AS BIGINT)
+           AS quartile
   FROM parsed)
 SELECT event_type, quartile, COUNT(*) AS n,
-       SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
 FROM ranked GROUP BY event_type, quartile
 ORDER BY event_type, quartile
 """
 
 
 def events_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-window breadth: per-type percent_rank and cume_dist of each
-    user's total value; returns the decile summary (order-insensitive
-    aggregates over exact window results, so the oracle is exact)."""
+    """Per-type percent_rank / cume_dist of each user's total value,
+    summarized per decile (order-insensitive aggregates over exact
+    rank results, so the oracle is exact).
+
+    percent_rank = rank0/(n-1) and cume_dist = (rank0+1)/n are
+    rebuilt from the exscan rank — the (event_id-tiebroken) order is
+    total, so window RANK == ROW_NUMBER and both formulas reproduce
+    the window functions' IEEE doubles bit-for-bit.
+    """
     ev = load_tables(spark, sf_dir)["events"]
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"))
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("total_dec").asc(), F.col("user_id").asc())
-    ranked = per_user.select(
-        "event_type", "user_id",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"))
-    decile = (F.floor(F.col("pr") * 10)).cast("long")
+    ranked = ranking_per_group(
+        per_user, ["event_type"],
+        [F.col("total_dec").asc(), F.col("user_id").asc()])
+    n = F.col("n_group")
+    pr = F.when(n > 1, F.col("rank") / (n - F.lit(1))).otherwise(F.lit(0.0))
+    cd = (F.col("rank") + F.lit(1)) / n
+    decile = F.floor(pr * 10).cast("long")
     return (
-        ranked.select("event_type", decile.alias("decile"), "cd")
+        ranked.select("event_type", decile.alias("decile"), cd.alias("cd"))
         .groupBy("event_type", "decile")
         .agg(F.count("*").alias("n_users"), F.max("cd").alias("max_cume"))
         .orderBy("event_type", "decile")

@@ -45,8 +45,22 @@ def main() -> None:
             [tuple(round(r[i], 6) if isinstance(r[i], float) else r[i]
                    for i in idx) for r in rel.fetchall()], key=keyf)
         ok = srows == drows
-        bad += not ok
-        print(name, "rows", len(srows), "MATCH" if ok else "MISMATCH")
+        # the driver's value-hash is TYPED: a DuckDB HUGEINT/DECIMAL
+        # cell (fetched as Decimal) hashes differently from Spark's
+        # int even when values are equal at 6dp — the round-3 blind
+        # spot (events_props_extract / text_bigram_lm). Compare the
+        # numeric category of each cell of the first row too.
+        cat = lambda v: ("f" if isinstance(v, float)
+                         else "i" if isinstance(v, (bool, int))
+                         else type(v).__name__)
+        tdiff = (ok and srows and drows
+                 and [cat(v) for v in srows[0]] != [cat(v) for v in drows[0]])
+        bad += (not ok) or bool(tdiff)
+        print(name, "rows", len(srows),
+              "TYPEDIFF" if tdiff else "MATCH" if ok else "MISMATCH")
+        if tdiff:
+            print("  spark types", [cat(v) for v in srows[0]],
+                  "oracle types", [cat(v) for v in drows[0]])
         if not ok and srows and drows:
             print("  spark cols", scols, "oracle cols", sorted(dcols))
             print("  spark[0]", srows[0])
