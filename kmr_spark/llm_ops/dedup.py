@@ -484,45 +484,84 @@ FROM keyed ORDER BY doc_id
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard: docs sharing (lang, source) are compared
-    by token-3-gram Jaccard. Blocking bounds the candidate set the same
-    way the band join does for MinHash — the technique a 100 TB pipeline
-    uses when metadata blocking keys exist.
+    """Metadata+content-blocked n-gram Jaccard: candidate pairs must
+    share (lang, source) AND a MinHash band, then are verified by true
+    token-3-gram Jaccard.
+
+    Composing a CONTENT band into the metadata block key is what keeps
+    this 100 TB-safe: blocking on (lang, source) alone is quadratic
+    within a block, and on a real corpus "en x web" IS most of the
+    corpus. With the band in the key, block sizes are bounded by
+    hash dispersion regardless of how skewed the metadata is, and
+    every stage stays O(docs x bands) + O(candidates)
+    (tests/test_llm_dedup.py asserts the bound on a skewed source
+    distribution).
     """
     docs = widen(load_tables(spark, sf_dir)["documents"])
     th_table = H.token_hash_table(docs, ["lang", "source"])
-    base = th_table.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(H.shingle_hashes_col(F.col("th"))).alias("shset"))
-    base = base.filter(F.size("shset") > 0).persist()  # both join sides
-    a, b = base.alias("a"), base.alias("b")
-    out = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.source") == F.col("b.source"))
+    sigs = (
+        th_table.select("doc_id", "lang", "source",
+                        H.shingle_hashes_col(F.col("th")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "lang", "source",
+                F.array_distinct("sh").alias("shset"),
+                *H.minhash_sig_cols(F.col("sh")))
+        .persist()  # band + 2 verify sides
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", "lang", "source", F.lit(b),
+                        F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))
+            for b in range(H.N_BANDS)
+        ])).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    out = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a.shset", "b.shset"))
-            / F.size(F.array_union("a.shset", "b.shset")))
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")))
         .filter(F.col("jaccard") >= NGRAM_BLOCK_THRESHOLD)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard")
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
-    return materialize_release(out, base, th_table)
+    return materialize_release(out, sigs, th_table)
 
 
 NGRAM_SQL = f"""
 WITH t0 AS (SELECT doc_id, lang, source, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
             FROM documents),
-base AS (SELECT doc_id, lang, source, list_distinct({H.sql_shingle_hashes('th')}) AS shset
-         FROM t0),
-nz AS (SELECT * FROM base WHERE len(shset) > 0)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-         / len(list_distinct(a.shset || b.shset)) AS jaccard
-FROM nz a JOIN nz b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-        / len(list_distinct(a.shset || b.shset)) >= {NGRAM_BLOCK_THRESHOLD}
+t1 AS (SELECT doc_id, lang, source, {H.sql_shingle_hashes('th')} AS sh FROM t0),
+sigs AS (SELECT doc_id, lang, source, list_distinct(sh) AS shset,
+                {', '.join(H.sql_minhash_sigs('sh'))}
+         FROM t1 WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, lang || ':' || source || ':' || CAST(b AS VARCHAR) || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b+1}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         AS band_key
+  FROM sigs, unnest(range({H.N_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+         / len(list_distinct(sa.shset || sb.shset)) AS jaccard
+FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+          JOIN sigs sb ON cand.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+        / len(list_distinct(sa.shset || sb.shset)) >= {NGRAM_BLOCK_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 

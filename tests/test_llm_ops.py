@@ -373,3 +373,41 @@ def test_scene_cuts_flag_wraps_only(spark):
     for r in rows:
         assert r.is_cut == (r.delta > SCENE_CUT_DELTA)
     assert any(r.is_cut for r in rows) and any(not r.is_cut for r in rows)
+
+
+def test_ngram_jaccard_blocks_bounded_under_metadata_skew(spark):
+    """The content band composed into the (lang, source) block key must
+    bound block sizes even when the metadata is maximally skewed (every
+    doc in one (lang, source) cell) — the case where metadata-only
+    blocking degenerates to an all-pairs quadratic join."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.functions import hashing as H
+
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, "en", "web",
+          " ".join(f"tok{(i * 7 + j * 13) % 997}" for j in range(25)))
+         for i in range(n)],
+        "doc_id long, lang string, source string, text string")
+    th_table = H.token_hash_table(docs, ["lang", "source"])
+    sigs = (
+        th_table.select("doc_id", "lang", "source",
+                        H.shingle_hashes_col(F.col("th")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "lang", "source",
+                *H.minhash_sig_cols(F.col("sh")))
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", "lang", "source", F.lit(b),
+                        F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))
+            for b in range(H.N_BANDS)
+        ])).alias("band_key"))
+    sizes = bands.groupBy("band_key").count().agg(
+        F.max("count").alias("mx")).collect()[0]
+    th_table.unpersist()
+    # metadata-only blocking puts all n docs in ONE block (n^2/2 pairs);
+    # with the band in the key no block may exceed a small fraction of n
+    assert sizes["mx"] <= n // 10, sizes["mx"]
