@@ -139,6 +139,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.robust as robust
+        modules.append(robust)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

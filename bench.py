@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "events_value_minmax_norm",
     "events_rolling_wau",
     "events_user_streaks",
+    # round 4 additions (append-only for round-over-round comparability)
+    "events_trimmed_mean",
+    "events_median_kvs",
 ]
 
 

@@ -69,7 +69,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmr_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return chunk_documents(docs, size=200, overlap=20).orderBy("doc_id", "chunk_id")
+    return chunk_documents(docs, size=200, overlap=20)
 
 
 DOC_CHUNKS_SQL = """

@@ -77,7 +77,6 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("top_bigram_frac") > TOP_BIGRAM_MAX)
             | (F.col("ttr") < TTR_MIN),
         )
-        .orderBy("doc_id")
     )
     return out
 
@@ -180,7 +179,6 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
         )
         .withColumn("contaminated", F.col("n_hit") > 0)
-        .orderBy("doc_id")
     )
     return materialize_release(out, th_table)
 

@@ -7,7 +7,7 @@ all-pairs product — the property that keeps them viable at 100 TB:
 - exact:        hash-groupBy on md5(text)
 - MinHash-LSH:  shingle -> minhash signature -> band buckets -> join
 - SimHash:      bitwise fingerprint -> band buckets -> hamming verify
-- n-gram Jaccard: blocking key (lang, source) -> in-block verify
+- n-gram Jaccard: blocking key (lang, source, minhash band) -> verify
 
 All hashing arithmetic comes from kmr_spark.functions.hashing which has
 bit-identical DuckDB twins, so every operator has a full value oracle.
@@ -56,7 +56,6 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.md5("text").alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .orderBy("keep_doc_id")
     )
 
 
@@ -106,7 +105,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    out = verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    out = verified.select("doc_a", "doc_b", "jaccard")
     return materialize_release(out, sigs, th_table)
 
 
@@ -194,7 +193,6 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"))
         .filter(F.greatest("containment_a_in_b", "containment_b_in_a")
                 >= CONTAINMENT_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
     return materialize_release(out, sigs, th_table)
 
@@ -274,7 +272,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFr
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
-    out = out.orderBy("doc_a", "doc_b") if sort else out
+    out = out.orderBy("doc_a", "doc_b") if sort else out  # sort: tests only
     return materialize_release(out, simhash, th_table)
 
 
@@ -340,7 +338,6 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster_id"),
             "cluster_size",
             (F.col("node") == F.col("label")).alias("is_keeper"))
-        .orderBy("cluster_id", "doc_id")
     )
 
 
@@ -406,7 +403,6 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "group_key",
             F.when(hash_bucket(F.col("group_key"), SPLIT_SALT) < thresh,
                    F.lit("train")).otherwise(F.lit("val")).alias("split"))
-        .orderBy("doc_id")
     )
 
 
@@ -712,7 +708,6 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.coalesce("n_dups", F.lit(0)) > 0, F.lit("duplicate"))
             .otherwise(F.lit("keeper")).alias("status"),
         )
-        .orderBy("doc_id")
     )
     return materialize_release(out, sigs, th_table)
 

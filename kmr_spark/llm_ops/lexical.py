@@ -222,7 +222,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_phones"),
             F.length(red).cast("long").alias("redacted_len"),
             F.md5(red).alias("digest"))
-        .orderBy("doc_id")
     )
 
 

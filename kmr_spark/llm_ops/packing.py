@@ -97,7 +97,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_chunks"),
                  F.sum("chunk_len").alias("fill"),
                  F.sum(F.col("doc_id") * 7 + F.col("chunk_id")).alias("id_sum"))
-            .orderBy("shard", "bin_id")
         )
         return materialize_release(out, chunks)
     except Exception:

@@ -29,7 +29,6 @@ def corpus_clean_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quality.join(exact_keep, "doc_id")
         .join(near_dropped, "doc_id", "left_anti")
-        .orderBy("doc_id")
     )
 
 

@@ -391,7 +391,6 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("vec_a", "vec_b").alias("vec_a"),
                 F.greatest("vec_a", "vec_b").alias("vec_b"),
                 "cosine")
-        .orderBy("vec_a", "vec_b")
     )
     return materialize_release(out, assigned)
 

@@ -67,7 +67,6 @@ def _spans_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             (F.col("n_dup_spans").cast("double") / F.col("n_spans"))
             .alias("dup_frac"),
         )
-        .orderBy("doc_id")
     )
     return out, th_table
 
@@ -128,7 +127,6 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shingles", "n_novel",
                 (F.col("n_novel").cast("double") / F.col("n_shingles"))
                 .alias("novelty"))
-        .orderBy("doc_id")
     )
     return materialize_release(out, th_table)
 

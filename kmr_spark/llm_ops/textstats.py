@@ -62,7 +62,7 @@ def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
             + F.lit(0.3) * F.least(F.col("avg_tok_len") / F.lit(8.0), F.lit(1.0))
         ).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -111,7 +111,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for o in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1:]:
             cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{o}"))
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return base.select("doc_id", "lang_label", pred.alias("lang_pred")).orderBy("doc_id")
+    return base.select("doc_id", "lang_label", pred.alias("lang_pred"))
 
 
 def _langid_sql() -> str:
@@ -154,7 +154,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("th"), F.lit(0).cast("long"),
             lambda acc, x: (acc * H.BETA + x) % H.P,
         ).alias("fp_roll"),
-    ).orderBy("doc_id")
+    )
     # per-doc fingerprints are 4 longs/row — checkpointable even at
     # corpus scale (a production run writes them to the sink instead)
     return materialize_release(out, th_table)
@@ -181,7 +181,6 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.filter(F.col("quality") >= QUALITY_MIN)
         .select("doc_id", "quality")
-        .orderBy("doc_id")
     )
 
 
@@ -225,7 +224,6 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "rn", "term", "tfidf")
-        .orderBy("doc_id", "rn")
     )
 
 
@@ -276,7 +274,6 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.size(F.filter("bt", is_word))
              - F.size(F.filter("bt", is_num))).cast("long").alias("n_punct"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -354,7 +351,6 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("n_occ") * _floor_log2(F.col("c"))).alias("lm_sum"))
         .select("doc_id", "n_bigrams", "lm_sum",
                 (F.col("lm_sum") / F.col("n_bigrams")).alias("lm_score"))
-        .orderBy("doc_id")
     )
     return materialize_release(scored, docbg)
 
@@ -397,7 +393,6 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").alias("raw_len"),
             F.length(cleaned).alias("clean_len"),
             F.md5(cleaned).alias("clean_md5"))
-        .orderBy("doc_id")
     )
 
 

@@ -86,9 +86,9 @@ def compact_parquet(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     tmp = tempfile.mkdtemp(prefix="kmr_compact_",
                            dir=os.path.dirname(os.path.abspath(path)))
+    old = path.rstrip("/") + ".compact_old"
     try:
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        old = path.rstrip("/") + ".compact_old"
         # a crashed previous run can leave the graveyard dir behind;
         # the data dir itself is intact in that case, so clearing the
         # leftover is safe and unblocks the swap
@@ -97,6 +97,11 @@ def compact_parquet(spark: SparkSession, path: str,
         os.rename(tmp, path)
         shutil.rmtree(old)
     except Exception:
+        # if the first rename landed but the second failed, the table
+        # is gone from `path` and the new data is in tmp — restore the
+        # graveyard copy BEFORE discarding tmp, or nothing survives
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return n_out
@@ -115,17 +120,27 @@ def selective_delete(spark: SparkSession, path: str, predicate: str) -> dict:
     rows_before = df.count()
     kept = df.filter(f"NOT ({predicate})")
     rows_after = kept.count()
+    # size the output by the KEPT fraction, not the pre-delete bytes —
+    # a delete removing most rows should not keep the old file count
+    # (which would produce that many needlessly tiny files)
     n_out = plan_compaction(spark, path)
+    if rows_before:
+        n_out = max(1, math.ceil(n_out * rows_after / rows_before))
     tmp = tempfile.mkdtemp(prefix="kmr_delete_",
                            dir=os.path.dirname(os.path.abspath(path)))
+    old = path.rstrip("/") + ".delete_old"
     try:
         kept.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        old = path.rstrip("/") + ".delete_old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
     except Exception:
+        # restore the graveyard copy before discarding tmp (see
+        # compact_parquet) — otherwise a failed second rename loses
+        # the table entirely
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return {"rows_before": rows_before,

@@ -848,7 +848,6 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.select(
             F.timestamp_micros("bus").alias("t"), "user_id", "session_id",
             "delta", (F.col("scan") + F.col("delta")).alias("concurrency"))
-        .orderBy("t", F.col("delta").desc(), "user_id", "session_id")
     )
 
 
@@ -900,7 +899,6 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("session_window.start").alias("t_start"),
                 F.col("session_window.end").alias("t_end"),
                 "n_events")
-        .orderBy("user_id", "t_start")
     )
 
 
@@ -1083,7 +1081,6 @@ def events_value_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(CASE WHEN mx > mn THEN "
                    "((cents - mn) * 1000) DIV (mx - mn) "
                    "ELSE 0 END AS INT)").alias("norm_permille"))
-        .orderBy("event_id")
     )
 
 

@@ -45,11 +45,13 @@ def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type",
         F.unix_micros("ts").alias("us"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # null-safe run-start flag: mirrors the oracle's IS DISTINCT FROM
+    # (consecutive NULL states share a run; a != with coalesce-to-1
+    # would start a new run on every NULL)
     runs = ev.withColumn(
         "chg",
-        F.coalesce(
-            (F.col("event_type") != F.lag("event_type").over(w)).cast("long"),
-            F.lit(1)),
+        (~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)))
+        .cast("long"),
     ).withColumn(
         "run_id",
         F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -62,7 +64,6 @@ def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.withColumn("valid_to", F.lead("valid_from").over(wrun))
         .select("user_id", "state", "valid_from", "valid_to", "n_events",
                 F.col("valid_to").isNull().alias("is_current"))
-        .orderBy("user_id", "valid_from")
     )
 
 
@@ -311,7 +312,6 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("long").alias("first_lag_s"),
             ((F.col("us") - F.col("last_click_us")) / F.lit(1_000_000))
             .cast("long").alias("last_lag_s"))
-        .orderBy("event_id")
     )
 
 

@@ -476,7 +476,6 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "hour_ts", "x",
             F.col("s").alias("cusum_scaled"),
             (F.col("s").cast("double") > thresh).alias("drift_flag"))
-        .orderBy("event_type", "hour_ts")
     )
 
 

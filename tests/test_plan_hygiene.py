@@ -194,14 +194,14 @@ def test_quantized_knn_queries_are_broadcast(spark):
 
 def test_scd2_single_corpus_exchange(spark):
     """SCD2's three windows + the run-collapse aggregate all reuse ONE
-    hash Exchange on user_id; the only other Exchange is the
-    presentation orderBy's range partitioning."""
+    hash Exchange on user_id — and since the presentation orderBy was
+    dropped (the driver compare is order-insensitive), that is the
+    query's ONLY Exchange."""
     from kmr_spark.plans.behavior import events_scd2_state
 
     plan = _plan(events_scd2_state(spark, SF))
     assert plan.count("hashpartitioning(user_id") == 1, plan
-    assert plan.count("rangepartitioning(") == 1, plan  # presentation sort
-    assert plan.count("partitioning(") == 2, plan       # and nothing else
+    assert plan.count("partitioning(") == 1, plan       # and nothing else
 
 
 def test_spans_has_no_join_on_text(spark):
@@ -238,3 +238,33 @@ def test_weighted_sample_uses_take_ordered(spark):
 
     plan = _plan(sample_docs_weighted(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_robust_queries_use_arrow_paths(spark):
+    """The §2.9 UDF surface under the gate: the trimmed-mean query must
+    aggregate through the grouped-agg pandas UDAF (AggregateInPandas)
+    and the KVS median through applyInPandas (FlatMapGroupsInPandas)."""
+    from kmr_spark.plans.robust import events_median_kvs, events_trimmed_mean
+
+    p1 = _plan(events_trimmed_mean(spark, SF))
+    assert "AggregateInPandas" in p1 or "ArrowAggregatePython" in p1, p1
+    p2 = _plan(events_median_kvs(spark, SF))
+    assert ("FlatMapGroupsInPandas" in p2
+            or "FlatMapGroupsInArrow" in p2
+            or "ArrowGroupedMapPython" in p2), p2
+
+
+def test_no_unpartitioned_rank_windows(spark):
+    """RFM and the semistruct rank queries must not contain ANY window
+    operator: their ntile/percent_rank semantics are rebuilt on the
+    distributed exscan rank (ranking_per_group), so a Window node —
+    necessarily funneling rows per partition key (or globally) —
+    signals a regression to the serialized form."""
+    from kmr_spark.plans.rfm import orders_rfm_segments
+    from kmr_spark.plans.semistruct import (events_props_extract,
+                                            events_value_rank)
+
+    for fn in (orders_rfm_segments, events_props_extract,
+               events_value_rank):
+        plan = _plan(fn(spark, SF))
+        assert "Window" not in plan, f"{fn.__name__} reintroduced a window"
