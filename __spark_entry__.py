@@ -144,6 +144,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.corpusstats as corpusstats
+        modules.append(corpusstats)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -2,11 +2,11 @@
 
 from kmr_spark.llm_ops import (chunking, corpus, dedup, lexical, multimodal,
                                packing, pipeline, similarity, spans,
-                               textstats)
+                               textstats, tuning)
 
 QUERIES = {}
 ORACLE_SQL = {}
 for _m in (chunking, dedup, multimodal, packing, pipeline, similarity,
-           textstats, corpus, spans, lexical):
+           textstats, corpus, spans, lexical, tuning):
     QUERIES.update(_m.QUERIES)
     ORACLE_SQL.update(_m.ORACLE_SQL)

@@ -139,7 +139,9 @@ def ranking(df: DataFrame, order: list[str | Column],
 
 def ranking_per_group(df: DataFrame, group_cols: list[str],
                       order: list[str | Column],
-                      materialize: bool = False) -> DataFrame:
+                      materialize: bool = False,
+                      cache_registry: list[DataFrame] | None = None
+                      ) -> DataFrame:
     """Per-group 0-based rank + group size under an explicit total
     order, without a ``Window.partitionBy`` (kmr_ranking generalized;
     reference src/kmrmoreops.c:764-805 exscan shape).
@@ -154,11 +156,18 @@ def ranking_per_group(df: DataFrame, group_cols: list[str],
 
     Group keys must be null-free, hashable scalars (strings/ints);
     same TaskContext caveat as :func:`ranking` — pass
-    ``materialize=True`` when composing into a union.
+    ``materialize=True`` when composing into a union. With
+    ``materialize=False`` the internal sorted persist stays live for
+    the lazy result; callers composing several rankings can pass a
+    ``cache_registry`` list to collect the persisted frames and
+    release them all after one final materialization (cheaper than
+    checkpointing each ranking separately).
     """
     gcols = list(group_cols)
     sdf = df.orderBy(*[F.col(c).asc() for c in gcols], *order).persist(
         StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(sdf)
     counts = (
         sdf.select(F.spark_partition_id().alias("pid"), *gcols)
         .groupBy("pid", *gcols)

@@ -1,0 +1,201 @@
+"""Corpus observability — the profiling queries a training-data
+pipeline runs before/after every build: column profiles, length
+distributions, tokenizer fertility, and the Zipf curve.
+
+All integer/count arithmetic (permille ratios via integer division),
+so every oracle is exact. Scale shape: each query is one map-side
+combinable aggregate over the documents scan; the only windows run
+over vocabulary- or bucket-sized count tables, never over rows
+(the events_value_deciles precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.functions import hashing as H
+from kmr_spark.llm_ops.textstats import _floor_log2, _sql_floor_log2
+from kmr_spark.session import load_tables
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table: row count, null
+    count, distinct count, and (for n_chars) min/max. One aggregate
+    pass + a driver-side unpivot of the 1-row result — the ANALYZE
+    TABLE shape."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        *[x for c in ("doc_id", "text", "lang", "source", "n_chars")
+          for x in (
+              F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+              F.count_distinct(F.col(c)).alias(f"nd_{c}"))],
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, "
+        + ("min_n_chars, max_n_chars" if c == "n_chars" else
+           "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)")
+        for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct,"
+        " min_val, max_val)", "n_rows")
+
+
+PROFILE_DOCS_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls_doc_id,
+         COUNT(DISTINCT doc_id) AS nd_doc_id,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls_text,
+         COUNT(DISTINCT text) AS nd_text,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_lang,
+         COUNT(DISTINCT lang) AS nd_lang,
+         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nulls_source,
+         COUNT(DISTINCT source) AS nd_source,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nulls_n_chars,
+         COUNT(DISTINCT n_chars) AS nd_n_chars,
+         MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+  FROM documents)
+SELECT 'doc_id' AS "column", CAST(nulls_doc_id AS BIGINT) AS n_nulls,
+       nd_doc_id AS n_distinct, CAST(NULL AS BIGINT) AS min_val,
+       CAST(NULL AS BIGINT) AS max_val, n_rows FROM a
+UNION ALL SELECT 'text', CAST(nulls_text AS BIGINT), nd_text,
+       NULL, NULL, n_rows FROM a
+UNION ALL SELECT 'lang', CAST(nulls_lang AS BIGINT), nd_lang,
+       NULL, NULL, n_rows FROM a
+UNION ALL SELECT 'source', CAST(nulls_source AS BIGINT), nd_source,
+       NULL, NULL, n_rows FROM a
+UNION ALL SELECT 'n_chars', CAST(nulls_n_chars AS BIGINT), nd_n_chars,
+       min_n_chars, max_n_chars, n_rows FROM a
+"""
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in log2 buckets —
+    the first plot anyone makes of a corpus, as a count table."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("n_chars").isNotNull())
+    bucket = _floor_log2(F.col("n_chars") + F.lit(1)).cast("long")
+    return (
+        docs.select("lang", bucket.alias("len_bucket"), "n_chars")
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+LENGTH_HIST_SQL = f"""
+SELECT lang, CAST({_sql_floor_log2('(n_chars + 1)')} AS BIGINT)
+         AS len_bucket,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY lang, len_bucket
+"""
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-1000-chars by language — the fertility statistic a
+    tokenizer team tracks per language to spot under-served scripts.
+    Integer permille, exact in both engines."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    toks = F.size(H.tokens_col("text")).cast("long")
+    return (
+        docs.select("lang", toks.alias("n_toks"),
+                    F.length("text").cast("long").alias("n_char"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_toks").alias("tok_total"),
+             F.sum("n_char").alias("char_total"))
+        .select("lang", "n_docs", "tok_total", "char_total",
+                F.expr("(tok_total * 1000) DIV char_total")
+                .alias("fertility_permille"))
+    )
+
+
+FERTILITY_SQL = f"""
+WITH t AS (
+  SELECT lang, CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+         CAST(SUM(n_char) AS BIGINT) AS char_total
+  FROM t GROUP BY lang)
+SELECT lang, n_docs, tok_total, char_total,
+       CAST((tok_total * 1000) // char_total AS BIGINT)
+         AS fertility_permille
+FROM g
+"""
+
+
+ZIPF_TOP = 50
+
+
+def text_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) curve: the top-50 corpus tokens with
+    their counts and cumulative share (permille, integer-exact).
+
+    Scale shape: token counts are a map-side combinable aggregate
+    (vocabulary-bounded); the top-50 cut is TakeOrdered; the
+    cumulative window runs over 50 rows."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    counts = (
+        docs.select(F.explode(H.tokens_col("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
+        ZIPF_TOP)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "tok", "cnt",
+            F.expr("(1000 * SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                   " DIV total").alias("cum_share_permille"))
+    )
+
+
+ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({H.sql_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+top AS (SELECT tok, cnt FROM counts
+        ORDER BY cnt DESC, tok ASC LIMIT {ZIPF_TOP})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+         AS rank,
+       tok, cnt,
+       CAST((1000 * SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))
+            // (SELECT total FROM total) AS BIGINT)
+         AS cum_share_permille
+FROM top
+"""
+
+
+QUERIES = {
+    "profile_documents": profile_documents,
+    "text_length_histogram": text_length_histogram,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
+    "text_zipf_curve": text_zipf_curve,
+}
+ORACLE_SQL = {
+    "profile_documents": PROFILE_DOCS_SQL,
+    "text_length_histogram": LENGTH_HIST_SQL,
+    "text_tokenizer_fertility": FERTILITY_SQL,
+    "text_zipf_curve": ZIPF_SQL,
+}

@@ -214,3 +214,60 @@ QUERIES = {"linalg_matmul": matmul, "emb_dim_stats": emb_dim_stats,
 ORACLE_SQL = {"linalg_matmul": MATMUL_SQL,
               "emb_dim_stats": EMB_DIM_STATS_SQL,
               "emb_power_iteration": POWER_ITERATION_SQL}
+
+
+NORM_Q = 1_000_000  # element quantization for the integer-exact norm
+
+
+def emb_norm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label decile bands of embedding norms — the outlier scan an
+    embedding pipeline runs to catch collapsed / exploded vectors
+    before indexing: quantize each coordinate to 1e-6, take the
+    integer sum of squares (order-free, exact in any engine), then cut
+    per-label deciles WITHOUT a rank window — the distributed exscan
+    rank (ranking_per_group) + exact NTILE reconstruction, so no label
+    funnels through one task.
+    """
+    from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * NORM_Q).cast("long"))
+    qn = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = emb.select("vec_id", "label", qn.alias("qnorm"))
+    ranked = ranking_per_group(
+        base, ["label"], [F.col("qnorm").asc(), F.col("vec_id").asc()])
+    decile = ntile_from_rank(F.col("rank") + F.lit(1), F.col("n_group"), 10)
+    return (
+        ranked.select("label", decile.alias("decile"), "qnorm")
+        .groupBy("label", "decile")
+        .agg(F.count("*").alias("n_vecs"),
+             F.min("qnorm").alias("min_qnorm"),
+             F.max("qnorm").alias("max_qnorm"))
+    )
+
+
+EMB_NORM_DECILES_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {NORM_Q}) AS BIGINT))),
+           (a, x) -> a + x * x) AS qnorm
+  FROM embeddings),
+r AS (
+  SELECT label, qnorm,
+         CAST(NTILE(10) OVER (PARTITION BY label
+                              ORDER BY qnorm ASC, vec_id ASC) AS BIGINT)
+           AS decile
+  FROM q)
+SELECT label, decile, COUNT(*) AS n_vecs,
+       MIN(qnorm) AS min_qnorm, MAX(qnorm) AS max_qnorm
+FROM r GROUP BY label, decile
+"""
+
+
+QUERIES["emb_norm_deciles"] = emb_norm_deciles
+ORACLE_SQL["emb_norm_deciles"] = EMB_NORM_DECILES_SQL

@@ -660,3 +660,149 @@ ORACLE_SQL = {
     "events_rolling_wau": WAU_SQL,
     "events_user_streaks": USER_STREAKS_SQL,
 }
+
+
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution: per event_type (of the later
+    event), log2-bucketed histogram of per-user consecutive gaps in
+    seconds — the arrival-process profile behind session-timeout and
+    watermark tuning.
+
+    The lag window partitions by user_id (high cardinality — spreads
+    across the cluster); the histogram is a |types|x|buckets| count
+    table. All-integer arithmetic, exact oracle.
+    """
+    from kmr_spark.llm_ops.textstats import _floor_log2
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # integer DIV, not float-divide-then-cast: DuckDB CAST(double AS
+    # BIGINT) rounds to nearest while Spark's cast truncates
+    gap_s = F.expr("(us - lag(us) OVER (PARTITION BY user_id"
+                   " ORDER BY us, event_id)) DIV 1000000")
+    gaps = ev.select("event_type", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull())
+    bucket = _floor_log2(F.col("gap_s") + F.lit(1)).cast("long")
+    return (
+        gaps.select("event_type", bucket.alias("gap_bucket"), "gap_s")
+        .groupBy("event_type", "gap_bucket")
+        .agg(F.count("*").alias("n_gaps"),
+             F.min("gap_s").alias("min_gap_s"),
+             F.max("gap_s").alias("max_gap_s"))
+    )
+
+
+def _gap_hist_sql() -> str:
+    from kmr_spark.llm_ops.textstats import _sql_floor_log2
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events),
+g AS (
+  SELECT event_type,
+         (us - LAG(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS gap_s
+  FROM e)
+SELECT event_type,
+       CAST({_sql_floor_log2('(gap_s + 1)')} AS BIGINT) AS gap_bucket,
+       COUNT(*) AS n_gaps, MIN(gap_s) AS min_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type, gap_bucket
+"""
+
+
+GAP_HIST_SQL = _gap_hist_sql()
+
+PEAK_WINDOW_US = 60_000_000  # 60s sliding window
+
+
+def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak per-user burst rate: for each user, the max number of their
+    events inside any sliding 60s window; reported as a histogram
+    (peak -> how many users) so output stays bounded. The range window
+    partitions by user_id — per-user event counts are bounded, and the
+    RANGE frame is the exact sweep a rate limiter or bot detector runs.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-(PEAK_WINDOW_US - 1), 0))
+    per_user = (
+        ev.select("user_id", F.count("*").over(w).alias("in_window"))
+        .groupBy("user_id").agg(F.max("in_window").alias("peak"))
+    )
+    return per_user.groupBy("peak").agg(
+        F.count("*").alias("n_users"))
+
+
+PEAK_RATE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+c AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN {PEAK_WINDOW_US - 1} PRECEDING
+                        AND CURRENT ROW) AS in_window
+  FROM e),
+p AS (SELECT user_id, MAX(in_window) AS peak FROM c GROUP BY user_id)
+SELECT CAST(peak AS BIGINT) AS peak, COUNT(*) AS n_users
+FROM p GROUP BY peak
+"""
+
+
+def events_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact hourly EWMA per event_type (alpha = 0.2 as the
+    rational 2/10): fold s' = (8*s + 2*x) DIV 10 over the hour-ordered
+    cents sums, seeded at 0. Transcendental-free smoothing — the
+    fixed-point arithmetic makes the fold reproducible bit-for-bit in
+    any engine (the float form would be summation-order-dependent).
+
+    Scale shape: the hourly rollup is the only row-scaled aggregate;
+    the fold runs over one |hours|-sized array per type.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents")))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hour_ts", "cents")))
+        .alias("xs"))
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        F.expr("aggregate(xs, CAST(0 AS BIGINT),"
+               " (s, x) -> (8 * s + 2 * x.cents) DIV 10)")
+        .alias("ewma_cents"))
+
+
+EWMA_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+series AS (
+  SELECT event_type,
+         list(cents ORDER BY hour_ts) AS xs
+  FROM hourly GROUP BY event_type)
+SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                   (s, x) -> (8 * s + 2 * x) // 10) AS ewma_cents
+FROM series
+"""
+
+
+QUERIES.update({
+    "events_gap_histogram": events_gap_histogram,
+    "events_peak_rate": events_peak_rate,
+    "events_ewma_int": events_ewma_int,
+})
+ORACLE_SQL.update({
+    "events_gap_histogram": GAP_HIST_SQL,
+    "events_peak_rate": PEAK_RATE_SQL,
+    "events_ewma_int": EWMA_SQL,
+})

@@ -46,3 +46,45 @@ def test_shuffle_leveling_balances_skew(spark):
     lv = local_element_counts(leveled.df)
     assert sum(lv) == sum(h) == 5500
     assert max(lv) <= max(h)  # no worse than hash partitioning on skew
+
+
+def test_ranking_per_group_matches_window(spark):
+    """ranking_per_group must reproduce ROW_NUMBER()-1 and the group
+    size for every row, on a skewed multi-group input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.sort import ranking_per_group
+
+    rows = [(g, i * 37 % 101, i) for g in ("a", "b", "c")
+            for i in range(1 + 50 * (ord(g) - ord("a")))]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = ranking_per_group(df, ["g"], [F.col("v").asc(), F.col("id").asc()])
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select(
+        "g", "v", "id",
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy("g")).alias("n_group"))
+    a = {(r.g, r.v, r.id): (r.rank, r.n_group) for r in got.collect()}
+    b = {(r.g, r.v, r.id): (r.rank, r.n_group) for r in want.collect()}
+    assert a == b
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """ntile_from_rank(rank, n, k) must equal F.ntile(k) for group
+    sizes that are NOT multiples of k (the uneven-bucket edge)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.sort import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 10, 23):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "rn long")
+        w = Window.orderBy("rn")
+        out = df.select(
+            "rn",
+            ntile_from_rank(F.col("rn"), F.lit(n).cast("long"), 4)
+            .alias("mine"),
+            F.ntile(4).over(w).cast("long").alias("theirs")).collect()
+        for r in out:
+            assert r.mine == r.theirs, (n, r.rn, r.mine, r.theirs)
