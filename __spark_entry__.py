@@ -149,6 +149,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.trends as trends
+        modules.append(trends)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

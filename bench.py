@@ -153,6 +153,20 @@ BENCH_QUERIES = [
     # round 4 additions (append-only for round-over-round comparability)
     "events_trimmed_mean",
     "events_median_kvs",
+    "profile_documents",
+    "text_length_histogram",
+    "text_tokenizer_fertility",
+    "text_zipf_curve",
+    "events_gap_histogram",
+    "events_peak_rate",
+    "events_ewma_int",
+    "dedup_band_tuning",
+    "emb_norm_deciles",
+    "orders_monthly_growth",
+    "events_props_schema_infer",
+    "docs_simhash_bit_balance",
+    "events_user_lifecycle",
+    "events_funnel_windowed",
 ]
 
 

@@ -75,3 +75,68 @@ BAND_TUNING_SQL = _band_tuning_sql()
 
 QUERIES = {"dedup_band_tuning": dedup_band_tuning}
 ORACLE_SQL = {"dedup_band_tuning": BAND_TUNING_SQL}
+
+
+def docs_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit balance of the 32-bit SimHash over the corpus — the
+    fingerprint-quality diagnostic: a healthy hash sets each bit on
+    ~half the docs; a skewed bit weakens its band's selectivity.
+    Output: (bit, n_set, n_docs, set_permille), 32 rows.
+
+    One pass over the token-hash table (same narrow codegen as the
+    dedup queries) into a 32-column aggregate — nothing corpus-sized
+    ever shuffles.
+    """
+    from kmr_spark.session import load_tables, widen
+
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs)
+    exploded = th_table.filter(F.size("th") > 0).select(
+        "doc_id", F.explode("th").alias("h"))
+    bit_sums = exploded.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"s{i}")
+        for i in range(H.SIMHASH_BITS)
+    ])
+    totals = bit_sums.agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum((F.col(f"s{i}") > 0).cast("long")).alias(f"b{i}")
+          for i in range(H.SIMHASH_BITS)])
+    stack = ", ".join(f"{i}L, b{i}" for i in range(H.SIMHASH_BITS))
+    out = (
+        totals.selectExpr(
+            f"stack({H.SIMHASH_BITS}, {stack}) AS (bit, n_set)", "n_docs")
+        .selectExpr("bit", "n_set", "n_docs",
+                    "(1000 * n_set) DIV n_docs AS set_permille")
+    )
+    return materialize_release(out, th_table)
+
+
+def _bit_balance_sql() -> str:
+    sums = ", ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}"
+        for i in range(H.SIMHASH_BITS))
+    bits = ", ".join(
+        f"SUM(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(H.SIMHASH_BITS))
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS bit, CAST(b{i} AS BIGINT) AS n_set,"
+        f" n_docs FROM t"
+        for i in range(H.SIMHASH_BITS))
+    return f"""
+WITH ths AS (
+  SELECT doc_id, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+  FROM documents),
+bits AS (
+  SELECT doc_id, h FROM ths, unnest(ths.th) AS u(h) WHERE len(ths.th) > 0),
+sums AS (SELECT doc_id, {sums} FROM bits GROUP BY doc_id),
+t AS (SELECT COUNT(*) AS n_docs, {bits} FROM sums),
+stacked AS ({rows})
+SELECT bit, n_set, n_docs, (1000 * n_set) // n_docs AS set_permille
+FROM stacked
+"""
+
+
+BIT_BALANCE_SQL = _bit_balance_sql()
+
+QUERIES["docs_simhash_bit_balance"] = docs_simhash_bit_balance
+ORACLE_SQL["docs_simhash_bit_balance"] = BIT_BALANCE_SQL

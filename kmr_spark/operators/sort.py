@@ -140,8 +140,8 @@ def ranking(df: DataFrame, order: list[str | Column],
 def ranking_per_group(df: DataFrame, group_cols: list[str],
                       order: list[str | Column],
                       materialize: bool = False,
-                      cache_registry: list[DataFrame] | None = None
-                      ) -> DataFrame:
+                      cache_registry: list[DataFrame] | None = None,
+                      persist_input: bool = False) -> DataFrame:
     """Per-group 0-based rank + group size under an explicit total
     order, without a ``Window.partitionBy`` (kmr_ranking generalized;
     reference src/kmrmoreops.c:764-805 exscan shape).
@@ -164,6 +164,14 @@ def ranking_per_group(df: DataFrame, group_cols: list[str],
     checkpointing each ranking separately).
     """
     gcols = list(group_cols)
+    if persist_input:
+        # the RangePartitioner's sampling job executes the upstream
+        # plan once BEFORE the shuffle pass does — an expensive input
+        # (JSON parse, hash pipeline) should be computed once and
+        # sampled from cache
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(df)
     sdf = df.orderBy(*[F.col(c).asc() for c in gcols], *order).persist(
         StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:

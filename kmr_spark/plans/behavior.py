@@ -526,3 +526,49 @@ ORACLE_SQL = {
     "events_ab_test_sequential": AB_SEQUENTIAL_SQL,
     "events_user_entropy": USER_ENTROPY_SQL,
 }
+
+
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle census: lifespan (first->last active day) in
+    weeks x active-day count in log2 buckets -> number of users in
+    each cell. The engagement-shape summary a growth team reads; the
+    per-user aggregate is one map-side-combinable pass, the census is
+    |cells|-sized.
+    """
+    from kmr_spark.llm_ops.textstats import _floor_log2
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+        F.count_distinct("day").alias("active_days"))
+    lifespan_w = F.expr("(datediff(d1, d0) + 1) DIV 7")
+    bucket = _floor_log2(F.col("active_days")).cast("long")
+    return (
+        per_user.select(lifespan_w.alias("lifespan_weeks"),
+                        bucket.alias("active_bucket"))
+        .groupBy("lifespan_weeks", "active_bucket")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _lifecycle_sql() -> str:
+    from kmr_spark.llm_ops.textstats import _sql_floor_log2
+
+    return f"""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM events GROUP BY user_id)
+SELECT CAST((date_diff('day', d0, d1) + 1) // 7 AS BIGINT)
+         AS lifespan_weeks,
+       CAST({_sql_floor_log2('active_days')} AS BIGINT) AS active_bucket,
+       COUNT(*) AS n_users
+FROM per_user GROUP BY lifespan_weeks, active_bucket
+"""
+
+
+LIFECYCLE_SQL = _lifecycle_sql()
+
+QUERIES["events_user_lifecycle"] = events_user_lifecycle
+ORACLE_SQL["events_user_lifecycle"] = LIFECYCLE_SQL

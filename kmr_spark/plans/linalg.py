@@ -236,16 +236,23 @@ def emb_norm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * NORM_Q).cast("long"))
     qn = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
     base = emb.select("vec_id", "label", qn.alias("qnorm"))
+    caches: list = []
+    # persist_input: the range sampler would otherwise run the
+    # 64-element quantize+fold twice per vector
     ranked = ranking_per_group(
-        base, ["label"], [F.col("qnorm").asc(), F.col("vec_id").asc()])
+        base, ["label"], [F.col("qnorm").asc(), F.col("vec_id").asc()],
+        cache_registry=caches, persist_input=True)
     decile = ntile_from_rank(F.col("rank") + F.lit(1), F.col("n_group"), 10)
-    return (
+    out = (
         ranked.select("label", decile.alias("decile"), "qnorm")
         .groupBy("label", "decile")
         .agg(F.count("*").alias("n_vecs"),
              F.min("qnorm").alias("min_qnorm"),
              F.max("qnorm").alias("max_qnorm"))
     )
+    from kmr_spark.session import materialize_release
+
+    return materialize_release(out, *caches)
 
 
 EMB_NORM_DECILES_SQL = f"""

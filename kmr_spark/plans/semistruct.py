@@ -39,11 +39,15 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     parsed = ev.select("event_id", "event_type", k.alias("k")).filter(
         F.col("k").isNotNull())
+    caches: list[DataFrame] = []
+    # persist_input: the range sampler would otherwise run the JSON
+    # parse twice (sample pass + shuffle pass)
     ranked = ranking_per_group(
-        parsed, ["event_type"], [F.col("k").asc(), F.col("event_id").asc()])
+        parsed, ["event_type"], [F.col("k").asc(), F.col("event_id").asc()],
+        cache_registry=caches, persist_input=True)
     rn = F.col("rank") + F.lit(1)
     quartile = ntile_from_rank(rn, F.col("n_group"), 4)
-    return (
+    out = (
         ranked.select("event_type", "k", quartile.alias("quartile"))
         .groupBy("event_type", "quartile")
         .agg(F.count("*").alias("n"),
@@ -52,6 +56,9 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("k").alias("k_max"))
         .orderBy("event_type", "quartile")
     )
+    from kmr_spark.session import materialize_release
+
+    return materialize_release(out, *caches)
 
 
 EVENTS_PROPS_SQL = """
@@ -86,19 +93,24 @@ def events_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"))
+    caches: list[DataFrame] = []
     ranked = ranking_per_group(
         per_user, ["event_type"],
-        [F.col("total_dec").asc(), F.col("user_id").asc()])
+        [F.col("total_dec").asc(), F.col("user_id").asc()],
+        cache_registry=caches, persist_input=True)
     n = F.col("n_group")
     pr = F.when(n > 1, F.col("rank") / (n - F.lit(1))).otherwise(F.lit(0.0))
     cd = (F.col("rank") + F.lit(1)) / n
     decile = F.floor(pr * 10).cast("long")
-    return (
+    out = (
         ranked.select("event_type", decile.alias("decile"), cd.alias("cd"))
         .groupBy("event_type", "decile")
         .agg(F.count("*").alias("n_users"), F.max("cd").alias("max_cume"))
         .orderBy("event_type", "decile")
     )
+    from kmr_spark.session import materialize_release
+
+    return materialize_release(out, *caches)
 
 
 EVENTS_VALUE_RANK_SQL = """
@@ -128,3 +140,41 @@ ORACLE_SQL = {
     "events_props_extract": EVENTS_PROPS_SQL,
     "events_value_rank": EVENTS_VALUE_RANK_SQL,
 }
+
+
+def events_props_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema inventory over the props column: which keys exist,
+    how often, and what share of events carry each — the discovery
+    query every semi-structured ingest runs before declaring a schema.
+
+    ``from_json`` to map<string,string> + explode keeps key extraction
+    JVM-side; output is |distinct keys|-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("props").isNotNull())
+    n_events = ev.groupBy().agg(F.count("*").alias("n_events"))
+    keys = ev.select(
+        F.explode(F.map_keys(F.from_json("props", "map<string,string>")))
+        .alias("key"))
+    return (
+        keys.groupBy("key").agg(F.count("*").alias("n_present"))
+        .crossJoin(F.broadcast(n_events))
+        .select("key", "n_present", "n_events",
+                F.expr("(1000 * n_present) DIV n_events")
+                .alias("present_permille"))
+    )
+
+
+PROPS_SCHEMA_SQL = """
+WITH e AS (SELECT props FROM events WHERE props IS NOT NULL),
+n AS (SELECT COUNT(*) AS n_events FROM e),
+k AS (SELECT unnest(json_keys(props)) AS key FROM e)
+SELECT key, COUNT(*) AS n_present,
+       (SELECT n_events FROM n) AS n_events,
+       (1000 * COUNT(*)) // (SELECT n_events FROM n) AS present_permille
+FROM k GROUP BY key
+"""
+
+
+QUERIES["events_props_schema_infer"] = events_props_schema_infer
+ORACLE_SQL["events_props_schema_infer"] = PROPS_SCHEMA_SQL

@@ -806,3 +806,61 @@ ORACLE_SQL.update({
     "events_peak_rate": PEAK_RATE_SQL,
     "events_ewma_int": EWMA_SQL,
 })
+
+
+FUNNEL_WINDOW_S = 3600  # max seconds between consecutive funnel steps
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a per-step time budget: first view, then
+    the first click within 1h of it, then the first purchase within 1h
+    of that click. One row of stage counts — the windowed variant every
+    growth dashboard runs next to the unbounded funnel
+    (events_funnel).
+
+    Plan: three progressively-smaller keyed aggregates joined on
+    user_id (hash-co-partitioned at scale); the corpus is scanned once
+    per step with the type filter pushed to the scan.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    lim = FUNNEL_WINDOW_S * 1_000_000
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("us").alias("v_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("us") > F.col("v_us"))
+                 & (F.col("us") <= F.col("v_us") + lim))
+         .groupBy("user_id").agg(F.min("us").alias("c_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("us") > F.col("c_us"))
+                 & (F.col("us") <= F.col("c_us") + lim))
+         .groupBy("user_id").agg(F.min("us").alias("p_us")))
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_1h")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_1h")))
+    )
+
+
+FUNNEL_WINDOWED_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS v_us FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us > v_us
+        AND us <= v_us + {FUNNEL_WINDOW_S * 1_000_000}
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us > c_us
+        AND us <= c_us + {FUNNEL_WINDOW_S * 1_000_000}
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_1h,
+       (SELECT COUNT(*) FROM p) AS n_purchase_1h
+"""
+
+
+QUERIES["events_funnel_windowed"] = events_funnel_windowed
+ORACLE_SQL["events_funnel_windowed"] = FUNNEL_WINDOWED_SQL
