@@ -33,6 +33,15 @@ HEADLINE = [
                                  "aggregates; both sides combine map-side"),
     ("text_bigram_lm", "model BroadcastHashJoin into the pre-aggregated "
                        "(doc, bigram) table; raw explode never shuffled"),
+    ("orders_rfm_segments", "single metric-stacked exscan ranking "
+                            "(range sort + MapInPandas offsets) — NO "
+                            "Window node anywhere"),
+    ("events_trimmed_mean", "grouped-agg pandas UDAF "
+                            "(ArrowAggregatePython / AggregateInPandas) "
+                            "over (type, day) groups"),
+    ("dedup_ngram_jaccard", "(lang, source, minhash band) equi-join for "
+                            "candidates — no cartesian, blocks bounded "
+                            "under metadata skew"),
 ]
 
 
