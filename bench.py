@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "docs_simhash_bit_balance",
     "events_user_lifecycle",
     "events_funnel_windowed",
+    "events_asof_click_attrib",
+    "orders_repeat_cohort",
+    "docs_dup_rate_by_source",
 ]
 
 

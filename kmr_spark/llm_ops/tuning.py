@@ -140,3 +140,61 @@ BIT_BALANCE_SQL = _bit_balance_sql()
 
 QUERIES["docs_simhash_bit_balance"] = docs_simhash_bit_balance
 ORACLE_SQL["docs_simhash_bit_balance"] = BIT_BALANCE_SQL
+
+
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: SimHash near-dup pairs rolled
+    up by (source, source) — the provenance report that tells a corpus
+    team WHICH feeds duplicate each other (mirror sites, syndication)
+    before they pick what to drop. Pair list is banded-join-sized;
+    both metadata joins key on doc_id.
+    """
+    from kmr_spark.llm_ops.dedup import simhash_pairs
+    from kmr_spark.session import load_tables
+
+    pairs = simhash_pairs(spark, sf_dir, sort=False)
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("src_b"))
+    cells = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(F.least("src_a", "src_b").alias("source_lo"),
+                F.greatest("src_a", "src_b").alias("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs")))
+    total = cells.agg(F.sum("n_pairs").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .selectExpr("source_lo", "source_hi", "n_pairs",
+                    "(1000 * n_pairs) DIV total AS share_permille"))
+
+
+def _dup_by_source_sql() -> str:
+    from kmr_spark.llm_ops.dedup import SIMHASH_MAX_HAMMING, _SIMHASH_CANDS_CTE
+
+    return f"""
+WITH {_SIMHASH_CANDS_CTE},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
+cells AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         COUNT(*) AS n_pairs
+  FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+             JOIN documents db ON pairs.doc_b = db.doc_id
+  GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM cells)
+SELECT source_lo, source_hi, n_pairs,
+       (1000 * n_pairs) // (SELECT total FROM t) AS share_permille
+FROM cells
+"""
+
+
+DUP_BY_SOURCE_SQL = _dup_by_source_sql()
+
+QUERIES["docs_dup_rate_by_source"] = docs_dup_rate_by_source
+ORACLE_SQL["docs_dup_rate_by_source"] = DUP_BY_SOURCE_SQL

@@ -49,3 +49,102 @@ FROM monthly
 
 QUERIES = {"orders_monthly_growth": orders_monthly_growth}
 ORACLE_SQL = {"orders_monthly_growth": MONTHLY_GROWTH_SQL}
+
+
+ASOF_TOLERANCE_S = 3600
+
+
+def events_asof_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->click as-of attribution with a 1h tolerance: each
+    purchase is joined to the user's most recent prior click via the
+    engine's as-of operator (operators/asof.py — union + keyed window,
+    ONE shuffle, no range self-join), then the match is kept only
+    within tolerance. Lag depends only on the click timestamp, so
+    simultaneous-click ties cannot affect the output and the DuckDB
+    ASOF JOIN oracle is exact.
+    """
+    from kmr_spark.operators.asof import asof_join
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "us", F.col("us").alias("c_us"))
+    joined = asof_join(purchases, clicks, on="us", by="user_id",
+                       right_cols=["c_us"], left_key="event_id")
+    lim = ASOF_TOLERANCE_S * 1_000_000
+    within = (F.col("asof_c_us").isNotNull()
+              & ((F.col("us") - F.col("asof_c_us")) <= lim))
+    return joined.select(
+        "event_id", "user_id",
+        F.when(within, F.expr(f"(us - asof_c_us) DIV 1000000"))
+        .alias("lag_s"),
+        within.alias("attributed"))
+
+
+ASOF_ATTRIB_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.c_us IS NOT NULL
+             AND p.us - c.c_us <= {ASOF_TOLERANCE_S * 1_000_000}
+            THEN (p.us - c.c_us) // 1000000 END AS lag_s,
+       coalesce(c.c_us IS NOT NULL
+                AND p.us - c.c_us <= {ASOF_TOLERANCE_S * 1_000_000}, FALSE)
+         AS attributed
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.c_us
+"""
+
+
+def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cohort triangle: customers grouped by first-order
+    month, tracked by month offset — how many of each cohort order
+    again k months later. Month arithmetic is integer (y*12+m), the
+    census is |cohorts| x |month offsets|.
+
+    Plan: per-customer min-month aggregate, broadcast-joinable back
+    onto the (custkey, month) distinct pairs; everything after the
+    first aggregate is cohort-sized.
+    """
+    from kmr_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    om = orders.select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12
+         + F.month(F.to_date("o_orderdate"))).cast("long").alias("m"))
+    cust_months = om.distinct()
+    first = cust_months.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        cust_months.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset"))
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.col("m0").alias("cohort_month"), "month_offset",
+                "n_customers")
+    )
+
+
+REPEAT_COHORT_SQL = """
+WITH om AS (
+  SELECT DISTINCT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS m
+  FROM orders),
+fo AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY o_custkey)
+SELECT CAST(m0 AS BIGINT) AS cohort_month,
+       CAST(m - m0 AS BIGINT) AS month_offset,
+       COUNT(*) AS n_customers
+FROM om JOIN fo USING (o_custkey)
+GROUP BY m0, month_offset
+"""
+
+
+QUERIES["events_asof_click_attrib"] = events_asof_click_attrib
+QUERIES["orders_repeat_cohort"] = orders_repeat_cohort
+ORACLE_SQL["events_asof_click_attrib"] = ASOF_ATTRIB_SQL
+ORACLE_SQL["orders_repeat_cohort"] = REPEAT_COHORT_SQL

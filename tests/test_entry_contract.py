@@ -32,11 +32,12 @@ def test_no_duplicate_names_across_modules():
     other: the union's size equals the sum of the parts."""
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, basket, behavior, bloomjoin,
-                                 diagnostics, generate, graphs, graysort,
-                                 incremental, iterative, layout, linalg,
-                                 quality, rfm, sampling, semistruct, sketches,
-                                 timeseries, tpch, tpch_extra, training,
-                                 valuation, wordcount)
+                                 corpusstats, diagnostics, generate, graphs,
+                                 graysort, incremental, iterative, layout,
+                                 linalg, quality, rfm, robust, sampling,
+                                 semistruct, sketches, timeseries, tpch,
+                                 tpch_extra, training, trends, valuation,
+                                 wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -45,7 +46,8 @@ def test_no_duplicate_names_across_modules():
              semistruct.QUERIES, sketches.QUERIES, timeseries.QUERIES,
              quality.QUERIES, basket.QUERIES, rfm.QUERIES,
              training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
-             diagnostics.QUERIES, valuation.QUERIES, registry.QUERIES]
+             diagnostics.QUERIES, valuation.QUERIES, robust.QUERIES,
+             corpusstats.QUERIES, trends.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
