@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "events_asof_click_attrib",
     "orders_repeat_cohort",
     "docs_dup_rate_by_source",
+    "events_trending_streamed",
 ]
 
 

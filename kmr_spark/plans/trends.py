@@ -148,3 +148,73 @@ QUERIES["events_asof_click_attrib"] = events_asof_click_attrib
 QUERIES["orders_repeat_cohort"] = orders_repeat_cohort
 ORACLE_SQL["events_asof_click_attrib"] = ASOF_ATTRIB_SQL
 ORACLE_SQL["orders_repeat_cohort"] = REPEAT_COHORT_SQL
+
+
+def _daily_type_counts(batch: DataFrame) -> DataFrame:
+    return (batch.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("n")))
+
+
+def _merge_daily_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
+    b = base.select("day", "event_type", F.col("n").alias("n_b"))
+    d = delta.select("day", "event_type", F.col("n").alias("n_d"))
+    return b.join(d, ["day", "event_type"], "full_outer").select(
+        "day", "event_type",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .alias("n"))
+
+
+def events_trending_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per day, maintained INCREMENTALLY
+    from the event stream: per micro-batch (day, type) count deltas
+    merged into a versioned state table (sum merge — associative, so
+    the final counts are bit-equal to the batch recompute whatever the
+    micro-batch split), then the top-3 cut runs once over the
+    |days|x|types| state. The always-on trending dashboard shape;
+    state never exceeds the rollup size.
+    """
+    import shutil
+    import tempfile
+
+    from kmr_spark.session import sized_shuffle_partitions
+    from kmr_spark.streaming.windows import (sized_state_partitions,
+                                             stream_events,
+                                             versioned_merge_stream)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    try:
+        with sized_shuffle_partitions(
+                spark, n_partitions=sized_state_partitions(spark, sf_dir)):
+            counts = versioned_merge_stream(
+                stream_events(spark, sf_dir), st, ck,
+                _daily_type_counts, _merge_daily_counts)
+        w = Window.partitionBy("day").orderBy(
+            F.col("n").desc(), F.col("event_type").asc())
+        out = (
+            counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("day", "rank", "event_type", "n"))
+        # state files are about to be deleted; pin rows first
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(st, ignore_errors=True)
+
+
+TRENDING_SQL = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT day, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                 ORDER BY n DESC, event_type ASC)
+              AS BIGINT) AS rank
+  FROM counts)
+SELECT day, rank, event_type, n FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["events_trending_streamed"] = events_trending_streamed
+ORACLE_SQL["events_trending_streamed"] = TRENDING_SQL
