@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "orders_repeat_cohort",
     "docs_dup_rate_by_source",
     "events_trending_streamed",
+    "emb_ivf_cell_balance",
+    "docs_lang_source_chi2",
 ]
 
 

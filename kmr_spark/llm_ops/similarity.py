@@ -519,3 +519,47 @@ ORACLE_SQL = {
     "dedup_embedding": EMB_DEDUP_SQL,
     "emb_knn_classify": KNN_CLASSIFY_SQL,
 }
+
+
+def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy report: vectors per cell + share permille —
+    the index-health check run after (re)training a coarse quantizer;
+    a hot cell means probe latency and a cold one wasted centroids.
+    Assignment is the same narrow literal-centroid argmax as ann_ivf
+    (no Exchange); the report is |cells|-sized.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _collect_centroids(emb)
+    assigned = assign_cells(emb, cents, 1).select(
+        "vec_id", F.col("cells")[0].alias("cell"))
+    cells = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    total = cells.agg(F.sum("n_vecs").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .selectExpr("cell", "n_vecs",
+                    "(1000 * n_vecs) DIV total AS share_permille"))
+
+
+IVF_CELL_BALANCE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, c.cent_id,
+         {V.sql_cosine('e.embedding', 'c.cv')} AS csim
+  FROM emb e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM assign0) WHERE rn = 1),
+cells AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cells)
+SELECT cell, n_vecs,
+       (1000 * n_vecs) // (SELECT total FROM t) AS share_permille
+FROM cells
+"""
+
+
+QUERIES["emb_ivf_cell_balance"] = emb_ivf_cell_balance
+ORACLE_SQL["emb_ivf_cell_balance"] = IVF_CELL_BALANCE_SQL

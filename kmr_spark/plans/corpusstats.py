@@ -199,3 +199,67 @@ ORACLE_SQL = {
     "text_tokenizer_fertility": FERTILITY_SQL,
     "text_zipf_curve": ZIPF_SQL,
 }
+
+
+def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between language and source — the
+    sampling-bias check a corpus team runs on every new feed (a high
+    statistic means sources are language-skewed and mixture weights
+    need per-(lang, source) treatment). One row: cell count, degrees
+    of freedom, chi-square.
+
+    Exactness: all marginals are integer counts; each cell's term is
+    one fixed double expression, and the cell terms are folded in
+    sorted (lang, source) order on both engines — identical IEEE
+    result. Everything after the first aggregate is |cells|-sized.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull())
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    rows = cells.groupBy("lang").agg(F.sum("c").alias("rowt"))
+    cols = cells.groupBy("source").agg(F.sum("c").alias("colt"))
+    total = cells.agg(F.sum("c").alias("total"))
+    e = (F.col("rowt") * F.col("colt")) / F.col("total")
+    term = ((F.col("c") - e) * (F.col("c") - e) / e).alias("term")
+    j = (cells.join(F.broadcast(rows), "lang")
+         .join(F.broadcast(cols), "source")
+         .crossJoin(F.broadcast(total))
+         .select("lang", "source", term))
+    return (
+        j.agg(F.count("*").alias("n_cells"),
+              ((F.count_distinct("lang") - 1)
+               * (F.count_distinct("source") - 1)).alias("dof"),
+              F.aggregate(
+                  F.sort_array(F.collect_list(
+                      F.struct("lang", "source", "term"))),
+                  F.lit(0.0),
+                  lambda a, x: a + x["term"]).alias("chi2"))
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source),
+r AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS rowt FROM cells GROUP BY lang),
+co AS (SELECT source, CAST(SUM(c) AS BIGINT) AS colt
+       FROM cells GROUP BY source),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cells),
+j AS (
+  SELECT cells.lang, cells.source,
+         (cells.c - (r.rowt * co.colt) / t.total)
+           * (cells.c - (r.rowt * co.colt) / t.total)
+           / ((r.rowt * co.colt) / t.total) AS term
+  FROM cells JOIN r USING (lang) JOIN co USING (source), t)
+SELECT COUNT(*) AS n_cells,
+       (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY lang, source)),
+         (a, x) -> a + x) AS chi2
+FROM j
+"""
+
+
+QUERIES["docs_lang_source_chi2"] = docs_lang_source_chi2
+ORACLE_SQL["docs_lang_source_chi2"] = CHI2_SQL
