@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "events_trending_streamed",
     "emb_ivf_cell_balance",
     "docs_lang_source_chi2",
+    "events_heavy_users_cms",
+    "docs_source_divergence_tv",
+    "lineitem_price_discount_corr",
 ]
 
 

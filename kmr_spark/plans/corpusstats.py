@@ -263,3 +263,73 @@ FROM j
 
 QUERIES["docs_lang_source_chi2"] = docs_lang_source_chi2
 ORACLE_SQL["docs_lang_source_chi2"] = CHI2_SQL
+
+
+def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between the unigram
+    distributions of every source pair — the drift/mixture diagnostic
+    run when a new feed joins the corpus. TV = 0.5 * sum |p - q| is
+    computed as the INTEGER sum |c_a*T_b - c_b*T_a| (plus the
+    missing-mass terms for tokens present in only one source), so the
+    whole statistic is exact; only the final normalization is one
+    float division. Requires per-source token totals < ~3e9 for the
+    int64 cross products — beyond that, scale counts down first.
+
+    Scale shape: token counts are vocabulary-bounded; the pair join is
+    |pairs| x |shared vocab|.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    counts = (
+        docs.select("source", F.explode(H.tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok").agg(F.count("*").alias("c")))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    ct = counts.join(F.broadcast(totals), "source")
+    a = ct.select(F.col("source").alias("sa"), "tok",
+                  F.col("c").alias("ca"), F.col("t").alias("ta"))
+    b = ct.select(F.col("source").alias("sb"), "tok",
+                  F.col("c").alias("cb"), F.col("t").alias("tb"))
+    shared = (
+        a.join(b, "tok").filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb", "ta", "tb")
+        .agg(F.count("*").alias("shared_toks"),
+             F.sum(F.abs(F.col("ca") * F.col("tb")
+                         - F.col("cb") * F.col("ta"))).alias("s_shared"),
+             F.sum("ca").alias("ca_shared"),
+             F.sum("cb").alias("cb_shared")))
+    s_total = (F.col("s_shared")
+               + (F.col("ta") - F.col("ca_shared")) * F.col("tb")
+               + (F.col("tb") - F.col("cb_shared")) * F.col("ta"))
+    return shared.select(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+        "shared_toks", s_total.alias("s_abs"),
+        (s_total / (F.lit(2.0) * F.col("ta") * F.col("tb"))).alias("tv"))
+
+
+TV_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({H.sql_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL),
+counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+           FROM counts GROUP BY source),
+ct AS (SELECT counts.source, tok, c, t FROM counts JOIN totals USING (source)),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb, a.t AS ta, b.t AS tb,
+         COUNT(*) AS shared_toks,
+         CAST(SUM(abs(a.c * b.t - b.c * a.t)) AS BIGINT) AS s_shared,
+         CAST(SUM(a.c) AS BIGINT) AS ca_shared,
+         CAST(SUM(b.c) AS BIGINT) AS cb_shared
+  FROM ct a JOIN ct b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2, 3, 4)
+SELECT sa AS source_a, sb AS source_b, shared_toks,
+       CAST(s_shared + (ta - ca_shared) * tb + (tb - cb_shared) * ta
+            AS BIGINT) AS s_abs,
+       (s_shared + (ta - ca_shared) * tb + (tb - cb_shared) * ta)
+         / (2.0 * ta * tb) AS tv
+FROM shared
+"""
+
+
+QUERIES["docs_source_divergence_tv"] = docs_source_divergence_tv
+ORACLE_SQL["docs_source_divergence_tv"] = TV_DIVERGENCE_SQL

@@ -398,3 +398,85 @@ ORACLE_SQL = {
     "events_hll_streamed": HLL_HOURLY_SQL,
     "events_sketch_quantiles": SKETCH_QUANTILES_SQL,
 }
+
+
+CMS_D = 4
+CMS_W = 1024
+#: per-row affine pre-mix constants (kept small so every intermediate
+#: stays below 2^63 in both engines)
+CMS_AB = [(1, 17), (31, 101), (257, 7), (8191, 3)]
+
+
+def _cms_bucket(u, d: int):
+    a, b = CMS_AB[d]
+    return _hash31((u % HASH_P) * a + b) % CMS_W
+
+
+def _sql_cms_bucket(u: str, d: int) -> str:
+    a, b = CMS_AB[d]
+    return f"({_sql_hash31(f'((({u}) % {HASH_P}) * {a} + {b})')} % {CMS_W})"
+
+
+def events_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: a {CMS_D}x{CMS_W} counter matrix
+    over user activity, read back for the exact top-20 users — per
+    user the true count and the CMS estimate (an upper bound; the gap
+    is the sketch's collision error). The sketch is what a 100 TB
+    pipeline ships between stages instead of a user-count table: the
+    counter matrix is 4KB regardless of user count.
+
+    Deterministic affine-premix hashes shared bit-for-bit with the
+    DuckDB oracle; the counter build is one map-side-combinable
+    aggregate over 4x exploded (row, bucket) pairs.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("user_id")
+    pairs = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(F.col("user_id"), d).alias("bucket"))
+        for d in range(CMS_D)
+    ])).alias("p")).select("p.d", "p.bucket")
+    counters = pairs.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+           .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+           .limit(20))
+    cand = top.select("user_id", "exact_n", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(F.col("user_id"), d).alias("bucket"))
+        for d in range(CMS_D)
+    ])).alias("p")).select("user_id", "exact_n", "p.d", "p.bucket")
+    return (
+        cand.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+
+
+def _cms_sql() -> str:
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {_sql_cms_bucket('user_id', d)} AS bucket"
+        " FROM e" for d in range(CMS_D))
+    return f"""
+WITH e AS (SELECT user_id FROM events),
+pairs AS ({bucket_rows}),
+counters AS (SELECT d, bucket, COUNT(*) AS c
+             FROM pairs GROUP BY d, bucket),
+top AS (SELECT user_id, COUNT(*) AS exact_n FROM e GROUP BY user_id
+        ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+cand AS (
+  SELECT t.user_id, t.exact_n, d.d,
+         {_sql_cms_bucket('t.user_id', 0)} AS b0
+  FROM top t, (SELECT unnest(range({CMS_D})) AS d) d),
+cand2 AS (
+  SELECT user_id, exact_n, d,
+         CASE d {' '.join(f"WHEN {d} THEN {_sql_cms_bucket('user_id', d)}" for d in range(CMS_D))} END AS bucket
+  FROM cand)
+SELECT c2.user_id, c2.exact_n, MIN(ct.c) AS cms_n
+FROM cand2 c2 JOIN counters ct ON c2.d = ct.d AND c2.bucket = ct.bucket
+GROUP BY c2.user_id, c2.exact_n
+"""
+
+
+CMS_SQL = _cms_sql()
+
+QUERIES["events_heavy_users_cms"] = events_heavy_users_cms
+ORACLE_SQL["events_heavy_users_cms"] = CMS_SQL

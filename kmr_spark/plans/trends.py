@@ -218,3 +218,56 @@ SELECT day, rank, event_type, n FROM ranked WHERE rank <= 3
 
 QUERIES["events_trending_streamed"] = events_trending_streamed
 ORACLE_SQL["events_trending_streamed"] = TRENDING_SQL
+
+
+def lineitem_price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between extended price and discount over
+    the full lineitem table — the sanity stat a pricing team tracks.
+    Integer-moment form: x = price cents, y = discount permille, the
+    five moments are DECIMAL(38,0) sums (order-free, overflow-safe at
+    petabyte row counts), and r is one fixed float expression (sqrt is
+    correctly-rounded IEEE in both engines). One map-side-combinable
+    aggregate; nothing else.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.col("l_discount") * 1000).cast("decimal(38,0)")
+        .alias("y"))
+    m = li.agg(F.count("*").alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return m.select("n", r.alias("pearson_r"))
+
+
+PEARSON_SQL = """
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS DECIMAL(38,0)) AS x,
+         CAST(floor(l_discount * 1000) AS DECIMAL(38,0)) AS y
+  FROM lineitem),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM v)
+SELECT n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM m
+"""
+
+
+QUERIES["lineitem_price_discount_corr"] = lineitem_price_discount_corr
+ORACLE_SQL["lineitem_price_discount_corr"] = PEARSON_SQL
