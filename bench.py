@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "events_heavy_users_cms",
     "docs_source_divergence_tv",
     "lineitem_price_discount_corr",
+    "events_ab_test_cuped",
+    "events_bounce_rate",
 ]
 
 

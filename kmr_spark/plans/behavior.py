@@ -572,3 +572,189 @@ LIFECYCLE_SQL = _lifecycle_sql()
 
 QUERIES["events_user_lifecycle"] = events_user_lifecycle
 ORACLE_SQL["events_user_lifecycle"] = LIFECYCLE_SQL
+
+
+def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the experimentation
+    technique that cuts required sample sizes ~2-5x: each user's
+    pre-period activity (value sum in the first half of the time
+    range) is the covariate X, the experiment-period sum is Y, and the
+    adjusted metric is Y - theta*(X - mean(X)) with
+    theta = cov(X, Y)/var(X) estimated pooled. Output: one row with
+    arm sizes, raw and CUPED-adjusted effect (b - a), theta, and the
+    variance-reduction factor 1 - rho^2.
+
+    Exactness: X/Y are integer cents per user; every moment is a
+    DECIMAL(38,0) sum; theta/effects/rho are fixed float expressions —
+    identical IEEE doubles in both engines. Plan: one per-user
+    aggregate, one 2-row arm aggregate, one scalar merge.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(F.min(F.unix_micros("ts")).alias("t0"),
+                    F.max(F.unix_micros("ts")).alias("t1"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("user_id",
+                F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                F.when(F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1"),
+                       F.floor(F.col("value") * 100).cast("long"))
+                .otherwise(F.lit(0)).alias("xc"),
+                F.when(F.unix_micros("ts") * 2 >= F.col("t0") + F.col("t1"),
+                       F.floor(F.col("value") * 100).cast("long"))
+                .otherwise(F.lit(0)).alias("yc"))
+        .groupBy("user_id", "arm")
+        .agg(F.sum("xc").cast("decimal(38,0)").alias("x"),
+             F.sum("yc").cast("decimal(38,0)").alias("y")))
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_arm"),
+        F.sum("x").alias("sx_arm"), F.sum("y").alias("sy_arm"))
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_arm").alias("n_a"), F.col("sx_arm").alias("sx_a"),
+        F.col("sy_arm").alias("sy_a"))
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n_arm").alias("n_b"), F.col("sx_arm").alias("sx_b"),
+        F.col("sy_arm").alias("sy_b"))
+    j = m.crossJoin(F.broadcast(a0)).crossJoin(F.broadcast(a1))
+    d = lambda c: F.col(c).cast("double")
+    n = d("n")
+    varx = n * d("sxx") - d("sx") * d("sx")
+    cov = n * d("sxy") - d("sx") * d("sy")
+    vary = n * d("syy") - d("sy") * d("sy")
+    theta = cov / varx
+    mean_x = d("sx") / n
+    raw = d("sy_b") / d("n_b") - d("sy_a") / d("n_a")
+    adj_b = d("sy_b") / d("n_b") - theta * (d("sx_b") / d("n_b") - mean_x)
+    adj_a = d("sy_a") / d("n_a") - theta * (d("sx_a") / d("n_a") - mean_x)
+    rho2 = (cov * cov) / (varx * vary)
+    return j.select(
+        "n", F.col("n_a").alias("n_arm_a"), F.col("n_b").alias("n_arm_b"),
+        theta.alias("theta"),
+        raw.alias("effect_raw_cents"),
+        (adj_b - adj_a).alias("effect_cuped_cents"),
+        (F.lit(1.0) - rho2).alias("var_reduction_factor"))
+
+
+CUPED_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+           FROM events),
+per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN epoch_us(ts) * 2 < (SELECT t0 + t1 FROM b)
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS DECIMAL(38,0)) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= (SELECT t0 + t1 FROM b)
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS DECIMAL(38,0)) AS y
+  FROM events GROUP BY user_id, arm),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM per_user),
+a0 AS (SELECT COUNT(*) AS n_a, SUM(x) AS sx_a, SUM(y) AS sy_a
+       FROM per_user WHERE arm = 0),
+a1 AS (SELECT COUNT(*) AS n_b, SUM(x) AS sx_b, SUM(y) AS sy_b
+       FROM per_user WHERE arm = 1)
+SELECT n, n_a AS n_arm_a, n_b AS n_arm_b,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         AS effect_raw_cents,
+       (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+       - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS effect_cuped_cents,
+       1.0 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS var_reduction_factor
+FROM m, a0, a1
+"""
+
+
+QUERIES["events_ab_test_cuped"] = events_ab_test_cuped
+ORACLE_SQL["events_ab_test_cuped"] = CUPED_SQL
+
+
+BOUNCE_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: share of sessions (30-min-gap islands per user)
+    containing exactly one event — the engagement KPI next to the
+    session census. One user-partitioned window pass + two bounded
+    aggregates; integer permille.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        F.coalesce((F.col("us") - F.lag("us").over(w)
+                    > BOUNCE_GAP_US).cast("long"), F.lit(1)))
+    sess = (
+        ev.withColumn("new_s", new_sess)
+        .withColumn("sess_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events")))
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.expr("(1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+               " DIV COUNT(*)").alias("bounce_permille"))
+
+
+BOUNCE_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   > {BOUNCE_GAP_US} THEN 1
+              WHEN LAG(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_s,
+         event_id
+  FROM e),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged),
+counts AS (SELECT user_id, sess_id, COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, sess_id)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       (1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+         AS bounce_permille
+FROM counts
+"""
+
+
+QUERIES["events_bounce_rate"] = events_bounce_rate
+ORACLE_SQL["events_bounce_rate"] = BOUNCE_SQL

@@ -268,3 +268,19 @@ def test_no_unpartitioned_rank_windows(spark):
                events_value_rank):
         plan = _plan(fn(spark, SF))
         assert "Window" not in plan, f"{fn.__name__} reintroduced a window"
+
+
+def test_zipf_topcut_is_take_ordered(spark):
+    """The Zipf top-50 cut must be TakeOrderedAndProject (per-partition
+    heap), not a global sort."""
+    from kmr_spark.plans.corpusstats import text_zipf_curve
+
+    assert "TakeOrderedAndProject" in _plan(text_zipf_curve(spark, SF))
+
+
+def test_cms_counters_join_is_broadcast(spark):
+    """The CMS readback joins the 4KB counter matrix — it must arrive
+    broadcast, never shuffle the candidates."""
+    from kmr_spark.plans.sketches import events_heavy_users_cms
+
+    assert "BroadcastHashJoin" in _plan(events_heavy_users_cms(spark, SF))
