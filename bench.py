@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "lineitem_price_discount_corr",
     "events_ab_test_cuped",
     "events_bounce_rate",
+    "events_kmv_overlap",
+    "events_median_quickselect",
 ]
 
 

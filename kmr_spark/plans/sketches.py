@@ -24,7 +24,7 @@ No distinct, no count(distinct) shuffle of raw keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kmr_spark.session import load_tables
@@ -480,3 +480,195 @@ CMS_SQL = _cms_sql()
 
 QUERIES["events_heavy_users_cms"] = events_heavy_users_cms
 ORACLE_SQL["events_heavy_users_cms"] = CMS_SQL
+
+
+KMV_K = 64
+
+
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set operations across event types:
+    per type keep the K smallest user-id hashes; for every type pair
+    estimate the audience Jaccard from the union sketch — the set
+    INTERSECTION capability HLL fundamentally lacks — and report the
+    exact Jaccard next to it (cheap here; at 100 TB only the sketch
+    side survives, which is why it exists).
+
+    Everything is deterministic: the same 31-bit hash both engines
+    share, per-type TakeOrdered K smallest, and integer estimate
+    arithmetic — full value oracle.
+
+    Estimate: for the combined pair sketch (K smallest of the union),
+    J ≈ |sketch_a ∩ sketch_b ∩ union_sketch| / K.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hashed = (ev.select("event_type", "user_id").distinct()
+              .select("event_type", _hash31(F.col("user_id")).alias("h"))
+              .distinct())
+    # two-phase bounded k-min build (no per-type funnel): each task
+    # keeps its local K smallest per type (window partitioned by
+    # (type, task) — bounded input), then the global K smallest are
+    # picked from the <= K x n_partitions survivors. The global K-min
+    # set is always a subset of the union of local K-min sets.
+    wl = Window.partitionBy("event_type", "pid").orderBy("h")
+    local = (hashed.withColumn("pid", F.spark_partition_id())
+             .withColumn("rn", F.row_number().over(wl))
+             .filter(F.col("rn") <= KMV_K)
+             .select("event_type", "h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (local
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= KMV_K)
+          .select("event_type", "h"))
+    a = sk.select(F.col("event_type").alias("ta"), F.col("h"))
+    b = sk.select(F.col("event_type").alias("tb"), F.col("h"))
+    # union sketch threshold per pair: the K-th smallest of the merged
+    # hash multiset (distinct values — same hash in both sketches
+    # counts once)
+    merged = (a.join(b.select("tb").distinct(), F.col("ta") < F.col("tb"))
+              .select("ta", "tb", "h")
+              .unionAll(
+                  b.join(a.select("ta").distinct(),
+                         F.col("ta") < F.col("tb"))
+                  .select("ta", "tb", "h"))
+              .distinct())
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    union_k = (merged.withColumn("rn", F.row_number().over(wp))
+               .filter(F.col("rn") <= KMV_K))
+    inter = (union_k.join(a, ["ta", "h"]).join(b, ["tb", "h"])
+             .groupBy("ta", "tb").agg(F.count("*").alias("n_common")))
+    kth = union_k.groupBy("ta", "tb").agg(F.count("*").alias("k_eff"))
+    est = (kth.join(inter, ["ta", "tb"], "left")
+           .select("ta", "tb",
+                   F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                   "k_eff",
+                   F.expr("(1000 * coalesce(n_common, 0)) DIV k_eff")
+                   .alias("jaccard_est_permille")))
+    # exact Jaccard per pair for calibration (distinct users per type)
+    du = ev.select("event_type", "user_id").distinct()
+    ua = du.select(F.col("event_type").alias("ta"), "user_id")
+    ub = du.select(F.col("event_type").alias("tb"), "user_id")
+    nab = (ua.join(ub, "user_id").filter(F.col("ta") < F.col("tb"))
+           .groupBy("ta", "tb").agg(F.count("*").alias("n_inter")))
+    nt = du.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    na = nt.select(F.col("event_type").alias("ta"), F.col("n_users").alias("na"))
+    nb = nt.select(F.col("event_type").alias("tb"), F.col("n_users").alias("nb"))
+    exact = (nab.join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+             .select("ta", "tb",
+                     F.expr("(1000 * n_inter) DIV (na + nb - n_inter)")
+                     .alias("jaccard_exact_permille")))
+    return (est.join(exact, ["ta", "tb"])
+            .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+                    "n_common", "k_eff", "jaccard_est_permille",
+                    "jaccard_exact_permille"))
+
+
+KMV_SQL = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT DISTINCT event_type, {_sql_hash31('user_id')} AS h
+           FROM du),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {KMV_K}),
+pairs AS (SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+          FROM sk a, sk b WHERE a.event_type < b.event_type),
+merged AS (
+  SELECT DISTINCT p.ta, p.tb, s.h
+  FROM pairs p JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb),
+union_k AS (
+  SELECT ta, tb, h FROM (
+    SELECT ta, tb, h,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM merged) WHERE rn <= {KMV_K}),
+agg AS (
+  SELECT u.ta, u.tb, COUNT(*) AS k_eff,
+         CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM union_k u
+  LEFT JOIN sk sa ON sa.event_type = u.ta AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.event_type = u.tb AND sb.h = u.h
+  GROUP BY u.ta, u.tb),
+nt AS (SELECT event_type, COUNT(*) AS n_users FROM du GROUP BY event_type),
+nab AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_inter
+  FROM du a JOIN du b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT agg.ta AS type_a, agg.tb AS type_b, agg.n_common, agg.k_eff,
+       (1000 * agg.n_common) // agg.k_eff AS jaccard_est_permille,
+       (1000 * nab.n_inter) // (na.n_users + nb.n_users - nab.n_inter)
+         AS jaccard_exact_permille
+FROM agg JOIN nab ON agg.ta = nab.ta AND agg.tb = nab.tb
+JOIN nt na ON na.event_type = agg.ta
+JOIN nt nb ON nb.event_type = agg.tb
+"""
+
+
+QUERIES["events_kmv_overlap"] = events_kmv_overlap
+ORACLE_SQL["events_kmv_overlap"] = KMV_SQL
+
+
+QSEL_BUCKETS = 1024
+
+
+def events_median_quickselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of value at MICRO precision (floor(value*1e6)) via
+    distributed quickselect: each round builds a {QSEL_BUCKETS}-cell
+    histogram of the surviving range (map-side-combinable — the
+    shuffle carries 1024 cells per task regardless of data size), the
+    driver picks the cell containing the k-th rank, and the range
+    shrinks 1024x. Four rounds cover a 2^40 domain.
+
+    This is the selection shape for UNBOUNDED value domains where the
+    count-table rewrite (events_exact_percentiles) would shuffle one
+    row per distinct value: here shuffle volume per pass is constant.
+    The reference analog is KMR's sampled splitter selection
+    (src/kmrmoreops.c:469-536) run to exactness.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("m"))
+    ev = ev.persist()
+    try:
+        row = ev.agg(F.count("*").alias("n"), F.min("m").alias("lo"),
+                     F.max("m").alias("hi")).collect()[0]
+        n, lo, hi = row["n"], row["lo"], row["hi"]
+        k = (n + 1) // 2  # rank of the lower median, 1-based
+        base_rank = 0     # ranks consumed below the surviving range
+        while lo < hi:
+            width = max(1, (hi - lo) // QSEL_BUCKETS + 1)
+            hist = (ev.filter((F.col("m") >= lo) & (F.col("m") <= hi))
+                    .groupBy(((F.col("m") - lo) / width).cast("long")
+                             .alias("b"))
+                    .agg(F.count("*").alias("c"))
+                    .collect())
+            cum = base_rank
+            for b, c in sorted((r["b"], r["c"]) for r in hist):
+                if cum + c >= k:
+                    lo2 = lo + b * width
+                    hi2 = min(hi, lo + (b + 1) * width - 1)
+                    base_rank = cum
+                    lo, hi = lo2, hi2
+                    break
+                cum += c
+        median = lo
+        return spark.createDataFrame(
+            [(n, k, median)], "n long, k long, median_micros long")
+    finally:
+        ev.unpersist()
+
+
+MEDIAN_QSEL_SQL = """
+WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS m
+           FROM events),
+n AS (SELECT COUNT(*) AS n FROM v)
+SELECT (SELECT n FROM n) AS n,
+       ((SELECT n FROM n) + 1) // 2 AS k,
+       (SELECT m FROM v ORDER BY m
+        LIMIT 1 OFFSET (((SELECT n FROM n) + 1) // 2 - 1))
+         AS median_micros
+"""
+
+
+QUERIES["events_median_quickselect"] = events_median_quickselect
+ORACLE_SQL["events_median_quickselect"] = MEDIAN_QSEL_SQL
