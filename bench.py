@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "events_bounce_rate",
     "events_kmv_overlap",
     "events_median_quickselect",
+    "orders_customer_migration",
+    "events_type_share_drift",
+    "events_velocity_features",
 ]
 
 

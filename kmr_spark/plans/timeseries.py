@@ -864,3 +864,51 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 
 QUERIES["events_funnel_windowed"] = events_funnel_windowed
 ORACLE_SQL["events_funnel_windowed"] = FUNNEL_WINDOWED_SQL
+
+
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type-mix drift monitor: per day the L1 distance (in
+    permille points) between today's and yesterday's type-share
+    vectors — the input-distribution alarm in front of every model.
+    All integer arithmetic over a |days| x |types| rollup; the lag
+    window partitions per type over calendar-bounded rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.count("*").alias("n")))
+    totals = daily.groupBy("day").agg(F.sum("n").alias("day_total"))
+    shares = (daily.join(totals, "day")
+              .select("day", "event_type",
+                      F.expr("(1000 * n) DIV day_total").alias("share")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    deltas = shares.select(
+        "day",
+        F.abs(F.col("share") - F.lag("share").over(w)).alias("d"))
+    return (deltas.filter(F.col("d").isNotNull())
+            .groupBy("day")
+            .agg(F.sum("d").alias("drift_l1_permille"),
+                 F.count("*").alias("n_types")))
+
+
+TYPE_DRIFT_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+totals AS (SELECT day, CAST(SUM(n) AS BIGINT) AS day_total
+           FROM daily GROUP BY day),
+shares AS (
+  SELECT daily.day, event_type, (1000 * n) // day_total AS share
+  FROM daily JOIN totals USING (day)),
+deltas AS (
+  SELECT day,
+         abs(share - LAG(share) OVER (PARTITION BY event_type
+                                      ORDER BY day)) AS d
+  FROM shares)
+SELECT day, CAST(SUM(d) AS BIGINT) AS drift_l1_permille,
+       COUNT(*) AS n_types
+FROM deltas WHERE d IS NOT NULL GROUP BY day
+"""
+
+
+QUERIES["events_type_share_drift"] = events_type_share_drift
+ORACLE_SQL["events_type_share_drift"] = TYPE_DRIFT_SQL

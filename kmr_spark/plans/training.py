@@ -221,3 +221,63 @@ ORACLE_SQL = {
     "train_source_mixture": SOURCE_MIXTURE_SQL,
     "train_temperature_mix": TEMPERATURE_MIX_SQL,
 }
+
+
+def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user velocity feature vector — counts and spend (cents) in
+    the trailing 1/7/30 days relative to the dataset's max timestamp:
+    the feature-engineering pass that feeds churn/LTV models. One
+    conditional aggregate over the corpus, map-side combinable;
+    output is user-sized (the feature table a training job consumes).
+    """
+    from pyspark.sql import functions as F
+
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    us = F.unix_micros("ts")
+    day_us = 86_400 * 1_000_000
+
+    def within(days: int):
+        return us >= F.col("t1") - F.lit(days * day_us)
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(*[x for d in (1, 7, 30) for x in (
+            F.sum(F.when(within(d), 1).otherwise(0)).alias(f"n_{d}d"),
+            F.sum(F.when(within(d), cents).otherwise(0))
+            .alias(f"cents_{d}d"))])
+    )
+
+
+VELOCITY_SQL = """
+WITH b AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b) - 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b) - 86400000000
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS cents_1d,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b)
+                          - 7 * 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b)
+                          - 7 * 86400000000
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS cents_7d,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b)
+                          - 30 * 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT t1 FROM b)
+                          - 30 * 86400000000
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS cents_30d
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES["events_velocity_features"] = events_velocity_features
+ORACLE_SQL["events_velocity_features"] = VELOCITY_SQL

@@ -271,3 +271,77 @@ FROM m
 
 QUERIES["lineitem_price_discount_corr"] = lineitem_price_discount_corr
 ORACLE_SQL["lineitem_price_discount_corr"] = PEARSON_SQL
+
+
+def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend quartile in the first
+    half of the date range vs the second (0 = inactive that half) —
+    the upgrade/churn census behind every retention deck.
+
+    Quartiles come from ONE metric-stacked exscan ranking (the RFM
+    pattern: group key = half, no ntile window); the matrix is 5x5.
+    """
+    from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        F.unix_date(F.to_date("o_orderdate")).alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    bounds = orders.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    halves = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select("o_custkey", "cents",
+                F.when(F.col("d") * 2 < F.col("d0") + F.col("d1"),
+                       F.lit("h1")).otherwise(F.lit("h2")).alias("half"))
+        .groupBy("half", "o_custkey")
+        .agg(F.sum("cents").alias("spend")))
+    caches: list[DataFrame] = []
+    ranked = ranking_per_group(
+        halves, ["half"], [F.col("spend").asc(), F.col("o_custkey").asc()],
+        cache_registry=caches)
+    q = ntile_from_rank(F.col("rank") + F.lit(1), F.col("n_group"), 4)
+    seg = ranked.select("half", "o_custkey", q.alias("q"))
+    s1 = seg.filter(F.col("half") == "h1").select(
+        "o_custkey", F.col("q").alias("seg_h1"))
+    s2 = seg.filter(F.col("half") == "h2").select(
+        "o_custkey", F.col("q").alias("seg_h2"))
+    out = (
+        s1.join(s2, "o_custkey", "full_outer")
+        .select(F.coalesce("seg_h1", F.lit(0)).alias("seg_h1"),
+                F.coalesce("seg_h2", F.lit(0)).alias("seg_h2"))
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count("*").alias("n_customers")))
+    from kmr_spark.session import materialize_release
+
+    return materialize_release(out, *caches)
+
+
+MIGRATION_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM o),
+halves AS (
+  SELECT CASE WHEN d * 2 < (SELECT d0 + d1 FROM b)
+              THEN 'h1' ELSE 'h2' END AS half,
+         o_custkey, CAST(SUM(cents) AS BIGINT) AS spend
+  FROM o GROUP BY 1, 2),
+seg AS (
+  SELECT half, o_custkey,
+         CAST(NTILE(4) OVER (PARTITION BY half
+                             ORDER BY spend ASC, o_custkey ASC)
+              AS BIGINT) AS q
+  FROM halves),
+s1 AS (SELECT o_custkey, q AS seg_h1 FROM seg WHERE half = 'h1'),
+s2 AS (SELECT o_custkey, q AS seg_h2 FROM seg WHERE half = 'h2')
+SELECT coalesce(seg_h1, 0) AS seg_h1, coalesce(seg_h2, 0) AS seg_h2,
+       COUNT(*) AS n_customers
+FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["orders_customer_migration"] = orders_customer_migration
+ORACLE_SQL["orders_customer_migration"] = MIGRATION_SQL

@@ -145,3 +145,51 @@ def test_gap_histogram_counts_conserved(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n_gaps for r in rows) == n_events - n_users
+
+
+def test_cuped_invariants(spark):
+    """Arms partition the users; the variance-reduction factor is a
+    valid 1 - rho^2 in [0, 1]."""
+    from kmr_spark.plans.behavior import events_ab_test_cuped
+
+    r = events_ab_test_cuped(spark, SF_SMALL).collect()[0]
+    assert r.n == r.n_arm_a + r.n_arm_b
+    assert 0.0 <= r.var_reduction_factor <= 1.0
+    assert abs(r.theta) < 1e6
+
+
+def test_bounce_rate_bounds(spark):
+    from kmr_spark.plans.behavior import events_bounce_rate
+
+    r = events_bounce_rate(spark, SF_SMALL).collect()[0]
+    assert 0 <= r.n_bounces <= r.n_sessions
+    assert 0 <= r.bounce_permille <= 1000
+
+
+def test_kmv_overlap_bounds(spark):
+    from kmr_spark.plans.sketches import events_kmv_overlap
+
+    rows = events_kmv_overlap(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_common <= r.k_eff
+        assert 0 <= r.jaccard_est_permille <= 1000
+        assert 0 <= r.jaccard_exact_permille <= 1000
+
+
+def test_quickselect_median_is_exact_order_statistic(spark):
+    """The quickselect result must equal the k-th smallest value
+    computed by brute force on the collected column."""
+    from kmr_spark.plans.sketches import events_median_quickselect
+    from kmr_spark.session import load_tables
+
+    r = events_median_quickselect(spark, SF_SMALL).collect()[0]
+    import math
+
+    vals = sorted(
+        math.floor(x.value * 1_000_000)
+        for x in load_tables(spark, SF_SMALL)["events"]
+        .select("value").collect())
+    assert r.n == len(vals)
+    assert r.k == (len(vals) + 1) // 2
+    assert r.median_micros == vals[r.k - 1]
