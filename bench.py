@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "orders_customer_migration",
     "events_type_share_drift",
     "events_velocity_features",
+    "events_new_vs_returning",
+    "events_cart_abandonment",
+    "emb_knn_margin",
 ]
 
 

@@ -563,3 +563,48 @@ FROM cells
 
 QUERIES["emb_ivf_cell_balance"] = emb_ivf_cell_balance
 ORACLE_SQL["emb_ivf_cell_balance"] = IVF_CELL_BALANCE_SQL
+
+
+def emb_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor confidence margin: per query vector the cosine
+    gap between its 1st and 2nd neighbor — the retrieval-confidence
+    diagnostic (a small margin marks ambiguous matches that ANN probes
+    or rerankers should re-examine). Reuses the exact-kNN pipeline and
+    pivots the top-2 rows; bounded output per query.
+    """
+    top = knn_bruteforce(spark, sf_dir).filter(F.col("rn") <= 2)
+    return (
+        top.groupBy("query_id")
+        .agg(F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("cos1"),
+             F.max(F.when(F.col("rn") == 2, F.col("cosine"))).alias("cos2"),
+             F.max(F.when(F.col("rn") == 1, F.col("neighbor_id")))
+             .alias("top1_id"))
+        .select("query_id", "top1_id", "cos1", "cos2",
+                (F.col("cos1") - F.col("cos2")).alias("margin"))
+    )
+
+
+KNN_MARGIN_SQL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {V.sql_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs)
+SELECT query_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN neighbor_id END) AS BIGINT)
+         AS top1_id,
+       MAX(CASE WHEN rn = 1 THEN cosine END) AS cos1,
+       MAX(CASE WHEN rn = 2 THEN cosine END) AS cos2,
+       MAX(CASE WHEN rn = 1 THEN cosine END)
+         - MAX(CASE WHEN rn = 2 THEN cosine END) AS margin
+FROM ranked WHERE rn <= 2 GROUP BY query_id
+"""
+
+
+QUERIES["emb_knn_margin"] = emb_knn_margin
+ORACLE_SQL["emb_knn_margin"] = KNN_MARGIN_SQL

@@ -758,3 +758,96 @@ FROM counts
 
 QUERIES["events_bounce_rate"] = events_bounce_rate
 ORACLE_SQL["events_bounce_rate"] = BOUNCE_SQL
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are NEW
+    (first-ever day) vs RETURNING. One distinct (user, day) pass, a
+    per-user min-day aggregate, and a broadcast-scale join — the DAU
+    decomposition every growth dashboard leads with.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"))
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(F.sum((F.col("day") == F.col("first_day")).cast("long"))
+             .alias("n_new"),
+             F.sum((F.col("day") != F.col("first_day")).cast("long"))
+             .alias("n_returning"))
+    )
+
+
+NEW_RETURNING_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY day
+"""
+
+
+ABANDON_WINDOW_US = 3600 * 1_000_000
+
+
+def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment census: per day, click sessions that did vs
+    did not convert to a purchase within 1h of the FIRST click — the
+    funnel-complement metric ops teams alarm on. Keyed aggregates +
+    one user join; integer permille.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("day"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "day").agg(F.min("us").alias("c_us")))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us"))
+    converted = (
+        clicks.join(purch, "user_id")
+        .filter((F.col("p_us") > F.col("c_us"))
+                & (F.col("p_us") <= F.col("c_us") + ABANDON_WINDOW_US))
+        .select("user_id", "day").distinct())
+    return (
+        clicks.join(converted.withColumn("conv", F.lit(1)),
+                    ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_click_days"),
+             F.sum(F.coalesce("conv", F.lit(0))).alias("n_converted"),
+             F.expr("(1000 * (COUNT(*) - SUM(coalesce(conv, 0))))"
+                    " DIV COUNT(*)").alias("abandon_permille"))
+    )
+
+
+ABANDON_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                  CAST(ts AS DATE) AS day FROM events),
+clicks AS (SELECT user_id, day, MIN(us) AS c_us FROM e
+           WHERE event_type = 'click' GROUP BY user_id, day),
+purch AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+conv AS (
+  SELECT DISTINCT c.user_id, c.day
+  FROM clicks c JOIN purch p ON c.user_id = p.user_id
+  WHERE p.p_us > c.c_us AND p.p_us <= c.c_us + {ABANDON_WINDOW_US}),
+j AS (
+  SELECT c.user_id, c.day,
+         CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS conv
+  FROM clicks c LEFT JOIN conv v
+    ON c.user_id = v.user_id AND c.day = v.day)
+SELECT day, COUNT(*) AS n_click_days,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       (1000 * (COUNT(*) - SUM(conv))) // COUNT(*) AS abandon_permille
+FROM j GROUP BY day
+"""
+
+
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+QUERIES["events_cart_abandonment"] = events_cart_abandonment
+ORACLE_SQL["events_new_vs_returning"] = NEW_RETURNING_SQL
+ORACLE_SQL["events_cart_abandonment"] = ABANDON_SQL
