@@ -193,3 +193,34 @@ def test_quickselect_median_is_exact_order_statistic(spark):
     assert r.n == len(vals)
     assert r.k == (len(vals) + 1) // 2
     assert r.median_micros == vals[r.k - 1]
+
+
+def test_round4_queries_leave_no_cached_plans(spark):
+    """Every round-4 query that persists internally must release its
+    caches before returning (materialize_release / finally-unpersist);
+    a leak here grows executor storage on every call in a long-lived
+    session."""
+    from kmr_spark.llm_ops.similarity import (emb_ivf_cell_balance,
+                                              emb_knn_margin)
+    from kmr_spark.llm_ops.tuning import (dedup_band_tuning,
+                                          docs_dup_rate_by_source,
+                                          docs_simhash_bit_balance)
+    from kmr_spark.plans.linalg import emb_norm_deciles
+    from kmr_spark.plans.rfm import orders_rfm_segments
+    from kmr_spark.plans.semistruct import events_props_extract
+    from kmr_spark.plans.sketches import (events_kmv_overlap,
+                                          events_median_quickselect)
+    from kmr_spark.plans.trends import orders_customer_migration
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for fn in (orders_rfm_segments, events_props_extract,
+               emb_norm_deciles, orders_customer_migration,
+               events_median_quickselect, events_kmv_overlap,
+               dedup_band_tuning, docs_simhash_bit_balance,
+               docs_dup_rate_by_source, emb_ivf_cell_balance,
+               emb_knn_margin):
+        out = fn(spark, SF_SMALL)
+        assert out.count() >= 0
+        assert cm.isEmpty(), f"{fn.__name__} left cached plans behind"
