@@ -21,7 +21,9 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 #: tiny vocabulary, mirrors the testdata documents' register
@@ -34,6 +36,14 @@ SCHEMA_DDL = "doc_id bigint, part int, text string, n_tokens int"
 class _DocsPartition(InputPartition):
     def __init__(self, pid: int, start: int, end: int):
         self.pid, self.start, self.end = pid, start, end
+
+
+def _gen_row(i: int, pid: int) -> tuple:
+    """Pure function of (row index, partition) — the determinism both
+    the batch reader and the stream reader share."""
+    n = (i * 7) % 13 + 3
+    toks = [_VOCAB[(i * 31 + j * 17) % len(_VOCAB)] for j in range(n)]
+    return (i, pid, " ".join(toks), n)
 
 
 class KmrDocsReader(DataSourceReader):
@@ -51,10 +61,31 @@ class KmrDocsReader(DataSourceReader):
 
     def read(self, partition: _DocsPartition):
         for i in range(partition.start, partition.end):
-            n = (i * 7) % 13 + 3
-            toks = [_VOCAB[(i * 31 + j * 17) % len(_VOCAB)]
-                    for j in range(n)]
-            yield (i, partition.pid, " ".join(toks), n)
+            yield _gen_row(i, partition.pid)
+
+
+class KmrDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source (Spark 4 Python streaming
+    DataSource API): emits deterministic rowsPerBatch-row micro-batches
+    up to maxRows, with replayable offsets — readBetweenOffsets
+    regenerates any batch bit-identically, so checkpoint recovery and
+    the batch reader agree on every row."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 500))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return iter([_gen_row(i, 0) for i in range(s, e)]), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_gen_row(i, 0)
+                     for i in range(start["offset"], end["offset"])])
 
 
 class KmrDocsDataSource(DataSource):
@@ -69,6 +100,9 @@ class KmrDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return KmrDocsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> KmrDocsStreamReader:
+        return KmrDocsStreamReader(self.options)
 
 
 def register_kmr_docs(spark) -> None:

@@ -267,3 +267,38 @@ def test_streamed_gate_routes_and_conserves(spark):
     # a row can violate two rules at once (97*101 overlap) so the
     # union is <= the sum of rule counts
     assert rows["rows_quarantined"] <= per_rule or per_rule == 0
+
+
+def test_python_datasource_stream_matches_batch(spark, tmp_path):
+    """The Spark 4 Python STREAMING DataSource half of kmr_docs must
+    replay the exact rows the batch reader produces: drain the stream
+    to maxRows and compare (count, sum, text checksum) against the
+    batch read of the same row range."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kmr_spark.sources.pysource import register_kmr_docs
+
+    register_kmr_docs(spark)
+    sdf = (spark.readStream.format("kmr_docs")
+           .option("rowsPerBatch", 40).option("maxRows", 200).load())
+    q = (sdf.writeStream.format("memory").queryName("pysrc_eq")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) n FROM pysrc_eq").collect()[0].n >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    def digest(df):
+        return df.agg(
+            F.count("*").alias("n"), F.sum("doc_id").alias("s"),
+            F.sum(F.crc32(F.col("text"))).alias("ck")).collect()[0]
+
+    got = digest(spark.table("pysrc_eq"))
+    want = digest(
+        spark.read.format("kmr_docs")
+        .option("rows", 200).option("partitions", 4).load())
+    assert (got.n, got.s, got.ck) == (want.n, want.s, want.ck)
