@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "events_new_vs_returning",
     "events_cart_abandonment",
     "emb_knn_margin",
+    "events_anomaly_mad",
+    "dedup_degree_histogram",
 ]
 
 

@@ -198,3 +198,40 @@ DUP_BY_SOURCE_SQL = _dup_by_source_sql()
 
 QUERIES["docs_dup_rate_by_source"] = docs_dup_rate_by_source
 ORACLE_SQL["docs_dup_rate_by_source"] = DUP_BY_SOURCE_SQL
+
+
+def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the SimHash near-dup pair graph: how many
+    docs have 1, 2, ... near-duplicates. The shape tells a dedup run
+    apart from a pathological one BEFORE clustering — a power-law tail
+    means hub documents (boilerplate) that will snowball into giant
+    components. Pair-graph-sized arithmetic only.
+    """
+    from kmr_spark.llm_ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(spark, sf_dir, sort=False)
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count("*").alias("degree")))
+    return (deg.groupBy("degree").agg(F.count("*").alias("n_docs")))
+
+
+def _degree_hist_sql() -> str:
+    from kmr_spark.llm_ops.dedup import SIMHASH_MAX_HAMMING, _SIMHASH_CANDS_CTE
+
+    return f"""
+WITH {_SIMHASH_CANDS_CTE},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}),
+nodes AS (SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM nodes GROUP BY doc_id)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+DEGREE_HIST_SQL = _degree_hist_sql()
+
+QUERIES["dedup_degree_histogram"] = dedup_degree_histogram
+ORACLE_SQL["dedup_degree_histogram"] = DEGREE_HIST_SQL

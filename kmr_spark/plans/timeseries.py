@@ -912,3 +912,74 @@ FROM deltas WHERE d IS NOT NULL GROUP BY day
 
 QUERIES["events_type_share_drift"] = events_type_share_drift
 ORACLE_SQL["events_type_share_drift"] = TYPE_DRIFT_SQL
+
+
+MAD_K = 5  # flag threshold: |x - median| > MAD_K * MAD
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags on the hourly series: median/MAD instead
+    of mean/stddev (events_anomaly_zscore's fragile twin under heavy
+    tails — one spike inflates a stddev but not a MAD). Integer cents
+    all the way: medians are exact lo-medians via row_number over the
+    calendar-bounded per-type hourly rollup, MAD is the lo-median of
+    absolute deviations, flags are integer comparisons.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour_ts"))
+              .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                   .alias("cents")))
+    wm = Window.partitionBy("event_type").orderBy("cents", "hour_ts")
+    wc = Window.partitionBy("event_type")
+    med = (hourly
+           .withColumn("rn", F.row_number().over(wm))
+           .withColumn("n", F.count("*").over(wc))
+           .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("event_type", F.col("cents").alias("med")))
+    dev = (hourly.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("cents") - F.col("med"))))
+    wd = Window.partitionBy("event_type").orderBy("adev", "hour_ts")
+    mad = (dev.withColumn("rn", F.row_number().over(wd))
+           .withColumn("n", F.count("*").over(wc))
+           .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("event_type", F.col("adev").alias("mad")))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_type", "hour_ts", "cents", "med", "mad",
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad"))
+                .alias("is_anomaly"))
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, cents AS med FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents, hour_ts) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly) WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT h.event_type, h.hour_ts, h.cents, m.med,
+         abs(h.cents - m.med) AS adev
+  FROM hourly h JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY adev, hour_ts) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) WHERE rn = (n + 1) // 2)
+SELECT d.event_type, d.hour_ts, d.cents, d.med, ma.mad,
+       d.adev > {MAD_K} * ma.mad AS is_anomaly
+FROM dev d JOIN mad ma USING (event_type)
+"""
+
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+ORACLE_SQL["events_anomaly_mad"] = ANOMALY_MAD_SQL
