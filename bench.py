@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "emb_knn_margin",
     "events_anomaly_mad",
     "dedup_degree_histogram",
+    "parts_abc_classification",
 ]
 
 

@@ -345,3 +345,75 @@ GROUP BY 1, 2
 
 QUERIES["orders_customer_migration"] = orders_customer_migration
 ORACLE_SQL["orders_customer_migration"] = MIGRATION_SQL
+
+
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by lineitem revenue;
+    A = parts covering the first 80% of cumulative revenue, B = next
+    15%, C = the tail. Output: per class, part count and revenue share
+    permille.
+
+    The cumulative revenue uses the engine's DISTRIBUTED prefix scan
+    (operators/reduce.scan_distributed — two-phase exscan, KMR's own
+    MPI_Exscan shape, src/kmrmoreops.c:943): no single-partition
+    cumulative window over the part table at any scale. Class
+    boundaries compare integer cents prefix sums against integer
+    thresholds of the grand total.
+    """
+    from kmr_spark.operators.reduce import scan_distributed
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)
+                           .cast("long")).alias("rev")))
+    scanned = scan_distributed(
+        per_part, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()])
+    total = scanned.agg(F.sum("rev").alias("total"))
+    # scan is EXCLUSIVE: a part belongs to A while the revenue BEFORE
+    # it is under 80% of total, etc. — the standard ABC cut
+    cls = (F.when(F.col("scan") * 100 < F.col("total") * 80, "A")
+           .when(F.col("scan") * 100 < F.col("total") * 95, "B")
+           .otherwise("C"))
+    out = (
+        scanned.crossJoin(F.broadcast(total))
+        .groupBy(cls.alias("abc_class"))
+        .agg(F.count("*").alias("n_parts"),
+             F.sum("rev").alias("rev_cents"))
+        .crossJoin(F.broadcast(total))
+        .selectExpr("abc_class", "n_parts", "rev_cents",
+                    "(1000 * rev_cents) DIV total AS rev_share_permille")
+    )
+    # scan_distributed already materialized + released its sort cache;
+    # everything here is |classes|-sized and safely lazy
+    return out
+
+
+ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY l_partkey),
+scanned AS (
+  SELECT l_partkey, rev,
+         CAST(coalesce(SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS scan
+  FROM per_part),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM per_part),
+cls AS (
+  SELECT CASE WHEN scan * 100 < (SELECT total FROM t) * 80 THEN 'A'
+              WHEN scan * 100 < (SELECT total FROM t) * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev
+  FROM scanned)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents,
+       (1000 * CAST(SUM(rev) AS BIGINT)) // (SELECT total FROM t)
+         AS rev_share_permille
+FROM cls GROUP BY abc_class
+"""
+
+
+QUERIES["parts_abc_classification"] = parts_abc_classification
+ORACLE_SQL["parts_abc_classification"] = ABC_SQL
