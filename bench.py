@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "dedup_degree_histogram",
     "parts_abc_classification",
+    "events_retention_day_n",
+    "docs_shingle_saturation",
 ]
 
 

@@ -235,3 +235,41 @@ DEGREE_HIST_SQL = _degree_hist_sql()
 
 QUERIES["dedup_degree_histogram"] = dedup_degree_histogram
 ORACLE_SQL["dedup_degree_histogram"] = DEGREE_HIST_SQL
+
+
+def docs_shingle_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle saturation per source: distinct vs total 3-gram shingles
+    and the permille ratio — a LOW ratio means the feed repeats itself
+    (boilerplate/templating) before any pairwise dedup is run. One
+    hash pass; the distinct count is a source-keyed aggregate over
+    shingle hashes.
+    """
+    from kmr_spark.session import load_tables, widen
+
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    th_table = H.token_hash_table(docs, ["source"])
+    sh = (th_table.select("source",
+                          F.explode(H.shingle_hashes_col(F.col("th")))
+                          .alias("h")))
+    out = (sh.groupBy("source")
+           .agg(F.count("*").alias("total_shingles"),
+                F.count_distinct("h").alias("distinct_shingles"))
+           .selectExpr("source", "total_shingles", "distinct_shingles",
+                       "(1000 * distinct_shingles) DIV total_shingles"
+                       " AS saturation_permille"))
+    return materialize_release(out, th_table)
+
+
+SHINGLE_SAT_SQL = f"""
+WITH t0 AS (SELECT source, {H.sql_token_hashes(H.sql_tokens('text'))} AS th
+            FROM documents),
+sh AS (SELECT source, unnest({H.sql_shingle_hashes('th')}) AS h FROM t0)
+SELECT source, COUNT(*) AS total_shingles,
+       COUNT(DISTINCT h) AS distinct_shingles,
+       (1000 * COUNT(DISTINCT h)) // COUNT(*) AS saturation_permille
+FROM sh GROUP BY source
+"""
+
+
+QUERIES["docs_shingle_saturation"] = docs_shingle_saturation
+ORACLE_SQL["docs_shingle_saturation"] = SHINGLE_SAT_SQL

@@ -851,3 +851,52 @@ QUERIES["events_new_vs_returning"] = events_new_vs_returning
 QUERIES["events_cart_abandonment"] = events_cart_abandonment
 ORACLE_SQL["events_new_vs_returning"] = NEW_RETURNING_SQL
 ORACLE_SQL["events_cart_abandonment"] = ABANDON_SQL
+
+
+def events_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D30 retention: of the users first seen on day D,
+    what permille were active exactly N days later. One distinct
+    (user, day) pass, a first-day aggregate, and N broadcast-shaped
+    semi-joins; output is |cohort days| x 3 metrics.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"))
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    joined = ud.join(first, "user_id").select(
+        "user_id", "d0", F.datediff("day", F.col("d0")).alias("off"))
+    per_cohort = (
+        joined.groupBy("d0")
+        .agg(F.count_distinct("user_id").alias("n_cohort"),
+             *[F.count_distinct(F.when(F.col("off") == n, F.col("user_id")))
+               .alias(f"n_d{n}") for n in (1, 7, 30)]))
+    return per_cohort.select(
+        F.col("d0").alias("cohort_day"), "n_cohort",
+        *[x for n in (1, 7, 30) for x in (
+            F.col(f"n_d{n}"),
+            F.expr(f"(1000 * n_d{n}) DIV n_cohort")
+            .alias(f"retention_d{n}_permille"))])
+
+
+RETENTION_DN_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id),
+j AS (SELECT ud.user_id, f.d0,
+             date_diff('day', f.d0, ud.day) AS off
+      FROM ud JOIN f USING (user_id))
+SELECT d0 AS cohort_day, COUNT(DISTINCT user_id) AS n_cohort,
+       COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS n_d1,
+       (1000 * COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END))
+         // COUNT(DISTINCT user_id) AS retention_d1_permille,
+       COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS n_d7,
+       (1000 * COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END))
+         // COUNT(DISTINCT user_id) AS retention_d7_permille,
+       COUNT(DISTINCT CASE WHEN off = 30 THEN user_id END) AS n_d30,
+       (1000 * COUNT(DISTINCT CASE WHEN off = 30 THEN user_id END))
+         // COUNT(DISTINCT user_id) AS retention_d30_permille
+FROM j GROUP BY d0
+"""
+
+
+QUERIES["events_retention_day_n"] = events_retention_day_n
+ORACLE_SQL["events_retention_day_n"] = RETENTION_DN_SQL
