@@ -191,6 +191,14 @@ BENCH_QUERIES = [
     "parts_abc_classification",
     "events_retention_day_n",
     "docs_shingle_saturation",
+    "events_wau_stickiness",
+    "orders_priority_mix",
+    "orders_interpurchase_gaps",
+    "text_hapax_rate",
+    "events_dow_hour_heatmap",
+    "events_value_benford",
+    "emb_centroid_distances",
+    "events_session_depth_histogram",
 ]
 
 

@@ -608,3 +608,46 @@ FROM ranked WHERE rn <= 2 GROUP BY query_id
 
 QUERIES["emb_knn_margin"] = emb_knn_margin
 ORACLE_SQL["emb_knn_margin"] = KNN_MARGIN_SQL
+
+
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distances between the IVF coarse-quantizer centroids —
+    quantized-exact squared L2 in 1e-6 units: near-identical centroids
+    mean redundant cells (probe waste), and the minimum pair bounds
+    the quantizer's resolution. |centroids|^2 / 2 rows of pure integer
+    arithmetic over broadcast-scale data."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("vd"),
+                    lambda x: F.floor(x * 1_000_000).cast("long"))
+        .alias("q"))
+    a = cents.select(F.col("cent_id").alias("cent_a"),
+                     F.col("q").alias("qa"))
+    b = cents.select(F.col("cent_id").alias("cent_b"),
+                     F.col("q").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (a.join(b, F.col("cent_a") < F.col("cent_b"))
+            .select("cent_a", "cent_b", d2.alias("d2_micro")))
+
+
+CENTROID_DIST_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < {N_CENTROIDS})
+SELECT a.cent_id AS cent_a, b.cent_id AS cent_b,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, len(a.q) + 1),
+                          i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))),
+         (acc, x) -> acc + x) AS d2_micro
+FROM cents a JOIN cents b ON a.cent_id < b.cent_id
+"""
+
+
+QUERIES["emb_centroid_distances"] = emb_centroid_distances
+ORACLE_SQL["emb_centroid_distances"] = CENTROID_DIST_SQL

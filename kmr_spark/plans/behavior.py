@@ -900,3 +900,105 @@ FROM j GROUP BY d0
 
 QUERIES["events_retention_day_n"] = events_retention_day_n
 ORACLE_SQL["events_retention_day_n"] = RETENTION_DN_SQL
+
+
+def events_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU, permille): how much of each
+    week's audience shows up on an average day. Distinct (user, day)
+    pass -> per-day and per-week distinct aggregates, integer ratio
+    (1000 * sum of daily actives) DIV (7 * weekly actives).
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"))
+    ud = ev.distinct().withColumn(
+        "week", F.expr("CAST(unix_date(day) DIV 7 AS BIGINT)"))
+    dau = (ud.groupBy("week", "day")
+           .agg(F.count("*").alias("dau"))
+           .groupBy("week")
+           .agg(F.sum("dau").alias("sum_dau"),
+                F.count("*").alias("n_days")))
+    wau = ud.groupBy("week").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "week")
+        .selectExpr("week", "n_days", "sum_dau", "wau",
+                    "(1000 * sum_dau) DIV (7 * wau)"
+                    " AS stickiness_permille"))
+
+
+WAU_STICKINESS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+w AS (SELECT user_id, day,
+             CAST((day - DATE '1970-01-01') // 7 AS BIGINT) AS week
+      FROM ud),
+dau AS (
+  SELECT week, CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days
+  FROM (SELECT week, day, COUNT(*) AS dau FROM w GROUP BY week, day)
+  GROUP BY week),
+wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY week)
+SELECT week, n_days, sum_dau, wau,
+       (1000 * sum_dau) // (7 * wau) AS stickiness_permille
+FROM dau JOIN wau USING (week)
+"""
+
+
+QUERIES["events_wau_stickiness"] = events_wau_stickiness
+ORACLE_SQL["events_wau_stickiness"] = WAU_STICKINESS_SQL
+
+
+def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution: log2 histogram of events-per-session
+    (30-min-gap islands) — the engagement-depth complement to the
+    bounce rate. Same single window pass; bucket census output."""
+    from kmr_spark.llm_ops.textstats import _floor_log2
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        F.coalesce((F.col("us") - F.lag("us").over(w)
+                    > BOUNCE_GAP_US).cast("long"), F.lit(1)))
+    sess = (
+        ev.withColumn("new_s", new_sess)
+        .withColumn("sess_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events")))
+    bucket = _floor_log2(F.col("n_events")).cast("long")
+    return (sess.groupBy(bucket.alias("depth_bucket"))
+            .agg(F.count("*").alias("n_sessions"),
+                 F.min("n_events").alias("min_events"),
+                 F.max("n_events").alias("max_events")))
+
+
+def _session_depth_sql() -> str:
+    from kmr_spark.llm_ops.textstats import _sql_floor_log2
+
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   > {BOUNCE_GAP_US} THEN 1
+              WHEN LAG(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_s
+  FROM e),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged),
+counts AS (SELECT user_id, sess_id, COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, sess_id)
+SELECT CAST({_sql_floor_log2('n_events')} AS BIGINT) AS depth_bucket,
+       COUNT(*) AS n_sessions, MIN(n_events) AS min_events,
+       MAX(n_events) AS max_events
+FROM counts GROUP BY depth_bucket
+"""
+
+
+SESSION_DEPTH_SQL = _session_depth_sql()
+
+QUERIES["events_session_depth_histogram"] = events_session_depth_histogram
+ORACLE_SQL["events_session_depth_histogram"] = SESSION_DEPTH_SQL

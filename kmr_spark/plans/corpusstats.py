@@ -333,3 +333,37 @@ FROM shared
 
 QUERIES["docs_source_divergence_tv"] = docs_source_divergence_tv
 ORACLE_SQL["docs_source_divergence_tv"] = TV_DIVERGENCE_SQL
+
+
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: hapax legomena (tokens occurring
+    exactly once in the source) as a permille of the source's distinct
+    vocabulary — a LOW rate flags templated feeds, a very HIGH one
+    noisy/OCR-ish text. One token-count aggregate, |vocab|-sized."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    counts = (docs.select("source",
+                          F.explode(H.tokens_col("text")).alias("tok"))
+              .groupBy("source", "tok").agg(F.count("*").alias("c")))
+    return (counts.groupBy("source")
+            .agg(F.count("*").alias("vocab"),
+                 F.sum((F.col("c") == 1).cast("long")).alias("hapax"))
+            .selectExpr("source", "vocab", "hapax",
+                        "(1000 * hapax) DIV vocab AS hapax_permille"))
+
+
+HAPAX_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({H.sql_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL),
+counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source, COUNT(*) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       (1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+         AS hapax_permille
+FROM counts GROUP BY source
+"""
+
+
+QUERIES["text_hapax_rate"] = text_hapax_rate
+ORACLE_SQL["text_hapax_rate"] = HAPAX_SQL

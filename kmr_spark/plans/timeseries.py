@@ -983,3 +983,29 @@ FROM dev d JOIN mad ma USING (event_type)
 
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
 ORACLE_SQL["events_anomaly_mad"] = ANOMALY_MAD_SQL
+
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 activity heatmap: events and cents per (day-of-week,
+    hour-of-day) — the first seasonality plot on any ops dashboard.
+    One map-side-combinable aggregate into 168 cells."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.dayofweek("ts").cast("long").alias("dow"),
+                   F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents")))
+
+
+DOW_HOUR_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
+ORACLE_SQL["events_dow_hour_heatmap"] = DOW_HOUR_SQL

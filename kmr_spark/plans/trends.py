@@ -417,3 +417,148 @@ FROM cls GROUP BY abc_class
 
 QUERIES["parts_abc_classification"] = parts_abc_classification
 ORACLE_SQL["parts_abc_classification"] = ABC_SQL
+
+
+def orders_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix and spend by month: share permille of each
+    o_orderpriority per month plus its cents revenue — the SLA-mix
+    report (and the only consumer of o_orderpriority outside TPC-H).
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    monthly = (
+        orders.groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+             .alias("rev_cents")))
+    totals = monthly.groupBy("month").agg(
+        F.sum("n_orders").alias("month_total"))
+    return (
+        monthly.join(totals, "month")
+        .selectExpr("month", "o_orderpriority", "n_orders", "rev_cents",
+                    "(1000 * n_orders) DIV month_total AS share_permille"))
+
+
+PRIORITY_MIX_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2),
+t AS (SELECT month, CAST(SUM(n_orders) AS BIGINT) AS month_total
+      FROM monthly GROUP BY month)
+SELECT monthly.month, o_orderpriority, n_orders, rev_cents,
+       (1000 * n_orders) // month_total AS share_permille
+FROM monthly JOIN t USING (month)
+"""
+
+
+def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time histogram: per-customer gaps between
+    consecutive orders in log2-day buckets — the replenishment-cycle
+    profile behind subscription/repeat forecasting. The lag window
+    partitions per customer (high cardinality).
+    """
+    from kmr_spark.llm_ops.textstats import _floor_log2
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", F.unix_date(F.to_date("o_orderdate")).alias("d"),
+        "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (orders.select(
+        (F.col("d") - F.lag("d").over(w)).alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull()))
+    bucket = _floor_log2(F.col("gap_days") + F.lit(1)).cast("long")
+    return (gaps.groupBy(bucket.alias("gap_bucket"))
+            .agg(F.count("*").alias("n_gaps"),
+                 F.min("gap_days").alias("min_days"),
+                 F.max("gap_days").alias("max_days")))
+
+
+def _interpurchase_sql() -> str:
+    from kmr_spark.llm_ops.textstats import _sql_floor_log2
+
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         o_orderkey
+  FROM orders),
+g AS (
+  SELECT d - LAG(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS gap_days
+  FROM o)
+SELECT CAST({_sql_floor_log2('(gap_days + 1)')} AS BIGINT) AS gap_bucket,
+       COUNT(*) AS n_gaps, MIN(gap_days) AS min_days,
+       MAX(gap_days) AS max_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY gap_bucket
+"""
+
+
+INTERPURCHASE_SQL = _interpurchase_sql()
+
+QUERIES["orders_priority_mix"] = orders_priority_mix
+QUERIES["orders_interpurchase_gaps"] = orders_interpurchase_gaps
+ORACLE_SQL["orders_priority_mix"] = PRIORITY_MIX_SQL
+ORACLE_SQL["orders_interpurchase_gaps"] = INTERPURCHASE_SQL
+
+
+import math as _math
+
+#: Benford expected first-digit shares in permille (floor), computed
+#: once in Python — the single source of truth both engines quote
+_BENFORD_PERMILLE = {d: int(1000 * _math.log10(1 + 1 / d))
+                     for d in range(1, 10)}
+
+
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over value cents: observed vs
+    expected share permille and the integer deviation — the classic
+    fabricated-numbers tripwire. First digit comes from the decimal
+    string (no float log), expectations are precomputed literals.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    pos = ev.filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("long")
+    counts = pos.groupBy(digit.alias("digit")).agg(
+        F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = None
+    for d, p in _BENFORD_PERMILLE.items():
+        expected = (F.when(F.col("digit") == d, F.lit(p)) if expected is None
+                    else expected.when(F.col("digit") == d, F.lit(p)))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("digit", "n",
+                F.expr("(1000 * n) DIV total").alias("observed_permille"),
+                expected.cast("long").alias("benford_permille"))
+        .withColumn("deviation_permille",
+                    F.col("observed_permille") - F.col("benford_permille")))
+
+
+def _benford_sql() -> str:
+    whens = " ".join(f"WHEN digit = {d} THEN {p}"
+                     for d, p in _BENFORD_PERMILLE.items())
+    return f"""
+WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        AS digit FROM c WHERE cents > 0),
+counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       (1000 * n) // (SELECT total FROM t) AS observed_permille,
+       CAST(CASE {whens} END AS BIGINT) AS benford_permille,
+       (1000 * n) // (SELECT total FROM t)
+         - CAST(CASE {whens} END AS BIGINT) AS deviation_permille
+FROM counts
+"""
+
+
+BENFORD_SQL = _benford_sql()
+
+QUERIES["events_value_benford"] = events_value_benford
+ORACLE_SQL["events_value_benford"] = BENFORD_SQL
