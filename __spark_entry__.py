@@ -220,9 +220,13 @@ _DRIVER_CHECKED = frozenset({
 # queries slot in right after and rotate forward next round.
 #
 # ROUND-5 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
-# green), then pin _R5_WINDOW = the 2 deferred round-3 queries
-# (events_rolling_wau, events_user_streaks) + every query added in
-# round 4 + backfill from _DRIVER_CHECKED rotation if short of 50.
+# green), then pin _R5_WINDOW = the 50 never-driver-checked queries at
+# registry positions 50-99 (the 2 deferred round-3 queries
+# events_rolling_wau / events_user_streaks + the 48 round-4 additions)
+# — at round-4 end this is EXACTLY 50 names, a full window with no
+# backfill; list them with
+#   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R4_WINDOW)]
+# Any round-5 additions then need a round-6 rotation.
 _R4_WINDOW = (
     "events_props_extract", "text_bigram_lm",
     "events_session_campaign_overlap", "revenue_grouping_sets",
