@@ -284,3 +284,21 @@ def test_cms_counters_join_is_broadcast(spark):
     from kmr_spark.plans.sketches import events_heavy_users_cms
 
     assert "BroadcastHashJoin" in _plan(events_heavy_users_cms(spark, SF))
+
+
+def test_benford_and_priority_totals_are_broadcast(spark):
+    """Scalar/total sides of the final-batch censuses must broadcast —
+    a shuffle join against a 1-row total would be absurd at scale."""
+    from kmr_spark.plans.trends import events_value_benford
+
+    plan = _plan(events_value_benford(spark, SF))
+    assert ("BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_abc_has_no_global_window(spark):
+    """ABC classification must take its cumulative revenue from the
+    distributed exscan — no Window operator anywhere in the plan."""
+    from kmr_spark.plans.trends import parts_abc_classification
+
+    assert "Window" not in _plan(parts_abc_classification(spark, SF))
