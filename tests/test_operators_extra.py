@@ -88,3 +88,32 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             F.ntile(4).over(w).cast("long").alias("theirs")).collect()
         for r in out:
             assert r.mine == r.theirs, (n, r.rn, r.mine, r.theirs)
+
+
+def test_ranking_per_group_empty_and_single_row(spark):
+    """Degenerate inputs: an empty frame yields an empty ranking; a
+    single row gets rank 0 / n_group 1."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.sort import ranking_per_group
+
+    empty = spark.createDataFrame([], "g string, v long")
+    assert ranking_per_group(empty, ["g"], [F.col("v")]).count() == 0
+
+    one = spark.createDataFrame([("a", 5)], "g string, v long")
+    r = ranking_per_group(one, ["g"], [F.col("v")]).collect()
+    assert [(x.rank, x.n_group) for x in r] == [(0, 1)]
+
+
+def test_asof_join_tie_resolution(spark):
+    """Simultaneous right rows resolve to the largest right_order value
+    — deterministic, engine-independent."""
+    from pyspark.sql import functions as F
+
+    from kmr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 200), (1, 9, 300)], "k long, t long, v long")
+    out = asof_join(left, right, on="t", by="k", right_cols=["v"]).collect()
+    assert out[0]["asof_v"] == 200  # largest v among the t=10 ties
