@@ -104,8 +104,10 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens-per-1000-chars by language — the fertility statistic a
     tokenizer team tracks per language to spot under-served scripts.
     Integer permille, exact in both engines."""
+    # length > 0 keeps char_total > 0 per group — an all-empty-text
+    # language would otherwise hit an integer division by zero
     docs = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("text").isNotNull())
+        F.col("text").isNotNull() & (F.length("text") > 0))
     toks = F.size(H.tokens_col("text")).cast("long")
     return (
         docs.select("lang", toks.alias("n_toks"),
@@ -124,7 +126,7 @@ FERTILITY_SQL = f"""
 WITH t AS (
   SELECT lang, CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_toks,
          CAST(length(text) AS BIGINT) AS n_char
-  FROM documents WHERE text IS NOT NULL),
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
 g AS (
   SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_toks) AS BIGINT) AS tok_total,

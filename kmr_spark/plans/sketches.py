@@ -633,6 +633,9 @@ def events_median_quickselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = ev.agg(F.count("*").alias("n"), F.min("m").alias("lo"),
                      F.max("m").alias("hi")).collect()[0]
         n, lo, hi = row["n"], row["lo"], row["hi"]
+        if not n:  # empty input: no median to select
+            return spark.createDataFrame(
+                [], "n long, k long, median_micros long")
         k = (n + 1) // 2  # rank of the lower median, 1-based
         base_rank = 0     # ranks consumed below the surviving range
         while lo < hi:
