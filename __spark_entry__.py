@@ -209,25 +209,9 @@ _DRIVER_CHECKED = frozenset({
     "sim_ann_ivf_multiprobe", "sim_knn_quantized", "dedup_embedding",
     "text_stats", "text_token_counts", "text_langid", "text_fingerprint",
     "text_quality_filter", "text_tfidf_top_terms", "text_normalize",
-})
-
-
-# The 50 queries targeted at the round-4 gate window (exactly fills
-# the driver's 50-entry check): the two round-3 typed-hash retries
-# (oracle SUM left as HUGEINT — fixed by CAST ... AS BIGINT) first,
-# then 48 of the 50 round-3-fresh queries. Pinning them explicitly
-# keeps queries added later in the round from displacing them; new
-# queries slot in right after and rotate forward next round.
-#
-# ROUND-5 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
-# green), then pin _R5_WINDOW = the 50 never-driver-checked queries at
-# registry positions 50-99 (the 2 deferred round-3 queries
-# events_rolling_wau / events_user_streaks + the 48 round-4 additions)
-# — at round-4 end this is EXACTLY 50 names, a full window with no
-# backfill; list them with
-#   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R4_WINDOW)]
-# Any round-5 additions then need a round-6 rotation.
-_R4_WINDOW = (
+    # round-4 window: the 48 green rows of CORRECTNESS_r04.json (the
+    # full _R4_WINDOW minus the two exact-float entropy fails, which
+    # retry in the round-5 window below after the quantized-log fix)
     "events_props_extract", "text_bigram_lm",
     "events_session_campaign_overlap", "revenue_grouping_sets",
     "events_session_window_native", "events_concurrent_sessions",
@@ -239,7 +223,7 @@ _R4_WINDOW = (
     "lineitem_bloom_prune", "events_scd2_state",
     "events_markov_transitions", "events_ab_test",
     "events_path_trigrams", "events_multitouch_attribution",
-    "events_ab_test_sequential", "events_user_entropy",
+    "events_ab_test_sequential",
     "skew_report_orders", "join_size_estimate", "events_decayed_value",
     "orders_pareto_share", "users_spearman_freq_value",
     "dedup_incremental", "train_split_leakage_safe",
@@ -247,17 +231,62 @@ _R4_WINDOW = (
     "multimodal_image_ahash", "multimodal_scene_cuts", "emb_knn_classify",
     "text_langid_confusion", "text_repetition", "text_contamination",
     "text_vocab_coverage", "dedup_spans", "text_ngram_novelty",
-    "text_token_entropy", "text_pmi_pairs", "text_pii_redact",
+    "text_pmi_pairs", "text_pii_redact",
     "bpe_merge_candidates", "events_value_deciles",
     "events_value_minmax_norm",
+})
+
+
+# The 50 queries targeted at the round-5 gate window (exactly fills
+# the driver's 50-entry check): the two exact-float entropy retries
+# first (r3+r4 hash-fails — raw double Σ c·ln(c) fold + 1-ulp JVM/libm
+# ln() divergence, both fixed in r5 by integer-quantized log terms:
+# floor(ln(x)*1e6) as BIGINT on both sides, verified bit-exact with
+# scripts/check_queries.py --exact at sf0.001/0.01/0.1), then 48 of
+# the 50 never-driver-checked round-4 additions. Pinning them
+# explicitly keeps queries added later in the round from displacing
+# them; new queries slot in right after and rotate forward next round.
+#
+# ROUND-6 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
+# green), then pin _R6_WINDOW = the 2 fresh names deferred this round
+# to make room for the entropy retries — events_dow_hour_heatmap and
+# text_length_histogram (both pure integer-count outputs, judge-sim
+# green, zero float-hash risk — the lowest-risk defers) — plus every
+# round-5 addition (registry position 100+), listed with
+#   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R5_WINDOW)]
+_R5_WINDOW = (
+    "events_user_entropy", "text_token_entropy",
+    "emb_norm_deciles", "events_props_schema_infer",
+    "events_heavy_users_cms", "events_kmv_overlap",
+    "events_median_quickselect", "events_rolling_wau",
+    "events_user_streaks", "events_gap_histogram", "events_peak_rate",
+    "events_ewma_int", "events_funnel_windowed",
+    "events_type_share_drift", "events_anomaly_mad",
+    "events_velocity_features", "events_user_lifecycle",
+    "events_ab_test_cuped", "events_bounce_rate",
+    "events_new_vs_returning", "events_cart_abandonment",
+    "events_retention_day_n", "events_wau_stickiness",
+    "events_session_depth_histogram", "events_trimmed_mean",
+    "events_median_kvs", "profile_documents",
+    "text_tokenizer_fertility", "text_zipf_curve",
+    "docs_lang_source_chi2", "docs_source_divergence_tv",
+    "text_hapax_rate", "orders_monthly_growth",
+    "events_asof_click_attrib", "orders_repeat_cohort",
+    "events_trending_streamed", "lineitem_price_discount_corr",
+    "orders_customer_migration", "parts_abc_classification",
+    "orders_priority_mix", "orders_interpurchase_gaps",
+    "events_value_benford", "emb_ivf_cell_balance", "emb_knn_margin",
+    "emb_centroid_distances", "dedup_band_tuning",
+    "docs_simhash_bit_balance", "docs_dup_rate_by_source",
+    "dedup_degree_histogram", "docs_shingle_saturation",
 )
 
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
-    the pinned round-4 window, then other fresh (post-pin) queries, then
+    the pinned round-5 window, then other fresh (post-pin) queries, then
     already-green entries in reverse registration order."""
-    pinned = [n for n in _R4_WINDOW if n in queries]
+    pinned = [n for n in _R5_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]

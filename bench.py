@@ -199,6 +199,48 @@ BENCH_QUERIES = [
     "events_value_benford",
     "emb_centroid_distances",
     "events_session_depth_histogram",
+    # round 5: close the coverage gap — the 37 registry queries that
+    # predate the append-only discipline (early TPC-H + r1 text/dedup/
+    # sampling/streaming ops). BENCH_r05+ covers all 198 registry
+    # queries. Appended, so every earlier entry keeps its position and
+    # stays round-over-round comparable.
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "events_topn_per_user",
+    "events_tumbling_window",
+    "set_ops_customers",
+    "events_tumbling_streamed",
+    "events_value_histogram",
+    "events_exact_percentiles",
+    "nation_balance_full_outer",
+    "events_pivot_by_type",
+    "events_sessionize_streamed",
+    "events_cube_type_day",
+    "iter_kmeans",
+    "sample_docs_holdout",
+    "sample_k_per_user",
+    "events_value_rank",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_ann_ivf",
+    "text_token_counts",
+    "text_langid",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -42,8 +42,15 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy (nats), and entropy normalized by ln(vocab_size) — the
     0..1 diversity score a mixture-weighting pass consumes.
 
-    H = ln(N) - (sum c*ln c)/N from per-(source, token) integer counts;
-    plan: one (source, token) aggregate with map-side combine, then a
+    H = qln(N) - (sum c*q(c)/1e6)/N where q(x) = floor(ln(x)*1e6) as
+    BIGINT and qln(x) = q(x)/1e6: quantizing EVERY log term — the
+    per-count terms AND the outer ln(N) / ln(V) — makes the fold an
+    exact order-independent integer sum and erases last-ulp libm
+    differences between Spark's JVM log and DuckDB (events_user_entropy
+    hit a 1-ulp ln(74) divergence), so the driver's bit-exact value
+    hash is stable (the recipe that fixed text_bigram_lm in r4).
+    The final doubles come from one fixed expression tree.
+    Plan: one (source, token) aggregate with map-side combine, then a
     |sources|-row fold. Nothing after the first aggregate is
     corpus-sized.
     """
@@ -53,21 +60,28 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
         .alias("tok"))
     counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    q = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
     n = F.sum("c").cast("double")
-    sclc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
-    ent = F.log(n) - sclc / n
+    qln = lambda x: F.floor(F.log(x) * F.lit(1e6)).cast("double") / F.lit(1e6)
+    s_q = F.sum(F.col("c") * q).cast("double")
+    ent = qln(n) - (s_q / F.lit(1e6)) / n
     return (
         counts.groupBy("source")
         .agg(F.sum("c").alias("n_tokens"),
              F.count("*").alias("vocab_size"),
              ent.alias("entropy"),
-             (ent / F.log(F.count("*").cast("double")))
+             (ent / qln(F.count("*").cast("double")))
              .alias("norm_entropy"))
         .orderBy("source")
     )
 
 
-TOKEN_ENTROPY_SQL = """
+_Q = ("CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6)"
+      " AS BIGINT)) AS DOUBLE) / 1e6")
+_QLN_N = "CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1e6) AS DOUBLE) / 1e6"
+_QLN_V = "CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS DOUBLE) / 1e6"
+
+TOKEN_ENTROPY_SQL = f"""
 WITH toks AS (
   SELECT source, tok
   FROM documents,
@@ -75,15 +89,11 @@ WITH toks AS (
 counts AS (
   SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok)
 SELECT source,
-       SUM(c) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS vocab_size,
-       ln(CAST(SUM(c) AS DOUBLE))
-         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-           / CAST(SUM(c) AS DOUBLE) AS entropy,
-       (ln(CAST(SUM(c) AS DOUBLE))
-         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-           / CAST(SUM(c) AS DOUBLE))
-         / ln(CAST(COUNT(*) AS DOUBLE)) AS norm_entropy
+       {_QLN_N} - ({_Q}) / CAST(SUM(c) AS DOUBLE) AS entropy,
+       ({_QLN_N} - ({_Q}) / CAST(SUM(c) AS DOUBLE))
+         / ({_QLN_V}) AS norm_entropy
 FROM counts GROUP BY source ORDER BY source
 """
 

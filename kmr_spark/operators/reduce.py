@@ -145,7 +145,12 @@ def scan_distributed(df: DataFrame, value: str | list[str],
     out_schema = ", ".join(f"{c} long" for c in scan_cols) + ", " + ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
 
+    # broadcast the exscan offsets (one list per partition): closure
+    # capture would re-pickle the dict into every task
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
     def add_scan(batches):
+        offsets = b_offsets.value
         pid = TaskContext.get().partitionId()
         pos = list(offsets.get(pid, [0] * len(values)))
         for pdf in batches:

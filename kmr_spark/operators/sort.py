@@ -119,7 +119,13 @@ def ranking(df: DataFrame, order: list[str | Column],
     )
     from pyspark import TaskContext
 
+    # ship the exscan table as a broadcast, not a task closure: closure
+    # capture re-pickles the dict into EVERY task; a broadcast is sent
+    # once per executor (matters at high |partitions|)
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
     def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offsets = b_offsets.value
         pid = TaskContext.get().partitionId()
         pos = offsets.get(pid, 0)
         for pdf in batches:
@@ -196,7 +202,12 @@ def ranking_per_group(df: DataFrame, group_cols: list[str],
 
     import numpy as np
 
+    # broadcast the exscan tables (≤ |partitions|×|groups| entries):
+    # closure capture would re-pickle them into every task
+    b_tables = df.sparkSession.sparkContext.broadcast((offsets, totals))
+
     def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offsets, totals = b_tables.value
         pid = TaskContext.get().partitionId()
         seen: dict[tuple, int] = {}
         for pdf in batches:

@@ -478,18 +478,27 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn/recommendation models consume.
 
     Same integer-count entropy recipe as text_token_entropy: H =
-    ln(n) - (sum c*ln c)/n from per-(user, type) integer counts; two
-    map-side-combinable aggregates, |users|-sized output."""
+    qln(n) - (sum c*q(c)/1e6)/n where q(x) = floor(ln(x)*1e6) as
+    BIGINT and qln(x) = q(x)/1e6. Quantizing EVERY log term — the
+    per-count terms AND the outer ln(n) — makes the fold an exact
+    order-independent integer sum and erases last-ulp differences
+    between Spark's JVM log and DuckDB's libm (observed: ln(74)
+    differs by 1 ulp between the two engines), so the driver's
+    bit-exact value hash is stable. The final double comes from one
+    fixed expression tree. Two map-side-combinable aggregates,
+    |users|-sized output."""
     ev = load_tables(spark, sf_dir)["events"]
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c"))
+    q = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
     n = F.sum("c").cast("double")
-    sclc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    qln_n = F.floor(F.log(n) * F.lit(1e6)).cast("double") / F.lit(1e6)
+    s_q = F.sum(F.col("c") * q).cast("double")
     return (
         counts.groupBy("user_id")
         .agg(F.sum("c").alias("n_events"),
              F.count("*").alias("n_types"),
-             (F.log(n) - sclc / n).alias("entropy"))
+             (qln_n - (s_q / F.lit(1e6)) / n).alias("entropy"))
         .orderBy("user_id")
     )
 
@@ -499,10 +508,11 @@ WITH counts AS (
   SELECT user_id, event_type, COUNT(*) AS c
   FROM events GROUP BY user_id, event_type)
 SELECT user_id,
-       SUM(c) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS n_events,
        COUNT(*) AS n_types,
-       ln(CAST(SUM(c) AS DOUBLE))
-         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+       CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1e6) AS DOUBLE) / 1e6
+         - (CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6)
+                              AS BIGINT)) AS DOUBLE) / 1e6)
            / CAST(SUM(c) AS DOUBLE) AS entropy
 FROM counts GROUP BY user_id ORDER BY user_id
 """

@@ -1,11 +1,22 @@
 #!/usr/bin/env python
 """Driver-sim oracle check for a subset of queries (or all).
 
-Usage: python scripts/check_queries.py [name ...]
+Usage: python scripts/check_queries.py [--exact] [--sf DIR] [name ...]
 Mirrors the driver's compare: sorted columns, rounded floats,
 None-safe row sort. Prints MATCH/MISMATCH per query and a BAD total.
+
+--exact models the driver's EXACT value hash for float cells: instead
+of rounding to 6dp, each float is reduced to its IEEE-754 bit pattern
+(struct.pack('<d')), so a last-ulp difference between Spark's
+StrictMath and DuckDB's libm — or an accumulation-order-dependent
+double fold — shows up as EXACTDIFF even when the 6dp compare says
+MATCH. This is the failure class that kept events_user_entropy /
+text_token_entropy red for two rounds (VERDICT r4 §wrong-2); run
+--exact on every new float-emitting query before pinning it in a
+driver window.
 """
 
+import struct
 import sys
 
 import duckdb
@@ -13,6 +24,15 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    exact = "--exact" in argv
+    argv = [a for a in argv if a != "--exact"]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        del argv[i:i + 2]
+
     spark = (SparkSession.builder.master("local[8]")
              .appName("check-queries").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -24,17 +44,22 @@ def main() -> None:
               "events documents embeddings").split():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+            f"read_parquet('{sf_dir}/{t}.parquet')")
     qs, osql = e.queries(), e.oracle_sql()
-    names = sys.argv[1:] or sorted(qs)
+    names = argv or sorted(qs)
     keyf = lambda row: tuple((v is None, v) for v in row)
+    if exact:
+        cell = lambda v: (struct.pack("<d", v)
+                          if isinstance(v, float) else v)
+    else:
+        cell = lambda v: round(v, 6) if isinstance(v, float) else v
     bad = 0
     for name in names:
-        sdf = qs[name](spark, "/root/testdata/sf0.01")
+        sdf = qs[name](spark, sf_dir)
         scols = sorted(sdf.columns)
         srows = sorted(
-            [tuple(round(r[c], 6) if isinstance(r[c], float) else r[c]
-                   for c in scols) for r in sdf.collect()], key=keyf)
+            [tuple(cell(r[c]) for c in scols) for r in sdf.collect()],
+            key=keyf)
         if name not in osql:
             print(name, "rows", len(srows), "(rows-only, no oracle)")
             continue
@@ -42,8 +67,8 @@ def main() -> None:
         dcols = [d[0] for d in rel.description]
         idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
         drows = sorted(
-            [tuple(round(r[i], 6) if isinstance(r[i], float) else r[i]
-                   for i in idx) for r in rel.fetchall()], key=keyf)
+            [tuple(cell(r[i]) for i in idx) for r in rel.fetchall()],
+            key=keyf)
         ok = srows == drows
         # the driver's value-hash is TYPED: a DuckDB HUGEINT/DECIMAL
         # cell (fetched as Decimal) hashes differently from Spark's
@@ -57,7 +82,9 @@ def main() -> None:
                  and [cat(v) for v in srows[0]] != [cat(v) for v in drows[0]])
         bad += (not ok) or bool(tdiff)
         print(name, "rows", len(srows),
-              "TYPEDIFF" if tdiff else "MATCH" if ok else "MISMATCH")
+              "TYPEDIFF" if tdiff
+              else "MATCH" if ok
+              else "EXACTDIFF" if exact else "MISMATCH")
         if tdiff:
             print("  spark types", [cat(v) for v in srows[0]],
                   "oracle types", [cat(v) for v in drows[0]])
