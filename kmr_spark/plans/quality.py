@@ -155,7 +155,7 @@ def events_gate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GS_TYPES = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
-GATE_STREAMED_SQL = f"""
+GATE_STREAMED_SQL = rf"""
 WITH corrupted AS (
   SELECT event_id, ts, user_id,
          CASE WHEN event_id % 97 = 0 THEN 'bogus' ELSE event_type END

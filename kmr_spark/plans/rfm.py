@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, sized_shuffle_partitions
 
 
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,14 +45,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the dataset max date == max of the per-customer maxes, so derive
     # it from the (persisted, customer-sized) aggregate — broadcasting
-    # an agg over raw orders would cost a second full orders scan
-    maxd = pc0.agg(F.max("last_day").alias("d"))
-    per_cust = (
-        pc0.crossJoin(F.broadcast(maxd))
-        .select("o_custkey",
-                F.datediff("d", "last_day").cast("long").alias("recency_days"),
-                "freq", "mon")
-    )
+    # an agg over raw orders would cost a second full orders scan. The
+    # same one-row job also yields |customers|, which sizes the rank
+    # path's shuffle below — two scalars for the price of one job.
+    stats = pc0.agg(F.max("last_day").alias("d"),
+                    F.count("*").alias("nc")).collect()[0]
+    per_cust = pc0.select(
+        "o_custkey",
+        F.datediff(F.lit(stats["d"]), "last_day").cast("long")
+        .alias("recency_days"),
+        "freq", "mon")
 
     # ONE exscan ranking for all three metrics: stack the customer
     # table three times tagged by metric, encode the two DESC orders
@@ -60,7 +62,11 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metric as the group key. One sort + one tiny count-collect + one
     # narrow Arrow pass instead of three of each — same distributed
     # shape (each metric's ranks spread over the whole cluster), ~3x
-    # cheaper in fixed job cost.
+    # cheaper in fixed job cost. The whole rank-to-census pipeline runs
+    # under a row-count-sized shuffle width: at sf0.1 the 3x|customers|
+    # stack is ~45k rows and 32-wide shuffles are pure task overhead; at
+    # real scale the formula clamps back to the session default, so the
+    # distributed shape is unchanged (see sized_shuffle_partitions).
     sk = lambda c: c.cast("decimal(18,2)").alias("sk")
     stacked = (
         per_cust.select(F.lit("r").alias("metric"), "o_custkey",
@@ -70,29 +76,33 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(per_cust.select(F.lit("m").alias("metric"), "o_custkey",
                                   sk(-F.col("mon"))))
     )
-    caches: list[DataFrame] = []
-    ranked = ranking_per_group(
-        stacked, ["metric"], [F.col("sk").asc(), F.col("o_custkey").asc()],
-        cache_registry=caches)
-    score = ntile_from_rank(F.col("rank") + F.lit(1), F.col("n_group"), 4)
-    scored = (
-        ranked.select("metric", "o_custkey", "sk", score.alias("q"))
-        .groupBy("o_custkey")
-        .agg(F.max(F.when(F.col("metric") == "r", F.col("q"))).alias("r"),
-             F.max(F.when(F.col("metric") == "f", F.col("q"))).alias("f"),
-             F.max(F.when(F.col("metric") == "m", F.col("q"))).alias("m"),
-             F.max(F.when(F.col("metric") == "m", -F.col("sk")))
-             .alias("mon"))
-    )
-    out = (
-        scored.groupBy("r", "f", "m")
-        .agg(F.count("*").alias("n_customers"),
-             F.sum("mon").cast("double").alias("total_spend"))
-        .orderBy("r", "f", "m")
-    )
     from kmr_spark.session import materialize_release
 
-    return materialize_release(out, pc0, *caches)
+    with sized_shuffle_partitions(spark, n_rows=3 * stats["nc"]):
+        caches: list[DataFrame] = []
+        ranked = ranking_per_group(
+            stacked, ["metric"],
+            [F.col("sk").asc(), F.col("o_custkey").asc()],
+            cache_registry=caches)
+        score = ntile_from_rank(F.col("rank") + F.lit(1), F.col("n_group"), 4)
+        scored = (
+            ranked.select("metric", "o_custkey", "sk", score.alias("q"))
+            .groupBy("o_custkey")
+            .agg(F.max(F.when(F.col("metric") == "r", F.col("q"))).alias("r"),
+                 F.max(F.when(F.col("metric") == "f", F.col("q"))).alias("f"),
+                 F.max(F.when(F.col("metric") == "m", F.col("q"))).alias("m"),
+                 F.max(F.when(F.col("metric") == "m", -F.col("sk")))
+                 .alias("mon"))
+        )
+        out = (
+            scored.groupBy("r", "f", "m")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("mon").cast("double").alias("total_spend"))
+            .orderBy("r", "f", "m")
+        )
+        # materialize INSIDE the sized block: localCheckpoint executes
+        # the plan, so the final pass must run at the pinned width too
+        return materialize_release(out, pc0, *caches)
 
 
 RFM_SQL = """
