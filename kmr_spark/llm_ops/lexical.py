@@ -146,10 +146,15 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs = pair_counts.agg(F.sum("n_pair").alias("np"))
     ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
-    pmi = F.log(
-        (F.col("n_pair").cast("double") / F.col("np"))
-        / ((F.col("c_a").cast("double") / F.col("nt"))
-           * (F.col("c_b").cast("double") / F.col("nt"))))
+    # pmi = ln(n_pair·nt²/(np·c_a·c_b)) decomposed into per-integer-
+    # count QUANTIZED logs (q(x) = floor(ln(x)*1e6) as BIGINT) combined
+    # in integer space, then one division — bit-stable across engines
+    # (raw ln of the assembled ratio differs in the last ulp between
+    # JVM log and libm; the events_user_entropy recipe)
+    q = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1e6))
+    pmi = ((q(F.col("n_pair")) + F.lit(2) * q(F.col("nt")) - q(F.col("np"))
+            - q(F.col("c_a")) - q(F.col("c_b"))).cast("double")
+           / F.lit(1e6))
     return (
         pair_counts.filter(F.col("n_pair") >= PMI_MIN_COUNT)
         .join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
@@ -179,9 +184,12 @@ tot AS (
   SELECT (SELECT SUM(c) FROM uni) AS nt,
          (SELECT SUM(n_pair) FROM pair_counts) AS np)
 SELECT p.a, p.b, p.n_pair,
-       ln((CAST(p.n_pair AS DOUBLE) / t.np)
-          / ((CAST(ua.c AS DOUBLE) / t.nt)
-             * (CAST(ub.c AS DOUBLE) / t.nt))) AS pmi
+       CAST(CAST(floor(ln(CAST(p.n_pair AS DOUBLE)) * 1e6) AS BIGINT)
+            + 2 * CAST(floor(ln(CAST(t.nt AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(floor(ln(CAST(t.np AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(floor(ln(CAST(ua.c AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(floor(ln(CAST(ub.c AS DOUBLE)) * 1e6) AS BIGINT)
+            AS DOUBLE) / 1e6 AS pmi
 FROM pair_counts p
 JOIN uni ua ON p.a = ua.tok
 JOIN uni ub ON p.b = ub.tok

@@ -106,17 +106,23 @@ def sql_bucket(key_expr: str, salt: int = 0) -> str:
 
 def weighted_sample_key(key: Column, weight: Column, salt: int = 0) -> Column:
     """Efraimidis–Spirakis (2006) weighted-reservoir key: the k rows
-    with the LARGEST ``ln(u)/w`` (u = a deterministic uniform in (0,1]
+    with the LARGEST ``qln(u)/w`` (u = a deterministic uniform in (0,1]
     from the row's hash, w > 0 the row weight) are an exact weighted
-    sample without replacement. ln(u)/w is order-equivalent to the
-    paper's u^(1/w) but avoids pow(); both engines compute the same
-    doubles because u is an exact integer ratio and ln/division are
-    IEEE-deterministic for identical inputs."""
+    sample without replacement. qln(u)/w is order-equivalent to the
+    paper's u^(1/w) but avoids pow(), and the log is QUANTIZED —
+    qln(x) = floor(ln(x)*1e9)/1e9 — because Spark's JVM log and
+    DuckDB's libm can differ in the last ulp for identical inputs
+    (the events_user_entropy lesson); u itself is an exact integer
+    ratio and the remaining divisions are IEEE-identical fixed trees.
+    1e-9 key quantization cannot reorder draws except at ties the
+    caller already breaks by key."""
     u = (hash_bucket(key, salt) + 1).cast("double") / float(_P_MOD + 1)
-    return F.log(u) / weight
+    return (F.floor(F.log(u) * F.lit(1e9)).cast("double")
+            / F.lit(1e9) / weight)
 
 
 def sql_weighted_key(key_expr: str, weight_expr: str, salt: int = 0) -> str:
     """Oracle twin of :func:`weighted_sample_key`."""
-    return (f"ln(CAST(({sql_bucket(key_expr, salt)}) + 1 AS DOUBLE)"
-            f" / {float(_P_MOD + 1)!r}) / ({weight_expr})")
+    return (f"CAST(floor(ln(CAST(({sql_bucket(key_expr, salt)}) + 1"
+            f" AS DOUBLE) / {float(_P_MOD + 1)!r}) * 1e9) AS DOUBLE)"
+            f" / 1e9 / ({weight_expr})")

@@ -72,26 +72,33 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before indexing/training: for each of the 64 dimensions, the count,
     mean, and variance of that coordinate.
 
-    Exactness: per-value float->DECIMAL(20,12) casts are deterministic,
-    DECIMAL sums are order-free, and variance uses the single fixed
-    form (n*Q - S^2)/n^2 computed from the decimal moments, so both
-    engines produce identical doubles. Plan shape: one posexplode (the
+    Exactness: each coordinate is INTEGER-QUANTIZED at the scan —
+    vq = floor(v*1e6) as BIGINT (float32 inputs carry ~1e-7 relative
+    precision, so 1e-6 quantization is below the data's own noise) —
+    and both moments are exact order-free integer sums (the squares
+    accumulate in DECIMAL(38,0)/HUGEINT so a trillion-row dimension
+    can't overflow); mean/variance come from one fixed double
+    expression tree. The previous DECIMAL(20,12) form was NOT
+    bit-stable: Spark truncates the v*v product to scale 21 (38-digit
+    cap) while DuckDB keeps scale 24, a last-ulp variance divergence
+    the exact-float sweep caught. Plan shape: one posexplode (the
     corpus read) into a 64-key aggregate — map-side combinable, the
     shuffle carries 64 rows per partition.
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
     vals = emb.select(F.posexplode(
         F.transform(F.col("embedding"),
-                    lambda x: x.cast("double").cast("decimal(20,12)"))
-    ).alias("dim", "v"))
+                    lambda x: F.floor(x.cast("double") * F.lit(1e6)))
+    ).alias("dim", "vq"))
     stats = vals.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("q"))
-    mean = (F.col("s").cast("double") / F.col("n"))
-    var = ((F.col("n").cast("double") * F.col("q").cast("double")
-            - F.col("s").cast("double") * F.col("s").cast("double"))
-           / (F.col("n").cast("double") * F.col("n").cast("double")))
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("q"))
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    q_d = F.col("q").cast("double")
+    mean = s_d / F.lit(1e6) / n_d
+    var = (n_d * q_d - s_d * s_d) / (n_d * n_d) / F.lit(1e12)
     return (
         stats.select(F.col("dim").cast("long").alias("dim"), "n",
                      mean.alias("mean"), var.alias("variance"))
@@ -102,16 +109,17 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM_STATS_SQL = """
 WITH vals AS (
   SELECT CAST(i - 1 AS BIGINT) AS dim,
-         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12)) AS v
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS vq
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
 stats AS (
-  SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+  SELECT dim, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS s,
+         SUM(CAST(vq AS HUGEINT) * vq) AS q
   FROM vals GROUP BY dim)
 SELECT dim, n,
-       CAST(s AS DOUBLE) / n AS mean,
+       CAST(s AS DOUBLE) / 1e6 / n AS mean,
        (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS variance
 FROM stats ORDER BY dim
 """
 
