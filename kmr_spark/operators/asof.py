@@ -40,15 +40,27 @@ def asof_join(
     right_cols: list[str],
     left_key: str | None = None,
     right_order: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[on] <= left[on]`` within the same ``by`` group (NULLs when
-    no prior right row exists).
+    """For each left row, attach the matching right row within the same
+    ``by`` group (NULLs when none exists):
+
+    - ``direction="backward"`` (default): the LATEST right row with
+      ``right[on] <= left[on]`` — most-recent-prior semantics. Ties
+      among simultaneous right rows resolve to the LARGEST
+      ``right_order`` value.
+    - ``direction="forward"``: the EARLIEST right row with
+      ``right[on] >= left[on]`` — next-event semantics (time-to-next-
+      purchase, SLA clocks). Ties resolve to the SMALLEST
+      ``right_order`` value. Same union-window plan, with the frame
+      flipped to (current row, unbounded following) and the tag order
+      reversed so an equal-time right row still matches.
 
     ``on`` must be orderable; right rows at exactly the same time match
-    (tag 0 sorts before the left row's tag 1). Ties among simultaneous
-    right rows resolve to the largest ``right_order`` value.
+    in both directions.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lcols = left.columns
     rdt = dict(right.dtypes)
     ldt = dict(left.dtypes)
@@ -78,14 +90,28 @@ def asof_join(
             if c not in (by, on) and c not in r_tag.columns:
                 r_tag = r_tag.withColumn(c, F.lit(None).cast(ldt[c]))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__tag").asc(), F.col("__rord").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__tag").asc(),
+                     F.col("__rord").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(f"__r_{c}", ignorenulls=True).over(w)
+    else:
+        # left rows (tag 1) sort BEFORE right rows (tag 0) at the same
+        # time, so an equal-time right row sits inside the following
+        # frame; first() then grabs the earliest / smallest-__rord one
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__tag").desc(),
+                     F.col("__rord").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(f"__r_{c}", ignorenulls=True).over(w)
     filled = u.select(
         "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
+        *[pick(c).alias(f"__m_{c}") for c in right_cols],
     )
     matched = filled.filter(F.col("__tag") == 1)
     if left_key:

@@ -101,6 +101,58 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.c_us
 """
 
 
+def events_asof_forward_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->NEXT-purchase SLA clock: each click is joined to the
+    user's EARLIEST purchase at-or-after it via the as-of operator's
+    forward direction (operators/asof.py — same union+keyed-window
+    plan, frame flipped; ONE shuffle, no range self-join), kept when
+    within tolerance. The lead depends only on the purchase timestamp,
+    so simultaneous-purchase ties cannot affect the output and the
+    DuckDB oracle (ASOF JOIN on negated keys — DuckDB only looks
+    backward) is exact.
+    """
+    from kmr_spark.operators.asof import asof_join
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", F.col("us").alias("p_us"))
+    joined = asof_join(clicks, purchases, on="us", by="user_id",
+                       right_cols=["p_us"], left_key="event_id",
+                       direction="forward")
+    lim = ASOF_TOLERANCE_S * 1_000_000
+    within = (F.col("asof_p_us").isNotNull()
+              & ((F.col("asof_p_us") - F.col("us")) <= lim))
+    return joined.select(
+        "event_id", "user_id",
+        F.when(within, F.expr("(asof_p_us - us) DIV 1000000"))
+        .alias("lead_s"),
+        within.alias("converted"))
+
+
+ASOF_FORWARD_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+c AS (SELECT event_id, user_id, us, -us AS neg_us FROM e
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, us AS p_us, -us AS neg_us FROM e
+      WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       CASE WHEN p.p_us IS NOT NULL
+             AND p.p_us - c.us <= {ASOF_TOLERANCE_S * 1_000_000}
+            THEN (p.p_us - c.us) // 1000000 END AS lead_s,
+       coalesce(p.p_us IS NOT NULL
+                AND p.p_us - c.us <= {ASOF_TOLERANCE_S * 1_000_000}, FALSE)
+         AS converted
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.neg_us >= p.neg_us
+"""
+
+
 def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase cohort triangle: customers grouped by first-order
     month, tracked by month offset — how many of each cohort order
@@ -145,8 +197,10 @@ GROUP BY m0, month_offset
 
 
 QUERIES["events_asof_click_attrib"] = events_asof_click_attrib
+QUERIES["events_asof_forward_sla"] = events_asof_forward_sla
 QUERIES["orders_repeat_cohort"] = orders_repeat_cohort
 ORACLE_SQL["events_asof_click_attrib"] = ASOF_ATTRIB_SQL
+ORACLE_SQL["events_asof_forward_sla"] = ASOF_FORWARD_SQL
 ORACLE_SQL["orders_repeat_cohort"] = REPEAT_COHORT_SQL
 
 
