@@ -136,7 +136,61 @@ ORDER BY join_name
 """
 
 
+def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join demonstration under the oracle gate: events (the
+    big, potentially hot-keyed side) joined to a per-user spend dim via
+    operators/skew.salted_join — the dim is replicated n_salts ways,
+    every event picks a deterministic content-hash salt, and the join
+    runs on (user_id, salt) so one viral user's rows spread across
+    n_salts tasks instead of one straggler. A merge hint pins the
+    sort-merge path (salting exists precisely for the
+    broadcast-infeasible case; with broadcast available you would just
+    broadcast). Salting is semantically transparent, so the oracle is
+    the PLAIN join — the gate proves no rows are lost or duplicated by
+    the rewrite. Output: per-event-type totals of joined dim values.
+    """
+    from kmr_spark.operators.skew import salted_join
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    dim = (ev.groupBy("user_id")
+           .agg(F.sum("cents").alias("user_cents"),
+                F.count("*").alias("user_events")))
+    # the merge hint rides the BIG side (a hint on the dim would be
+    # erased by the crossJoin replication inside salted_join)
+    joined = salted_join(ev.hint("merge"), dim, "user_id", n_salts=8,
+                         salt_cols=["event_id"])
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("user_cents").alias("sum_user_cents"),
+             F.sum("user_events").alias("sum_user_events"))
+        .orderBy("event_type")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+dim AS (
+  SELECT user_id, CAST(SUM(cents) AS BIGINT) AS user_cents,
+         COUNT(*) AS user_events
+  FROM e GROUP BY user_id)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(d.user_cents) AS BIGINT) AS sum_user_cents,
+       CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+FROM e JOIN dim d USING (user_id)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES = {"skew_report_orders": skew_report_orders,
-           "join_size_estimate": join_size_estimate}
+           "join_size_estimate": join_size_estimate,
+           "events_salted_user_join": events_salted_user_join}
 ORACLE_SQL = {"skew_report_orders": SKEW_REPORT_SQL,
-              "join_size_estimate": JOIN_SIZE_SQL}
+              "join_size_estimate": JOIN_SIZE_SQL,
+              "events_salted_user_join": SALTED_JOIN_SQL}

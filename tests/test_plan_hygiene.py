@@ -302,3 +302,16 @@ def test_abc_has_no_global_window(spark):
     from kmr_spark.plans.trends import parts_abc_classification
 
     assert "Window" not in _plan(parts_abc_classification(spark, SF))
+
+
+def test_salted_user_join_is_sort_merge_on_salted_key(spark):
+    """The salted-join demo must actually exercise the salted SMJ path:
+    a SortMergeJoin whose key set includes the salt column (the hot-key
+    splitting property), and the events side must NOT be broadcast.
+    The only broadcast allowed is the n_salts-row range used to
+    replicate the dim."""
+    from kmr_spark.plans.diagnostics import events_salted_user_join
+
+    plan = _plan(events_salted_user_join(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan  # join key carries the salt
