@@ -651,3 +651,210 @@ FROM cents a JOIN cents b ON a.cent_id < b.cent_id
 
 QUERIES["emb_centroid_distances"] = emb_centroid_distances
 ORACLE_SQL["emb_centroid_distances"] = CENTROID_DIST_SQL
+
+
+# -- signed-random-projection (SRP) family: the THIRD LSH flavor      --
+# -- (MinHash = Jaccard, band-hash = exact, SRP = cosine) plus the    --
+# -- Johnson-Lindenstrauss scale path it shares machinery with        --
+
+#: projected dimensions for the JL distortion census
+RP_DIMS = 16
+#: hyperplanes per SRP signature (256 buckets — sized so the synthetic
+#: corpus actually yields candidate pairs; at 100 TB you raise planes
+#: and band like dedup_band_tuning measures)
+SRP_PLANES = 8
+#: Knuth multiplicative constant + Mersenne modulus for the
+#: deterministic +-1 hyperplane weights (positive everywhere, so both
+#: engines' % agree)
+_RP_A = 2654435761
+_RP_P = 2147483647
+
+
+def _rp_sign(h: str, d: str) -> str:
+    """SQL (Spark == DuckDB dialect subset) for the deterministic ±1
+    weight of hyperplane ``h`` at dimension ``d``."""
+    return f"(1 - 2 * ((({h} * 64 + {d} + 1) * {_RP_A}) % {_RP_P} % 2))"
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion census: project every embedding
+    64 -> RP_DIMS with deterministic ±1 hyperplanes (Achlioptas 2003 —
+    database-friendly random projections) over 1e-6-quantized
+    coordinates, then report how well projected norms track true norms:
+    distortion_permille = (1000·Σ proj²) / (RP_DIMS·Σ v²), bucketed by
+    50-permille bins. ~1000 = the JL guarantee working; the census is
+    the measurement that justifies running ANN on 4x fewer dimensions.
+
+    All arithmetic is exact integers (±1 weights from an affine hash,
+    quantized coordinates, integer sums; (125·sp) DIV (2·sq) ==
+    (1000·sp)/(16·sq) as rationals so both engines truncate alike).
+    Plan: narrow per-row array expressions at the scan + one
+    |buckets|-sized aggregate — map-only at 100 TB, the JL scale path.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding,"
+               " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .alias("vq"))
+    proj = q.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {RP_DIMS - 1}), h ->"
+            " aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),"
+            f" (acc, d) -> acc + {_rp_sign('h', 'd')}"
+            " * element_at(vq, d + 1)))").alias("p"),
+        F.expr("aggregate(vq, CAST(0 AS BIGINT),"
+               " (acc, x) -> acc + x * x)").alias("sq"))
+    scored = proj.select(
+        "vec_id",
+        F.expr("aggregate(p, CAST(0 AS BIGINT),"
+               " (acc, x) -> acc + x * x)").alias("sp"),
+        "sq")
+    return (
+        scored.select(
+            F.expr(f"((125 * sp) DIV (2 * sq)) DIV 50").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+RP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+  FROM embeddings),
+proj AS (
+  SELECT vec_id, h,
+         CAST(SUM({_rp_sign('h', 'd')} * vq[d + 1]) AS BIGINT) AS p
+  FROM q,
+       unnest(range(0, {RP_DIMS})) AS th(h),
+       unnest(range(0, len(vq))) AS td(d)
+  GROUP BY vec_id, h),
+norms AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(vq, x -> x * x)),
+              (acc, x) -> acc + x) AS BIGINT) AS sq
+  FROM q),
+scored AS (
+  SELECT p.vec_id, CAST(SUM(p.p * p.p) AS BIGINT) AS sp, n.sq
+  FROM proj p JOIN norms n USING (vec_id)
+  GROUP BY p.vec_id, n.sq)
+SELECT ((125 * sp) // (2 * sq)) // 50 AS bucket,
+       COUNT(*) AS n_vectors
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES["emb_random_projection"] = emb_random_projection
+ORACLE_SQL["emb_random_projection"] = RP_SQL
+
+
+def emb_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH cosine candidate generation: every vector gets an
+    SRP_PLANES-bit signature (sign of the projection onto each
+    deterministic hyperplane); candidate pairs = same signature,
+    verified by the EXACT quantized cosine test 100·dot² >= 64·na·nb
+    (cos >= 0.8, no sqrt — squares compared in DECIMAL/HUGEINT so
+    nothing overflows). Emits every candidate with its exact integer
+    dot and norms plus the verification verdict — the third LSH family
+    next to MinHash (Jaccard) and band-hash (exact), Charikar 2002.
+
+    Plan: signature is a narrow scan expression; the self-join keys on
+    the signature (bucketed, NEVER all-pairs — pair volume is
+    Σ C(bucket,2), measurable beforehand exactly like
+    dedup_band_tuning); the verify dot runs only on candidates.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding,"
+               " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .alias("vq"))
+    sig = q.select(
+        "vec_id", "vq",
+        F.expr(
+            f"aggregate(sequence(0, {SRP_PLANES - 1}), CAST(0 AS BIGINT),"
+            " (acc, h) -> acc + CASE WHEN"
+            " aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),"
+            f"  (a2, d) -> a2 + {_rp_sign('h', 'd')}"
+            "  * element_at(vq, d + 1)) >= 0"
+            " THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END)").alias("sig"),
+        F.expr("aggregate(vq, CAST(0 AS BIGINT),"
+               " (acc, x) -> acc + x * x)").alias("nrm"))
+    a = sig.select(F.col("vec_id").alias("a"), F.col("vq").alias("vqa"),
+                   F.col("nrm").alias("na"), "sig")
+    b = sig.select(F.col("vec_id").alias("b"), F.col("vq").alias("vqb"),
+                   F.col("nrm").alias("nb"), "sig")
+    pairs = (
+        a.join(b, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", "na", "nb",
+            F.expr("aggregate(zip_with(vqa, vqb, (x, y) -> x * y),"
+                   " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .alias("dot"))
+    )
+    near = (
+        (F.col("dot") > 0)
+        & (F.lit(100).cast("decimal(38,0)") * F.col("dot").cast("decimal(38,0)")
+           * F.col("dot").cast("decimal(38,0)")
+           >= F.lit(64).cast("decimal(38,0)")
+           * F.col("na").cast("decimal(38,0)")
+           * F.col("nb").cast("decimal(38,0)")))
+    return (pairs.select("a", "b", "dot", "na", "nb", near.alias("near"))
+            .orderBy("a", "b"))
+
+
+SRP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+  FROM embeddings),
+proj AS (
+  SELECT vec_id, h,
+         CAST(SUM({_rp_sign('h', 'd')} * vq[d + 1]) AS BIGINT) AS p
+  FROM q,
+       unnest(range(0, {SRP_PLANES})) AS th(h),
+       unnest(range(0, len(vq))) AS td(d)
+  GROUP BY vec_id, h),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p >= 0
+                  THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig
+  FROM proj GROUP BY vec_id),
+norms AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(vq, x -> x * x)),
+              (acc, x) -> acc + x) AS BIGINT) AS nrm
+  FROM q),
+pairs AS (
+  SELECT sa.vec_id AS a, sb.vec_id AS b
+  FROM sigs sa JOIN sigs sb
+    ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
+dots AS (
+  SELECT p.a, p.b,
+         CAST(SUM(qa.vq[d + 1] * qb.vq[d + 1]) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN q qa ON qa.vec_id = p.a
+  JOIN q qb ON qb.vec_id = p.b,
+       unnest(range(0, len(qa.vq))) AS td(d)
+  GROUP BY p.a, p.b)
+SELECT d.a, d.b, d.dot, na.nrm AS na, nb.nrm AS nb,
+       (d.dot > 0 AND
+        100 * CAST(d.dot AS HUGEINT) * d.dot
+          >= 64 * CAST(na.nrm AS HUGEINT) * nb.nrm) AS near
+FROM dots d
+JOIN norms na ON na.vec_id = d.a
+JOIN norms nb ON nb.vec_id = d.b
+ORDER BY d.a, d.b
+"""
+
+
+QUERIES["emb_srp_candidates"] = emb_srp_candidates
+ORACLE_SQL["emb_srp_candidates"] = SRP_SQL

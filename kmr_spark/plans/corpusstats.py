@@ -369,3 +369,69 @@ FROM counts GROUP BY source
 
 QUERIES["text_hapax_rate"] = text_hapax_rate
 ORACLE_SQL["text_hapax_rate"] = HAPAX_SQL
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability census: Flesch reading-ease in integer
+    MILLI-points from corpus totals — words, sentences ([.!?] runs),
+    and a syllable proxy (vowel runs, the standard cheap estimator).
+    flesch_milli = 206835 - (1015*words) DIV sentences
+                          - (84600*syllables) DIV words, all integer
+    division (truncation identical in both engines), GREATEST(_,1)
+    guards empty denominators. The curation use: a source whose score
+    collapses is boilerplate/code, one that explodes is word salad.
+
+    Plan: three regexp/split counts evaluated AT THE SCAN (map-only,
+    codegen'd), one |sources|-sized aggregate with map-side combine —
+    at 100 TB the text column never shuffles.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    per_doc = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long").alias("w"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long")
+        .alias("s"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast("long")
+        .alias("y"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("w").alias("n_words"),
+             F.sum("s").alias("n_sentences"),
+             F.sum("y").alias("n_syllables"))
+        .selectExpr(
+            "source", "n_docs", "n_words", "n_sentences", "n_syllables",
+            "206835 - (1015 * n_words) DIV greatest(n_sentences, 1)"
+            " - (84600 * n_syllables) DIV greatest(n_words, 1)"
+            " AS flesch_milli")
+        .orderBy("source")
+    )
+
+
+READABILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       206835 - (1015 * n_words) // greatest(n_sentences, 1)
+              - (84600 * n_syllables) // greatest(n_words, 1)
+         AS flesch_milli
+FROM agg ORDER BY source
+"""
+
+
+QUERIES["text_readability"] = text_readability
+ORACLE_SQL["text_readability"] = READABILITY_SQL
