@@ -251,6 +251,33 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OVERLAPPING sliding-window aggregate (1h window, 15-min
+    slide — each event feeds 4 windows) executed through Structured
+    Streaming (AvailableNow replay, watermarked, complete mode). Same
+    oracle as the batch events_sliding_window, so stream/batch
+    equivalence of the multi-assignment window path sits inside the
+    driver's correctness gate — the tumbling/session/dedup streamed
+    queries already pin their shapes; this closes the sliding one."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (
+        run_available_now, sized_state_partitions, sliding_counts_stream,
+        stream_events)
+
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            sliding_counts_stream(stream_events(spark, sf_dir)),
+            "events_sliding_streamed_sink", ck, output_mode="complete",
+            state_partitions=sized_state_partitions(spark, sf_dir))
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (out.select("window_start", "event_type", "n")
+            .orderBy("window_start", "event_type"))
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event_type (bin = floor(value/10))
     — the binning aggregate every profiling pass needs; floor on doubles
@@ -1111,6 +1138,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_exact_percentiles": events_exact_percentiles,
     "events_sliding_window": events_sliding_window,
+    "events_sliding_streamed": events_sliding_streamed,
     "nation_balance_full_outer": nation_customer_supplier_balance,
     "events_pivot_by_type": events_pivot_by_type,
     "revenue_rollup": revenue_rollup,
@@ -1141,6 +1169,7 @@ ORACLE_SQL = {
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_exact_percentiles": EVENTS_PERCENTILES_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_sliding_streamed": EVENTS_SLIDING_SQL,
     "nation_balance_full_outer": NATION_BALANCE_SQL,
     "events_pivot_by_type": EVENTS_PIVOT_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
