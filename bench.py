@@ -241,6 +241,17 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_quality_filter",
     "text_tfidf_top_terms",
+    # round 5 additions (append-only)
+    "events_asof_forward_sla",
+    "events_salted_user_join",
+    "text_readability",
+    "emb_random_projection",
+    "emb_srp_candidates",
+    "basket_rules",
+    "events_sliding_streamed",
+    "multimodal_dedup_ahash",
+    "graph_assortativity",
+    "events_cohort_ltv_curve",
 ]
 
 

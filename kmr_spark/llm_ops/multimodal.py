@@ -980,3 +980,75 @@ ORACLE_SQL = {
     "multimodal_image_ahash": MULTIMODAL_AHASH_SQL,
     "multimodal_scene_cuts": MULTIMODAL_SCENE_CUTS_SQL,
 }
+
+
+#: max Hamming distance for an image near-dup pair; with 4 16-bit
+#: bands, pigeonhole guarantees any pair within 3 bits shares at least
+#: one band — the banding is RECALL-COMPLETE for this threshold
+AHASH_HAMMING_T = 3
+
+
+def multimodal_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-DUP pairs: aHash the 8x8 thumbnails (the
+    real-codec pipeline of multimodal_image_ahash), collapse identical
+    hashes into groups, then find group pairs within AHASH_HAMMING_T
+    bits via 4x16-bit BAND self-joins — the Hamming-LSH standard: a
+    pair differing in <= 3 of 64 bits must agree on one of 4 bands
+    (pigeonhole), so the banded join is exact, never all-pairs.
+    Output: (rep_a, rep_b, dist, n_a, n_b) per near-dup group pair.
+
+    Scale shape mirrors dedup_minhash_lsh: candidates are keyed
+    equi-joins on (band_id, band_value); pair volume is measurable
+    from band-bucket counts before materialization; the verify XOR
+    popcount runs only on candidates.
+    """
+    h = multimodal_image_ahash(spark, sf_dir)
+    groups = (h.groupBy("ahash_hi", "ahash_lo")
+              .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n")))
+    bands = None
+    for bid, expr in enumerate([
+            "ahash_lo & 65535", "(ahash_lo >> 16) & 65535",
+            "ahash_hi & 65535", "(ahash_hi >> 16) & 65535"]):
+        part = groups.select(
+            "rep", "n", "ahash_hi", "ahash_lo",
+            F.lit(bid).alias("band_id"), F.expr(expr).alias("band_val"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("rep").alias("rep_a"), F.col("n").alias("n_a"),
+                     F.col("ahash_hi").alias("hi_a"),
+                     F.col("ahash_lo").alias("lo_a"),
+                     "band_id", "band_val")
+    b = bands.select(F.col("rep").alias("rep_b"), F.col("n").alias("n_b"),
+                     F.col("ahash_hi").alias("hi_b"),
+                     F.col("ahash_lo").alias("lo_b"),
+                     "band_id", "band_val")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "n_a", "n_b",
+                (F.bit_count(F.expr("hi_a ^ hi_b"))
+                 + F.bit_count(F.expr("lo_a ^ lo_b"))).alias("dist"))
+        .distinct()  # a pair can collide in several bands
+        .filter(F.col("dist") <= AHASH_HAMMING_T)
+    )
+    return pairs.orderBy("rep_a", "rep_b")
+
+
+MULTIMODAL_DEDUP_AHASH_SQL = f"""
+WITH ah AS (SELECT * FROM (
+  {MULTIMODAL_AHASH_SQL.replace("ORDER BY doc_id", "")}
+) t),
+g AS (
+  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep, COUNT(*) AS n
+  FROM ah GROUP BY 1, 2)
+SELECT a.rep AS rep_a, b.rep AS rep_b, a.n AS n_a, b.n AS n_b,
+       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER) AS dist
+FROM g a JOIN g b ON a.rep < b.rep
+WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {AHASH_HAMMING_T}
+ORDER BY rep_a, rep_b
+"""
+
+
+QUERIES["multimodal_dedup_ahash"] = multimodal_dedup_ahash
+ORACLE_SQL["multimodal_dedup_ahash"] = MULTIMODAL_DEDUP_AHASH_SQL

@@ -270,3 +270,76 @@ QUERIES = {"graph_triangles": triangle_stats, "graph_bfs": graph_bfs,
            "graph_components": graph_components}
 ORACLE_SQL = {"graph_triangles": TRIANGLES_SQL, "graph_bfs": BFS_SQL,
               "graph_components": COMPONENTS_SQL}
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the R-MAT graph: the Pearson correlation
+    of endpoint degrees over every directed edge (each undirected edge
+    counted both ways — the Newman 2002 definition). R-MAT graphs are
+    disassortative (hubs attach to leaves), so the value doubles as a
+    generator sanity probe.
+
+    Exactness: integer degrees, DECIMAL(38,0) moment sums (order-free,
+    overflow-free at any graph size), r derived from the moments in one
+    fixed double tree; by symmetry sum(x)=sum(y) and sum(x²)=sum(y²),
+    so three moments suffice. Plan: degree aggregate (|nodes|), two
+    co-keyed joins edge->degree, one global 1-row moment fold with
+    map-side combine.
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark))
+    deg = (canon.select(F.col("u").alias("node"))
+           .unionAll(canon.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    both = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionAll(canon.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b"))))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = (both.join(da, "a").join(db, "b")
+         .agg(F.count("*").alias("n"),
+              F.sum(dec("dx")).alias("sx"),
+              F.sum(dec("dx") * dec("dy")).alias("sxy"),
+              F.sum(dec("dx") * dec("dx")).alias("sxx")))
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    return m.select(
+        "n", F.col("sx").cast("long").alias("sum_deg"),
+        F.col("sxy").cast("long").alias("sum_xy"),
+        F.col("sxx").cast("long").alias("sum_xx"),
+        ((n_d * sxy_d - sx_d * sx_d) / (n_d * sxx_d - sx_d * sx_d))
+        .alias("assortativity"))
+
+
+ASSORTATIVITY_SQL = f"""
+WITH raw AS ({RMAT_RAW_SQL}),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon) x
+  GROUP BY node),
+eb AS (
+  SELECT u AS a, v AS b FROM canon
+  UNION ALL SELECT v AS a, u AS b FROM canon),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(da.d AS HUGEINT)) AS sx,
+         SUM(CAST(da.d AS HUGEINT) * db.d) AS sxy,
+         SUM(CAST(da.d AS HUGEINT) * da.d) AS sxx
+  FROM eb e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b)
+SELECT n, CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_xx,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+FROM m
+"""
+
+
+QUERIES["graph_assortativity"] = graph_assortativity
+ORACLE_SQL["graph_assortativity"] = ASSORTATIVITY_SQL

@@ -616,3 +616,61 @@ BENFORD_SQL = _benford_sql()
 
 QUERIES["events_value_benford"] = events_value_benford
 ORACLE_SQL["events_value_benford"] = BENFORD_SQL
+
+
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen day, purchase
+    revenue tracked by day offset, CUMULATIVE within each cohort — the
+    lifetime-value curve a growth team projects payback from. Revenue
+    is exact integer cents; the cumulative window runs over the
+    |cohorts| x |offsets| CELL table (calendar-bounded), never rows.
+
+    Plan: first-day aggregate (|users|), one co-keyed join of per-(user,
+    day) purchase cents onto it, a cell-level aggregate, then the
+    running sum over cells.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "day").agg(F.sum("cents").alias("c")))
+    cells = (
+        purch.join(first, "user_id")
+        .groupBy("d0", F.datediff("day", F.col("d0")).alias("off"))
+        .agg(F.count("*").alias("n_user_days"), F.sum("c").alias("rev_cents")))
+    w = (Window.partitionBy("d0").orderBy("off")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        cells.select(
+            F.col("d0").alias("cohort_day"), F.col("off").alias("day_offset"),
+            "n_user_days", "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+p AS (
+  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS c
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, day),
+cells AS (
+  SELECT f.d0, day - f.d0 AS off, COUNT(*) AS n_user_days,
+         CAST(SUM(p.c) AS BIGINT) AS rev_cents
+  FROM p JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT d0 AS cohort_day, CAST(off AS INTEGER) AS day_offset,
+       n_user_days, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY d0 ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM cells ORDER BY cohort_day, day_offset
+"""
+
+
+QUERIES["events_cohort_ltv_curve"] = events_cohort_ltv_curve
+ORACLE_SQL["events_cohort_ltv_curve"] = COHORT_LTV_SQL
