@@ -1,0 +1,193 @@
+"""Unit/property tests for round-5 operators: forward as-of vs brute
+force, salted-join transparency, SRP/JL invariants, aHash-band recall
+completeness, readability formula, LTV monotonicity, assortativity
+range."""
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
+
+
+def test_forward_sla_matches_bruteforce(spark):
+    """events_asof_forward_sla's lead must equal the brute-force
+    min-future-purchase join on the small table."""
+    from kmr_spark.plans.trends import (ASOF_TOLERANCE_S,
+                                        events_asof_forward_sla)
+    from kmr_spark.session import load_tables
+
+    got = {r.event_id: (r.lead_s, r.converted)
+           for r in events_asof_forward_sla(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us")).collect()
+    purch = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            purch.setdefault(r.user_id, []).append(r.us)
+    lim = ASOF_TOLERANCE_S * 1_000_000
+    n_checked = 0
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        nxt = min((p for p in purch.get(r.user_id, []) if p >= r.us),
+                  default=None)
+        want = (((nxt - r.us) // 1_000_000, True)
+                if nxt is not None and nxt - r.us <= lim else (None, False))
+        assert got[r.event_id] == want, (r.event_id, got[r.event_id], want)
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_salted_join_row_conservation(spark):
+    """The salted join must emit exactly one row per event (the dim is
+    keyed by user_id), regardless of salt width."""
+    from kmr_spark.plans.diagnostics import events_salted_user_join
+    from kmr_spark.session import load_tables
+
+    out = events_salted_user_join(spark, SF_SMALL)
+    n_events = load_tables(spark, SF_SMALL)["events"].count()
+    assert sum(r.n_events for r in out.collect()) == n_events
+
+
+def test_srp_near_pairs_have_high_cosine(spark):
+    """Every pair the SRP verify marks near must actually have
+    cos >= 0.8 on the quantized vectors (and non-near candidates in
+    the same bucket must not)."""
+    import math
+
+    from kmr_spark.llm_ops.similarity import emb_srp_candidates
+
+    rows = emb_srp_candidates(spark, SF_SMALL).collect()
+    assert rows  # candidates must exist for the test to mean anything
+    for r in rows:
+        cos = r.dot / math.sqrt(r.na * r.nb)
+        if r.near:
+            assert cos >= 0.8 - 1e-9, (r.a, r.b, cos)
+        else:
+            assert cos < 0.8 + 1e-9, (r.a, r.b, cos)
+
+
+def test_srp_same_vector_same_bucket_property(spark):
+    """SRP signatures are a pure function of the vector: identical
+    embeddings must produce identical signatures (determinism probe via
+    double execution)."""
+    from kmr_spark.llm_ops.similarity import emb_srp_candidates
+
+    a = sorted((r.a, r.b, r.dot) for r in
+               emb_srp_candidates(spark, SF_SMALL).collect())
+    b = sorted((r.a, r.b, r.dot) for r in
+               emb_srp_candidates(spark, SF_SMALL).collect())
+    assert a == b
+
+
+def test_random_projection_distortion_centers_near_1000(spark):
+    """JL with 16 projected dims is noisy per vector, but the histogram
+    must center broadly around 1000 permille: the count-weighted mean
+    bucket (50-permille bins) should land within [10, 30] (i.e.
+    500..1500 permille) and every count positive."""
+    from kmr_spark.llm_ops.similarity import emb_random_projection
+
+    rows = emb_random_projection(spark, SF_SMALL).collect()
+    assert rows
+    total = sum(r.n_vectors for r in rows)
+    mean_bucket = sum(r.bucket * r.n_vectors for r in rows) / total
+    assert 10 <= mean_bucket <= 30, mean_bucket
+
+
+def test_ahash_band_recall_complete(spark):
+    """Banding must lose NO pair within the Hamming threshold: compare
+    the banded result against the all-pairs brute force on the small
+    table (where all-pairs is affordable)."""
+    from kmr_spark.llm_ops.multimodal import (AHASH_HAMMING_T,
+                                              multimodal_dedup_ahash,
+                                              multimodal_image_ahash)
+
+    hashes = multimodal_image_ahash(spark, SF_SMALL).collect()
+    groups = {}
+    for r in hashes:
+        key = (r.ahash_hi, r.ahash_lo)
+        groups.setdefault(key, []).append(r.doc_id)
+    reps = sorted((min(v), k) for k, v in groups.items())
+    want = set()
+    for i, (ra, ka) in enumerate(reps):
+        for rb, kb in reps[i + 1:]:
+            dist = (bin(ka[0] ^ kb[0]).count("1")
+                    + bin(ka[1] ^ kb[1]).count("1"))
+            if dist <= AHASH_HAMMING_T:
+                want.add((ra, rb))
+    got = {(r.rep_a, r.rep_b)
+           for r in multimodal_dedup_ahash(spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_readability_formula_consistency(spark):
+    """flesch_milli must equal the integer formula recomputed from the
+    emitted totals."""
+    from kmr_spark.plans.corpusstats import text_readability
+
+    rows = text_readability(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        want = (206835 - (1015 * r.n_words) // max(r.n_sentences, 1)
+                - (84600 * r.n_syllables) // max(r.n_words, 1))
+        assert r.flesch_milli == want
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    """cum_rev_cents must be non-decreasing within each cohort and end
+    at the cohort's total revenue."""
+    from kmr_spark.plans.trends import events_cohort_ltv_curve
+
+    rows = events_cohort_ltv_curve(spark, SF_SMALL).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for day, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.day_offset)
+        run = 0
+        for r in rs:
+            run += r.rev_cents
+            assert r.cum_rev_cents == run, (day, r.day_offset)
+
+
+def test_assortativity_in_valid_range(spark):
+    """A correlation must be in [-1, 1]; R-MAT should come out
+    disassortative-to-weak (not strongly positive)."""
+    from kmr_spark.plans.graphs import graph_assortativity
+
+    r = graph_assortativity(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n > 0 and r.n % 2 == 0  # every undirected edge counted twice
+    assert r.assortativity < 0.5
+
+
+def test_sliding_streamed_equals_batch(spark):
+    """Stream and batch sliding windows must agree row-for-row."""
+    from kmr_spark.plans.analytics import (events_sliding_streamed,
+                                           events_sliding_window)
+
+    got = sorted((r.window_start, r.event_type, r.n) for r in
+                 events_sliding_streamed(spark, SF_SMALL).collect())
+    want = sorted((r.window_start, r.event_type, r.n) for r in
+                  events_sliding_window(spark, SF_SMALL).collect())
+    assert got == want
+
+
+def test_basket_rules_lift_consistency(spark):
+    """lift/support/confidence must equal the integer formulas
+    recomputed from the emitted counts, and support >= the cutoff."""
+    from kmr_spark.plans.basket import RULE_MIN_SUPPORT, basket_rules
+    from kmr_spark.session import load_tables
+
+    li = load_tables(spark, SF_SMALL)["lineitem"].select(
+        "l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    rows = basket_rules(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab >= RULE_MIN_SUPPORT
+        assert r.support_permille == (1000 * r.n_ab) // n_orders
+        assert r.confidence_permille == (1000 * r.n_ab) // r.n_a
+        assert r.lift_permille == (1000 * r.n_ab * n_orders) // (r.n_a * r.n_b)
