@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "multimodal_dedup_ahash",
     "graph_assortativity",
     "events_cohort_ltv_curve",
+    "events_watermark_late_census",
+    "events_duplicate_purchases",
+    "parts_supplier_hhi",
 ]
 
 

@@ -690,8 +690,14 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1000·sp)/(16·sq) as rationals so both engines truncate alike).
     Plan: narrow per-row array expressions at the scan + one
     |buckets|-sized aggregate — map-only at 100 TB, the JL scale path.
+    The higher-order-function expressions are interpreted (not
+    codegen'd), so the scan is WIDENED first: the one-file testdata
+    table would otherwise run the whole projection on a single task
+    (the _emb lesson).
     """
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    from kmr_spark.session import widen
+
+    emb = widen(load_tables(spark, sf_dir)["embeddings"])
     q = emb.select(
         "vec_id",
         F.expr("transform(embedding,"
@@ -765,9 +771,16 @@ def emb_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: signature is a narrow scan expression; the self-join keys on
     the signature (bucketed, NEVER all-pairs — pair volume is
     Σ C(bucket,2), measurable beforehand exactly like
-    dedup_band_tuning); the verify dot runs only on candidates.
+    dedup_band_tuning); the verify dot runs only on candidates. The
+    signature pipeline is WIDENED (one-file scan would single-task the
+    interpreted HOF expressions) and PERSISTED so the self-join's two
+    sides compute it once, not twice.
     """
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    from pyspark.storagelevel import StorageLevel
+
+    from kmr_spark.session import widen
+
+    emb = widen(load_tables(spark, sf_dir)["embeddings"])
     q = emb.select(
         "vec_id",
         F.expr("transform(embedding,"
@@ -783,7 +796,8 @@ def emb_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  * element_at(vq, d + 1)) >= 0"
             " THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END)").alias("sig"),
         F.expr("aggregate(vq, CAST(0 AS BIGINT),"
-               " (acc, x) -> acc + x * x)").alias("nrm"))
+               " (acc, x) -> acc + x * x)").alias("nrm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sig.select(F.col("vec_id").alias("a"), F.col("vq").alias("vqa"),
                    F.col("nrm").alias("na"), "sig")
     b = sig.select(F.col("vec_id").alias("b"), F.col("vq").alias("vqb"),
@@ -804,8 +818,9 @@ def emb_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            >= F.lit(64).cast("decimal(38,0)")
            * F.col("na").cast("decimal(38,0)")
            * F.col("nb").cast("decimal(38,0)")))
-    return (pairs.select("a", "b", "dot", "na", "nb", near.alias("near"))
-            .orderBy("a", "b"))
+    out = (pairs.select("a", "b", "dot", "na", "nb", near.alias("near"))
+           .orderBy("a", "b"))
+    return materialize_release(out, sig)
 
 
 SRP_SQL = f"""

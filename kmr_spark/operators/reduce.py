@@ -165,3 +165,67 @@ def scan_distributed(df: DataFrame, value: str | list[str],
 
     out = sdf.mapInPandas(add_scan, schema=out_schema)
     return materialize_release(out, sdf)
+
+
+def scan_max_distributed(df: DataFrame, value: str,
+                         order: list[str | Column]) -> DataFrame:
+    """Global NON-INCLUSIVE prefix MAX at scale — the sum exscan above
+    generalized to the max monoid (KMR's MPI_Exscan accepts any op;
+    src/kmrmoreops.c:943). The first row in the global order gets NULL
+    (no prior element — max has no integer identity the data can't
+    collide with). Same three-phase shape: range-partition sort,
+    collect per-partition maxes (one long each), driver exscan, narrow
+    Arrow pass. Powers watermark-lateness audits: "the largest
+    timestamp seen BEFORE this row arrived".
+
+    The measure must be integral; the result column is ``scan_max``
+    (nullable long), materialized before returning (task-id caveat,
+    see :func:`scan_distributed`).
+    """
+    from pyspark import TaskContext
+    from pyspark.storagelevel import StorageLevel
+
+    from kmr_spark.session import materialize_release
+
+    import numpy as np
+    import pandas as pd
+
+    sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = (
+        sdf.select(F.spark_partition_id().alias("pid"), F.col(value))
+        .groupBy("pid").agg(F.max(value).alias("m"))
+        .collect()
+    )
+    prefix: dict[int, int | None] = {}
+    acc: int | None = None
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        prefix[r["pid"]] = acc
+        if r["m"] is not None:
+            acc = r["m"] if acc is None else max(acc, r["m"])
+
+    out_schema = "scan_max long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
+    b_prefix = df.sparkSession.sparkContext.broadcast(prefix)
+
+    def add_scan(batches):
+        prefix = b_prefix.value
+        pid = TaskContext.get().partitionId()
+        pos = prefix.get(pid)
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf.copy()
+            if n == 0:
+                out.insert(0, "scan_max", pd.array([], dtype="Int64"))
+                yield out
+                continue
+            vals = pdf[value].to_numpy()
+            incl = np.maximum.accumulate(vals)
+            cells = [pos] + [
+                (int(incl[i - 1]) if pos is None
+                 else max(pos, int(incl[i - 1]))) for i in range(1, n)]
+            out.insert(0, "scan_max", pd.array(cells, dtype="Int64"))
+            pos = int(incl[-1]) if pos is None else max(pos, int(incl[-1]))
+            yield out
+
+    out = sdf.mapInPandas(add_scan, schema=out_schema)
+    return materialize_release(out, sdf)

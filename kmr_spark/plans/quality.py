@@ -8,6 +8,7 @@ violation report the pipeline stores next to the batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kmr_spark.operators.validate import (accepted_values, check, in_range,
                                           matches, not_null, referential,
@@ -198,7 +199,132 @@ ORDER BY rule
 """
 
 
+def events_watermark_late_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: per event, how far behind the maximum
+    timestamp ALREADY SEEN at its arrival it was, bucketed by whole
+    minutes late — the census that picks a streaming watermark: every
+    row in bucket >= W would be dropped by withWatermark(W). Bucket -1
+    = on-time (first arrival or ts >= running max). The synthetic
+    events table is perfectly time-ordered, so the ingest sequence is
+    SIMULATED the way the gate queries seed corruption: events arrive
+    batched per hour, shuffled within the batch by the portable content
+    hash — deterministic, identical in both engines, lateness bounded
+    by the batch span.
+
+    Plan: the running "max ts before me" comes from
+    operators/reduce.scan_max_distributed — the two-phase exscan
+    (range-sort + per-partition maxes + narrow Arrow pass), NOT a
+    global single-partition window; the oracle states the naive
+    window form DuckDB can afford locally.
+    """
+    from kmr_spark.operators.reduce import scan_max_distributed
+    from kmr_spark.operators.sample import hash_bucket
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) DIV 3600000000").alias("batch"),
+        hash_bucket(F.col("event_id")).alias("jit"))
+    scanned = scan_max_distributed(
+        ev, "us",
+        [F.col("batch").asc(), F.col("jit").asc(), F.col("event_id").asc()])
+    return (
+        scanned.selectExpr(
+            "coalesce(CASE WHEN scan_max > us THEN"
+            " ((scan_max - us) DIV 1000000) DIV 60 END, -1)"
+            " AS late_bucket_min")
+        .groupBy("late_bucket_min")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("late_bucket_min")
+    )
+
+
+def _watermark_late_sql() -> str:
+    from kmr_spark.operators.sample import sql_bucket
+
+    return f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+                  epoch_us(ts) // 3600000000 AS batch,
+                  {sql_bucket('event_id')} AS jit
+           FROM events),
+s AS (
+  SELECT event_id, us,
+         MAX(us) OVER (ORDER BY batch, jit, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS scan_max
+  FROM e),
+b AS (
+  SELECT COALESCE(
+           CASE WHEN scan_max > us
+                THEN CAST(((scan_max - us) // 1000000) AS BIGINT) // 60
+           END, -1) AS late_bucket_min
+  FROM s)
+SELECT late_bucket_min, COUNT(*) AS n_events
+FROM b GROUP BY late_bucket_min ORDER BY late_bucket_min
+"""
+
+
+WATERMARK_LATE_SQL = _watermark_late_sql()
+
+
+#: near-duplicate purchase tolerance: amounts within $10, 24h apart
+DUP_CENTS_BAND = 1000
+DUP_WINDOW_MIN = 1440
+
+
+def events_duplicate_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen: purchase pairs from the SAME user with
+    amounts within DUP_CENTS_BAND cents and timestamps within
+    DUP_WINDOW_MIN minutes — the transaction-hygiene sweep every
+    payments pipeline runs. Candidate generation is the user-keyed
+    self-equi-join (a user's purchase count bounds the pair volume —
+    at whale-scale a per-user cap or amount-bucket banding splits the
+    hot key, the salted_join recipe); the amount/time tolerances
+    FILTER candidates, never generate them. Output: one row per
+    suspect pair.
+    """
+    p = (load_tables(spark, sf_dir)["events"]
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("k"),
+                 F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                 F.expr("unix_micros(ts) DIV 60000000").alias("m")))
+    a = p.select("user_id", F.col("k").alias("k1"),
+                 F.col("cents").alias("cents1"), F.col("m").alias("m1"))
+    b = p.select("user_id", F.col("k").alias("k2"),
+                 F.col("cents").alias("cents2"), F.col("m").alias("m2"))
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("k1") < F.col("k2"))
+                & (F.abs(F.col("cents1") - F.col("cents2")) < DUP_CENTS_BAND)
+                & (F.abs(F.col("m1") - F.col("m2")) <= DUP_WINDOW_MIN))
+        .select("user_id", "k1", "k2", "cents1", "cents2",
+                (F.col("cents2") - F.col("cents1")).alias("cents_diff"),
+                (F.col("m2") - F.col("m1")).alias("gap_min"))
+        .orderBy("user_id", "k1", "k2")
+    )
+
+
+DUP_PAYMENTS_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS k,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 60000000 AS m
+  FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, a.k AS k1, b.k AS k2,
+       a.cents AS cents1, b.cents AS cents2,
+       b.cents - a.cents AS cents_diff,
+       b.m - a.m AS gap_min
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.k < b.k
+ AND abs(a.cents - b.cents) < {DUP_CENTS_BAND}
+ AND abs(a.m - b.m) <= {DUP_WINDOW_MIN}
+ORDER BY a.user_id, k1, k2
+"""
+
+
 QUERIES = {"validate_events": validate_events,
-           "events_gate_streamed": events_gate_streamed}
+           "events_gate_streamed": events_gate_streamed,
+           "events_watermark_late_census": events_watermark_late_census,
+           "events_duplicate_purchases": events_duplicate_purchases}
 ORACLE_SQL = {"validate_events": VALIDATE_EVENTS_SQL,
-              "events_gate_streamed": GATE_STREAMED_SQL}
+              "events_gate_streamed": GATE_STREAMED_SQL,
+              "events_watermark_late_census": WATERMARK_LATE_SQL,
+              "events_duplicate_purchases": DUP_PAYMENTS_SQL}

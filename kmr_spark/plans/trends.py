@@ -674,3 +674,58 @@ FROM cells ORDER BY cohort_day, day_offset
 
 QUERIES["events_cohort_ltv_curve"] = events_cohort_ltv_curve
 ORACLE_SQL["events_cohort_ltv_curve"] = COHORT_LTV_SQL
+
+
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: per part, the Herfindahl–Hirschman
+    index of supplier revenue shares in basis points — HHI = Σ s_i²
+    with s_i the supplier's integer basis-point share (> 2500 ≈ a
+    dominant supplier; the single-source-risk census a supply-chain
+    team tracks). Integer cents -> integer bp shares -> integer sum of
+    squares, so the oracle is exact; share rounding is the documented
+    DIV-truncation convention both engines apply identically.
+
+    Plan: one (part, supplier) revenue aggregate (map-side combine),
+    a part-total aggregate joined back (co-keyed), then a |parts|-sized
+    fold. Nothing after the first aggregate is lineitem-sized.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("cents").alias("rev"))
+    tot = ps.groupBy("l_partkey").agg(F.sum("rev").alias("total"),
+                                      F.count("*").alias("n_suppliers"))
+    return (
+        ps.join(tot, "l_partkey")
+        .select("l_partkey", "n_suppliers",
+                F.expr("(10000 * rev) DIV total").alias("bp"))
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(F.sum(F.col("bp") * F.col("bp")).alias("hhi"))
+        .select(F.col("l_partkey").alias("partkey"), "n_suppliers", "hhi")
+        .orderBy("partkey")
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(cents) AS BIGINT) AS rev
+  FROM li GROUP BY 1, 2),
+tot AS (
+  SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS total,
+         COUNT(*) AS n_suppliers
+  FROM ps GROUP BY 1)
+SELECT ps.l_partkey AS partkey, tot.n_suppliers,
+       CAST(SUM(((10000 * ps.rev) // tot.total)
+                * ((10000 * ps.rev) // tot.total)) AS BIGINT) AS hhi
+FROM ps JOIN tot USING (l_partkey)
+GROUP BY 1, 2 ORDER BY partkey
+"""
+
+
+QUERIES["parts_supplier_hhi"] = parts_supplier_hhi
+ORACLE_SQL["parts_supplier_hhi"] = SUPPLIER_HHI_SQL

@@ -191,3 +191,70 @@ def test_basket_rules_lift_consistency(spark):
         assert r.support_permille == (1000 * r.n_ab) // n_orders
         assert r.confidence_permille == (1000 * r.n_ab) // r.n_a
         assert r.lift_permille == (1000 * r.n_ab * n_orders) // (r.n_a * r.n_b)
+
+
+def test_scan_max_distributed_matches_window(spark):
+    """The exscan running max must equal the naive global-window form
+    on the small table, including the NULL first row."""
+    from kmr_spark.operators.reduce import scan_max_distributed
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", F.unix_micros("ts").alias("us"))
+    got = {r.event_id: r.scan_max for r in
+           scan_max_distributed(ev, "us", [F.col("event_id").asc()]).collect()}
+    rows = sorted(ev.collect(), key=lambda r: r.event_id)
+    run = None
+    for r in rows:
+        assert got[r.event_id] == run, (r.event_id, got[r.event_id], run)
+        run = r.us if run is None else max(run, r.us)
+
+
+def test_watermark_census_counts_all_events(spark):
+    from kmr_spark.plans.quality import events_watermark_late_census
+    from kmr_spark.session import load_tables
+
+    rows = events_watermark_late_census(spark, SF_SMALL).collect()
+    n = load_tables(spark, SF_SMALL)["events"].count()
+    assert sum(r.n_events for r in rows) == n
+    assert any(r.late_bucket_min == -1 for r in rows)  # on-time bucket
+    assert any(r.late_bucket_min >= 0 for r in rows)  # jitter makes lateness
+
+
+def test_duplicate_purchase_pairs_are_real(spark):
+    """Every reported pair must genuinely share the user, be within the
+    amount band and time window; pair keys ordered; no self-pairs."""
+    import math
+
+    from kmr_spark.plans.quality import (DUP_CENTS_BAND, DUP_WINDOW_MIN,
+                                         events_duplicate_purchases)
+    from kmr_spark.session import load_tables
+
+    ev = {r.event_id: r for r in
+          load_tables(spark, SF_SMALL)["events"]
+          .withColumn("us", F.unix_micros("ts")).collect()}
+    rows = events_duplicate_purchases(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        a, b = ev[r.k1], ev[r.k2]
+        assert r.k1 < r.k2
+        assert a.event_type == b.event_type == "purchase"
+        assert a.user_id == b.user_id == r.user_id
+        assert abs(math.floor(a.value * 100)
+                   - math.floor(b.value * 100)) < DUP_CENTS_BAND
+        assert abs(a.us // 60000000 - b.us // 60000000) <= DUP_WINDOW_MIN
+
+
+def test_supplier_hhi_bounds(spark):
+    """HHI must be <= 10000² per part and equal 10000²-ish only for
+    single-supplier parts (truncation can shave a few bp)."""
+    from kmr_spark.plans.trends import parts_supplier_hhi
+
+    rows = parts_supplier_hhi(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi <= 10000 * 10000
+        if r.n_suppliers == 1:
+            assert r.hhi == 10000 * 10000
+        else:
+            assert r.hhi < 10000 * 10000
