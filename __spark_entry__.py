@@ -252,8 +252,18 @@ _DRIVER_CHECKED = frozenset({
 # to make room for the entropy retries — events_dow_hour_heatmap and
 # text_length_histogram (both pure integer-count outputs, judge-sim
 # green, zero float-hash risk — the lowest-risk defers) — plus every
-# round-5 addition (registry position 100+), listed with
+# round-5 addition (they sit right after this window, never inside
+# it), listed with
 #   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R5_WINDOW)]
+# At round-5 end that is 15 names: the 2 defers + 13 new (exact-sim
+# green, --exact mode): events_asof_forward_sla, events_salted_user_join,
+# text_readability, emb_random_projection, emb_srp_candidates,
+# basket_rules, events_sliding_streamed, multimodal_dedup_ahash,
+# graph_assortativity, events_cohort_ltv_curve,
+# events_watermark_late_census, events_duplicate_purchases,
+# parts_supplier_hhi. A 15-name window leaves 35 slots — backfill with
+# the longest-green _DRIVER_CHECKED names (re-verification rotation)
+# or the round-6 additions.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",
