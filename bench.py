@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "events_watermark_late_census",
     "events_duplicate_purchases",
     "parts_supplier_hhi",
+    "events_hll_sliding",
 ]
 
 

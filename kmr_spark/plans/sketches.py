@@ -85,8 +85,14 @@ _LINEAR_COUNT = {v: HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M)}
 
 
 def _sql_linear_count(v: str) -> str:
+    # CAST each literal to DOUBLE explicitly: DuckDB parses a bare
+    # decimal literal as DECIMAL, and its DECIMAL->DOUBLE conversion
+    # (int128 / 10^scale) can land 1 ulp off the correctly-rounded
+    # string->double parse Spark's F.lit ships — caught bit-exactly by
+    # events_hll_sliding's V=26 cell (57.650338901644155 vs ...16)
     whens = " ".join(
-        f"WHEN {v} = {vz} THEN {est!r}" for vz, est in _LINEAR_COUNT.items())
+        f"WHEN {v} = {vz} THEN CAST('{est!r}' AS DOUBLE)"
+        for vz, est in _LINEAR_COUNT.items())
     return f"(CASE {whens} END)"
 
 
@@ -187,7 +193,7 @@ per_group AS (
   FROM regs GROUP BY event_type),
 est AS (
   SELECT event_type, n_present,
-         {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+         CAST({HLL_ALPHA * HLL_M * HLL_M} AS DOUBLE) / (present_sum + ({HLL_M} - n_present))
            AS raw,
          {HLL_M} - n_present AS v
   FROM per_group),
@@ -271,7 +277,7 @@ per_group AS (
   FROM regs GROUP BY event_type, hour_ts),
 est AS (
   SELECT event_type, hour_ts, n_present,
-         {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+         CAST({HLL_ALPHA * HLL_M * HLL_M} AS DOUBLE) / (present_sum + ({HLL_M} - n_present))
            AS raw,
          {HLL_M} - n_present AS v
   FROM per_group)
@@ -675,3 +681,87 @@ SELECT (SELECT n FROM n) AS n,
 
 QUERIES["events_median_quickselect"] = events_median_quickselect
 ORACLE_SQL["events_median_quickselect"] = MEDIAN_QSEL_SQL
+
+
+#: trailing window width (days) for the sliding HLL rollup
+HLL_SLIDE_DAYS = 7
+
+
+def events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) computed by
+    MERGING per-day HLL register tables — the reason sketches exist at
+    100 TB: the raw events are scanned ONCE into |days| register sets
+    (64 longs each), and every sliding window is a register-max fold,
+    not a rescan. COUNT(DISTINCT) over a sliding window rescans and
+    reshuffles the corpus per window; this shape re-shuffles 64
+    longs per (type, day).
+
+    Plan: one register aggregate (map-side combinable), a 7x register
+    EXPLODE onto target days (constant fan-out of constant-size state),
+    a second register max-merge, the dyadic-exact fold. Days beyond the
+    data's horizon are dropped by a semi-join against observed days.
+    """
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "day", F.to_date("ts"))
+    regs = hll_registers(ev, "user_id", ["event_type", "day"])
+    contrib = regs.select(
+        "event_type", "bucket", "m_j",
+        F.explode(F.expr(
+            f"sequence(day, date_add(day, {HLL_SLIDE_DAYS - 1}))"))
+        .alias("day"))
+    days = ev.select("day").distinct()
+    merged = (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("m_j").alias("m_j")))
+    return (hll_fold(merged, ["event_type", "day"])
+            .orderBy("event_type", "day"))
+
+
+def _hll_sliding_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         {_sql_hash31('user_id')} AS h
+  FROM events),
+rows_ AS (
+  SELECT event_type, day, h % {HLL_M} AS bucket,
+         {_sql_rho(f"(h // {HLL_M})")} AS rho
+  FROM hashed),
+regs AS (
+  SELECT event_type, day, bucket, MAX(rho) AS m_j
+  FROM rows_ GROUP BY event_type, day, bucket),
+contrib AS (
+  SELECT r.event_type, r.bucket, r.m_j, CAST(s.wday AS DATE) AS day
+  FROM regs r,
+       LATERAL (SELECT unnest(generate_series(
+                  r.day, r.day + INTERVAL {HLL_SLIDE_DAYS - 1} DAY,
+                  INTERVAL 1 DAY)) AS wday) s
+  WHERE CAST(s.wday AS DATE) IN (SELECT DISTINCT day FROM rows_)),
+merged AS (
+  SELECT event_type, day, bucket, MAX(m_j) AS m_j
+  FROM contrib GROUP BY 1, 2, 3),
+per_group AS (
+  SELECT event_type, day,
+         SUM(POWER(2.0, -m_j)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM merged GROUP BY 1, 2),
+est AS (
+  SELECT event_type, day, n_present,
+         CAST({HLL_ALPHA * HLL_M * HLL_M} AS DOUBLE) / (present_sum + ({HLL_M} - n_present))
+           AS raw,
+         {HLL_M} - n_present AS v
+  FROM per_group)
+SELECT event_type, day,
+       CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
+            THEN {_sql_linear_count('v')}
+            ELSE raw END AS hll_est,
+       CAST(n_present AS BIGINT) AS n_registers_hit
+FROM est ORDER BY event_type, day
+"""
+
+
+HLL_SLIDING_SQL = _hll_sliding_sql()
+
+QUERIES["events_hll_sliding"] = events_hll_sliding
+ORACLE_SQL["events_hll_sliding"] = HLL_SLIDING_SQL
