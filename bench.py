@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "events_duplicate_purchases",
     "parts_supplier_hhi",
     "events_hll_sliding",
+    "events_bootstrap_ci",
+    "docs_tfidf_cosine_pairs",
 ]
 
 

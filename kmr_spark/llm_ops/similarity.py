@@ -873,3 +873,135 @@ ORDER BY d.a, d.b
 
 QUERIES["emb_srp_candidates"] = emb_srp_candidates
 ORACLE_SQL["emb_srp_candidates"] = SRP_SQL
+
+
+# -- sparse lexical similarity: TF-IDF cosine via an inverted index  --
+
+#: discriminative-vocabulary band: BIGRAM terms must appear in at
+#: least TFIDF_DF_MIN documents (df=1 can't pair) and at most
+#: max(16, n_docs // TFIDF_DF_MAX_SHARE) — the posting-list prune that
+#: bounds pair volume by sum(C(df,2)); the cap scales with the corpus
+#: so the band doesn't empty out as N grows
+TFIDF_DF_MIN = 2
+TFIDF_DF_MAX_FLOOR = 16
+TFIDF_DF_MAX_SHARE = 100
+#: candidate pairs must share at least this many discriminative terms
+TFIDF_MIN_SHARED = 2
+#: cosine threshold for the near flag: cos >= 0.5  <=>  4*dot^2 >= na*nb
+TFIDF_COS_NUM = 4
+
+
+def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity — the INVERTED-INDEX
+    complement to the dense-embedding ANN family: the term unit is the
+    WORD BIGRAM (the synthetic corpus's unigram vocabulary is ~31
+    words, which makes unigram IDF degenerate; bigrams give a ~1000-way
+    space), candidate pairs come from shared DISCRIMINATIVE bigrams
+    (document frequency in [TFIDF_DF_MIN, max(16, N/100)] — stock
+    phrases never generate a pair, the Elasticsearch more-like-this
+    prune), weights are integer c·idf_permille, and the cosine verify
+    compares 4·dot² >= na·nb in DECIMAL/HUGEINT (cos >= 0.5, no sqrt).
+    Metric, norms, and dot are all defined over the SAME pruned
+    vocabulary, so the similarity is self-consistent and the oracle
+    exact.
+
+    Scale shape: postings equi-join keyed by term — pair volume is
+    Σ C(df,2), bounded by the df cap and measurable from the df table
+    before materialization; MIN_SHARED then cuts accidental one-term
+    overlaps. Output BIGINT casts are exact at oracle scales (the
+    decimal pipeline itself carries 38 digits).
+    """
+    from kmr_spark.session import widen
+
+    docs = widen(load_tables(spark, sf_dir)["documents"])
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"))
+    terms = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n_docs = docs.count()
+    df_max = max(TFIDF_DF_MAX_FLOOR, n_docs // TFIDF_DF_MAX_SHARE)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        (F.col("df") >= TFIDF_DF_MIN) & (F.col("df") <= df_max))
+    dec = lambda c: c.cast("decimal(38,0)")
+    w = (tf.join(F.broadcast(df_t), "term")
+         .select("doc_id", "term",
+                 dec(F.col("c") * F.expr(f"(1000 * {n_docs}) DIV df"))
+                 .alias("w"))
+         .persist())
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("b"), "term", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"),
+             F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .filter(F.col("n_shared") >= TFIDF_MIN_SHARED)
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb"))
+    near = (F.lit(TFIDF_COS_NUM).cast("decimal(38,0)")
+            * F.col("dot") * F.col("dot")
+            >= F.col("na") * F.col("nb"))
+    out = (
+        pairs.join(na, "a").join(nb, "b")
+        .select("a", "b", "n_shared",
+                F.col("dot").cast("long").alias("dot"),
+                F.col("na").cast("long").alias("na"),
+                F.col("nb").cast("long").alias("nb"),
+                near.alias("near"))
+        .orderBy("a", "b"))
+    return materialize_release(out, w)
+
+
+def _tfidf_cosine_sql() -> str:
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+terms AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+  FROM t0, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) >= {TFIDF_DF_MIN}
+     AND COUNT(*) <= greatest({TFIDF_DF_MAX_FLOOR},
+                              (SELECT n_docs FROM n) // {TFIDF_DF_MAX_SHARE})),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.c * ((1000 * (SELECT n_docs FROM n)) // dft.df)
+              AS HUGEINT) AS w
+  FROM tf JOIN dft USING (term)),
+norms AS (SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY doc_id),
+pairs AS (
+  SELECT wa.doc_id AS a, wb.doc_id AS b,
+         COUNT(*) AS n_shared, SUM(wa.w * wb.w) AS dot
+  FROM w wa JOIN w wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TFIDF_MIN_SHARED})
+SELECT p.a, p.b, p.n_shared,
+       CAST(p.dot AS BIGINT) AS dot,
+       CAST(na.nrm AS BIGINT) AS na,
+       CAST(nb.nrm AS BIGINT) AS nb,
+       {TFIDF_COS_NUM} * p.dot * p.dot >= na.nrm * nb.nrm AS near
+FROM pairs p
+JOIN norms na ON na.doc_id = p.a
+JOIN norms nb ON nb.doc_id = p.b
+ORDER BY p.a, p.b
+"""
+
+
+TFIDF_COSINE_SQL = _tfidf_cosine_sql()
+
+QUERIES["docs_tfidf_cosine_pairs"] = docs_tfidf_cosine_pairs
+ORACLE_SQL["docs_tfidf_cosine_pairs"] = TFIDF_COSINE_SQL

@@ -129,3 +129,107 @@ ORACLE_SQL = {
     "events_trimmed_mean": TRIMMED_MEAN_SQL,
     "events_median_kvs": MEDIAN_KVS_SQL,
 }
+
+
+import math as _math
+
+from kmr_spark.operators.sample import _P_MOD, hash_bucket, sql_bucket
+
+#: bootstrap replicas (fixed, deterministic)
+BOOT_B = 32
+#: Poisson(1) inverse-CDF thresholds on the hash's [0, _P_MOD) range,
+#: computed ONCE in Python and quoted as integer literals by BOTH
+#: engines (math.exp never runs inside either engine)
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(7):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(int(_acc * _P_MOD))
+
+
+def _boot_weight_spark(b: int):
+    u = hash_bucket(F.col("event_id"), salt=1000 + b)
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def _boot_weight_sql(b: int) -> str:
+    u = sql_bucket("event_id", salt=1000 + b)
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF))
+    return f"(CASE {whens} ELSE {len(_POIS_CDF)} END)"
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean value per
+    event_type: BOOT_B replicas where every row gets an independent
+    deterministic Poisson(1) weight (hash-seeded per replica), replica
+    mean = Σw·cents / Σw — the SCALE-CORRECT bootstrap (Chamandy et
+    al., "Estimating uncertainty for massive data streams", Google
+    2012): no resampling shuffle, no row duplication, ONE pass with
+    2·B map-side-combinable integer aggregates. ci = the 2nd-smallest /
+    2nd-largest replica means (~94% coverage at B=32).
+
+    Exactness: weights are integer CASE lookups on the portable hash
+    (the Poisson inverse-CDF thresholds are Python-computed literals),
+    replica sums are exact integers, each mean is one division, and
+    both engines sort the same 32 doubles.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    aggs = [F.count("*").alias("n_events"),
+            F.sum("cents").alias("s_all")]
+    for b in range(BOOT_B):
+        w = _boot_weight_spark(b)
+        aggs.append(F.sum(w * F.col("cents")).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"n{b}"))
+    per_type = ev.groupBy("event_type").agg(*aggs)
+    means = F.array_sort(F.array(*[
+        (F.col(f"s{b}").cast("double") / F.col(f"n{b}").cast("double"))
+        for b in range(BOOT_B)]))
+    return (
+        per_type.select(
+            "event_type", "n_events",
+            (F.col("s_all").cast("double") / F.col("n_events"))
+            .alias("mean_cents"),
+            F.element_at(means, 2).alias("boot_lo"),
+            F.element_at(means, BOOT_B - 1).alias("boot_hi"))
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    cols = ", ".join(
+        f"CAST(SUM({_boot_weight_sql(b)} * cents) AS BIGINT) AS s{b},"
+        f" CAST(SUM({_boot_weight_sql(b)}) AS BIGINT) AS n{b}"
+        for b in range(BOOT_B))
+    lst = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / CAST(n{b} AS DOUBLE)"
+        for b in range(BOOT_B))
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS s_all, {cols}
+  FROM e GROUP BY event_type),
+srt AS (
+  SELECT event_type, n_events, s_all,
+         list_sort([{lst}]) AS means
+  FROM agg)
+SELECT event_type, n_events,
+       CAST(s_all AS DOUBLE) / n_events AS mean_cents,
+       means[2] AS boot_lo, means[{BOOT_B - 1}] AS boot_hi
+FROM srt ORDER BY event_type
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_ci_sql()
+
+QUERIES["events_bootstrap_ci"] = events_bootstrap_ci
+ORACLE_SQL["events_bootstrap_ci"] = BOOTSTRAP_CI_SQL

@@ -286,3 +286,50 @@ def test_hll_sliding_supersets_daily(spark):
         assert truth, (r.event_type, r.day)
         err = abs(r.hll_est - len(truth)) / len(truth)
         assert err < 0.5, (r.event_type, r.day, r.hll_est, len(truth))
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The bootstrap interval must contain the true mean for these
+    well-behaved (large-n, bounded) groups, and lo <= hi always."""
+    from kmr_spark.plans.robust import events_bootstrap_ci
+
+    rows = events_bootstrap_ci(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.boot_lo <= r.boot_hi
+        assert r.boot_lo <= r.mean_cents <= r.boot_hi, (
+            r.event_type, r.boot_lo, r.mean_cents, r.boot_hi)
+
+
+def test_bootstrap_weights_are_poissonish(spark):
+    """Across replicas the total Poisson weight should hover around n
+    (mean 1 per row): check every replica's weight sum is within 20%
+    of the row count at sf0.001."""
+    from pyspark.sql import functions as F2
+
+    from kmr_spark.plans.robust import BOOT_B, _boot_weight_spark
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"].select("event_id")
+    n = ev.count()
+    sums = ev.agg(*[F2.sum(_boot_weight_spark(b)).alias(f"w{b}")
+                    for b in range(BOOT_B)]).collect()[0]
+    for b in range(BOOT_B):
+        assert abs(sums[f"w{b}"] - n) / n < 0.2, (b, sums[f"w{b}"], n)
+
+
+def test_tfidf_cosine_pairs_self_consistent(spark):
+    """near implies cos >= 0.5 over the pruned vocabulary (recomputed
+    from the emitted integers), and every pair shares >= MIN_SHARED
+    discriminative bigrams."""
+    import math
+
+    from kmr_spark.llm_ops.similarity import (TFIDF_MIN_SHARED,
+                                              docs_tfidf_cosine_pairs)
+
+    rows = docs_tfidf_cosine_pairs(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_shared >= TFIDF_MIN_SHARED
+        cos = r.dot / math.sqrt(r.na * r.nb)
+        assert (cos >= 0.5) == bool(r.near), (r.a, r.b, cos, r.near)
