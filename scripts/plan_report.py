@@ -42,6 +42,19 @@ HEADLINE = [
     ("dedup_ngram_jaccard", "(lang, source, minhash band) equi-join for "
                             "candidates — no cartesian, blocks bounded "
                             "under metadata skew"),
+    # round-5 additions
+    ("events_salted_user_join", "SortMergeJoin keyed on (user_id, "
+                                "__salt) — the hot-key splitting shape; "
+                                "events side NOT broadcast"),
+    ("emb_srp_candidates", "signature equi-self-join (widened scan, "
+                           "persisted sig table) — no cartesian, "
+                           "verify dot only on candidates"),
+    ("events_bootstrap_ci", "ONE aggregate pass with 2B partial-combine "
+                            "integer sums — no row explosion, no "
+                            "resample shuffle"),
+    ("docs_tfidf_cosine_pairs", "posting-list equi-join on the bigram "
+                                "term — df-capped candidates, "
+                                "broadcast df table"),
 ]
 
 
