@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "events_hll_sliding",
     "events_bootstrap_ci",
     "docs_tfidf_cosine_pairs",
+    "events_quantile_sliding",
 ]
 
 

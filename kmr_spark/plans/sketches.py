@@ -765,3 +765,112 @@ HLL_SLIDING_SQL = _hll_sliding_sql()
 
 QUERIES["events_hll_sliding"] = events_hll_sliding
 ORACLE_SQL["events_hll_sliding"] = HLL_SLIDING_SQL
+
+
+def events_quantile_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day p50/p90 of `value` per (event_type, day) from
+    per-day 256-bucket HISTOGRAM sketches merged by SUM — the exactly-
+    mergeable quantile companion to events_hll_sliding: the corpus is
+    scanned once into |types|x|days|x256 integer counts, and every
+    sliding window is a count merge, never a rescan. Buckets use
+    GLOBAL per-type bounds (one broadcast aggregate) so a bucket means
+    the same value range in every window.
+
+    Exactness: integer counts, one fixed IEEE estimate expression —
+    the sketch-quantile reproducibility contract. Scale shape: two
+    map-side-combinable aggregates, a constant 7x fan-out of
+    constant-size state, and a 256-row-per-cell cumulative window.
+    """
+    from pyspark.sql import Window
+
+    ev = (load_tables(spark, sf_dir)["events"]
+          .select("event_type", "value", F.to_date("ts").alias("day"))
+          .filter(F.col("value").isNotNull()))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width_frac = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor(width_frac * N_QBUCKETS), F.lit(N_QBUCKETS - 1))
+    ).cast("long")
+    hist = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "day", "mn", "mx", bucket.alias("bucket"))
+        .groupBy("event_type", "day", "mn", "mx", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    contrib = hist.select(
+        "event_type", "mn", "mx", "bucket", "c",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"))
+    days = ev.select("day").distinct()
+    merged = (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("event_type", "day", "mn", "mx", "bucket")
+        .agg(F.sum("c").alias("c")))
+    w_cum = (Window.partitionBy("event_type", "day").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("event_type", "day")
+    cum = merged.select(
+        "event_type", "day", "mn", "mx", "bucket", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"))
+    aggs = [F.min("mn").alias("mn"), F.min("mx").alias("mx"),
+            F.max("n").alias("n")]
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        k = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(F.min(F.when(F.col("cum") >= k, F.col("bucket")))
+                    .alias(f"b_{name}"))
+    folded = cum.groupBy("event_type", "day").agg(*aggs)
+    out = [F.col("event_type"), F.col("day"), F.col("n")]
+    for name in ("p50", "p90"):
+        out.append((F.col("mn") + F.col(f"b_{name}")
+                    * (F.col("mx") - F.col("mn")) / N_QBUCKETS)
+                   .alias(f"{name}_est"))
+    return folded.select(*out).orderBy("event_type", "day")
+
+
+QUANTILE_SLIDING_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(ts AS DATE) AS day
+  FROM events WHERE value IS NOT NULL),
+bounds AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM ev GROUP BY event_type),
+bucketed AS (
+  SELECT e.event_type, e.day, b.mn, b.mx,
+         CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE LEAST(FLOOR((e.value - b.mn) / (b.mx - b.mn) * {N_QBUCKETS}),
+                         {N_QBUCKETS - 1}) END AS BIGINT) AS bucket
+  FROM ev e JOIN bounds b ON e.event_type = b.event_type),
+hist AS (
+  SELECT event_type, day, mn, mx, bucket, COUNT(*) AS c
+  FROM bucketed GROUP BY 1, 2, 3, 4, 5),
+contrib AS (
+  SELECT h.event_type, h.mn, h.mx, h.bucket, h.c,
+         CAST(s.wday AS DATE) AS day
+  FROM hist h,
+       LATERAL (SELECT unnest(generate_series(
+                  h.day, h.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday) s
+  WHERE CAST(s.wday AS DATE) IN (SELECT DISTINCT day FROM ev)),
+merged AS (
+  SELECT event_type, day, mn, mx, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM contrib GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT event_type, day, mn, mx, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type, day ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type, day) AS n
+  FROM merged),
+folded AS (
+  SELECT event_type, day, MIN(mn) AS mn, MIN(mx) AS mx,
+         CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bucket END) AS b_p50,
+         MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bucket END) AS b_p90
+  FROM cum GROUP BY 1, 2)
+SELECT event_type, day, n,
+       mn + b_p50 * (mx - mn) / {N_QBUCKETS} AS p50_est,
+       mn + b_p90 * (mx - mn) / {N_QBUCKETS} AS p90_est
+FROM folded ORDER BY event_type, day
+"""
+
+QUERIES["events_quantile_sliding"] = events_quantile_sliding
+ORACLE_SQL["events_quantile_sliding"] = QUANTILE_SLIDING_SQL

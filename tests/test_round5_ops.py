@@ -333,3 +333,33 @@ def test_tfidf_cosine_pairs_self_consistent(spark):
         assert r.n_shared >= TFIDF_MIN_SHARED
         cos = r.dot / math.sqrt(r.na * r.nb)
         assert (cos >= 0.5) == bool(r.near), (r.a, r.b, cos, r.near)
+
+
+def test_quantile_sliding_monotone_and_bounded(spark):
+    """p50 <= p90, both within the type's global [mn, mx], and the
+    window's n equals the true trailing-7-day event count."""
+    import datetime
+
+    from kmr_spark.plans.sketches import events_quantile_sliding
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", F.to_date("ts").alias("day"), "value").collect()
+    per_day = {}
+    vmin, vmax = {}, {}
+    for r in ev:
+        if r.value is None:
+            continue
+        per_day[(r.event_type, r.day)] = per_day.get(
+            (r.event_type, r.day), 0) + 1
+        vmin[r.event_type] = min(vmin.get(r.event_type, r.value), r.value)
+        vmax[r.event_type] = max(vmax.get(r.event_type, r.value), r.value)
+    rows = events_quantile_sliding(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_est <= r.p90_est
+        assert vmin[r.event_type] <= r.p50_est <= vmax[r.event_type]
+        true_n = sum(per_day.get(
+            (r.event_type, r.day - datetime.timedelta(days=k)), 0)
+            for k in range(7))
+        assert r.n == true_n, (r.event_type, r.day, r.n, true_n)
