@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "events_bootstrap_ci",
     "docs_tfidf_cosine_pairs",
     "events_quantile_sliding",
+    "iter_logreg",
 ]
 
 

@@ -274,3 +274,142 @@ ORACLE_SQL = {
     "iter_pagerank": PAGERANK_SQL,
     "iter_kmeans": KMEANS_SQL,
 }
+
+
+# ---- logistic regression by gradient descent (supervised iterative) --
+
+LG_DIMS = 8        # features: first 8 embedding coordinates (+ bias)
+LG_ITERS = 3
+LG_LR = 0.5
+LG_XQ = 10**6      # feature quantization (floor(x*1e6)/1e6)
+LG_SQ = 10**6      # sigmoid quantization (floor(sigma*1e6))
+
+
+def _lg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, y, xq): label parity target and 1e-6-quantized feature
+    doubles (bias handled separately)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.expr(
+            f"transform(slice(embedding, 1, {LG_DIMS}),"
+            f" x -> floor(CAST(x AS DOUBLE) * {LG_XQ}) / {LG_XQ})")
+        .alias("xq"))
+
+
+def _lg_z(weights: list[float]):
+    """w·x + b as a fixed left-associated chain (bias last) — the SQL
+    oracle writes the identical chain, so z is bit-equal."""
+    z = F.lit(weights[0]) * F.col("xq")[0]
+    for d in range(1, LG_DIMS):
+        z = z + F.lit(weights[d]) * F.col("xq")[d]
+    return z + F.lit(weights[LG_DIMS])
+
+
+def _lg_fit(spark: SparkSession, sf_dir: str) -> list[float]:
+    feats = _lg_features(spark, sf_dir).persist()
+    try:
+        n = float(feats.count())
+        w = [0.0] * (LG_DIMS + 1)
+        for _ in range(LG_ITERS):
+            z = _lg_z(w)
+            sig_q = F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                            * F.lit(float(LG_SQ))).cast("long")
+            err = sig_q - F.col("y") * F.lit(LG_SQ)
+            aggs = [F.sum(err * F.floor(F.col("xq")[d] * F.lit(float(LG_XQ)))
+                          .cast("long")).alias(f"g{d}")
+                    for d in range(LG_DIMS)]
+            aggs.append(F.sum(err).alias(f"g{LG_DIMS}"))
+            g = feats.agg(*aggs).collect()[0]
+            scale = float(LG_SQ * LG_XQ)
+            new_w = [w[d] - LG_LR * ((float(g[f"g{d}"]) / scale) / n)
+                     for d in range(LG_DIMS)]
+            new_w.append(w[LG_DIMS]
+                         - LG_LR * ((float(g[f"g{LG_DIMS}"]) / float(LG_SQ)) / n))
+            w = new_w
+        return w
+    finally:
+        feats.unpersist()
+
+
+def iter_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by LG_ITERS full-batch gradient
+    steps on (label parity ~ first 8 embedding dims + bias) — the
+    SUPERVISED member of the iterative family (pagerank/kmeans/power
+    iteration), same replicated-state shape as KMR's kmeans
+    (ex/kmeans-kmr.c): weights live on the driver (9 doubles),
+    re-broadcast as literals each round; the corpus never moves.
+
+    Cross-engine exactness (the kmeans/power-iteration recipe):
+    features quantized at the scan; z = w·x is a fixed left-fold;
+    sigmoid is QUANTIZED (floor(sigma*1e6) — one exp per row whose
+    1-ulp engine spread is absorbed by the floor except on
+    measure-zero boundaries); gradients are exact integer sums
+    Σ (sigma_q − y·1e6)·x_q6; the weight update runs the same IEEE
+    expression driver-side as the oracle's unrolled CTE chain.
+    Output: (dim, weight), bias at dim=LG_DIMS. The synthetic labels
+    are random, so the CONTRACT is the exact iteration, not accuracy
+    (the power-iteration precedent); the property test asserts the
+    training loss still decreases, which holds for small LR.
+
+    Per iteration: one narrow map + one 1-row aggregate of d+1
+    integer sums with map-side combine — nothing leaves the executors
+    but 9 longs.
+    """
+    w = _lg_fit(spark, sf_dir)
+    rows = [(d, w[d]) for d in range(LG_DIMS + 1)]
+    return spark.createDataFrame(rows, "dim long, weight double").orderBy("dim")
+
+
+def _logreg_sql() -> str:
+    """Unrolled CTE chain: feats -> (g round 1) -> (w round 1) -> ...
+    Weight expressions reproduce the driver's float arithmetic
+    operation-for-operation."""
+    zterms = " + ".join(
+        f"w.w{d} * f.xq{d + 1}" for d in range(LG_DIMS))
+    xq_cols = ", ".join(
+        f"floor(CAST(embedding[{d + 1}] AS DOUBLE) * {LG_XQ}) / {LG_XQ}"
+        f" AS xq{d + 1}" for d in range(LG_DIMS))
+    parts = [f"""
+feats AS (
+  SELECT vec_id, CAST(label % 2 AS BIGINT) AS y, {xq_cols}
+  FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+w0 AS (SELECT {', '.join(f'CAST(0.0 AS DOUBLE) AS w{d}' for d in range(LG_DIMS + 1))})"""]
+    for it in range(1, LG_ITERS + 1):
+        gcols = ", ".join(
+            f"CAST(SUM((CAST(floor((1.0 / (1.0 + exp(-({zterms} + w.w{LG_DIMS}))))"
+            f" * {float(LG_SQ)!r}) AS BIGINT) - f.y * {LG_SQ})"
+            f" * CAST(floor(f.xq{d + 1} * {float(LG_XQ)!r}) AS BIGINT))"
+            f" AS BIGINT) AS g{d}"
+            for d in range(LG_DIMS))
+        gcols += (
+            f", CAST(SUM(CAST(floor((1.0 / (1.0 + exp(-({zterms} + w.w{LG_DIMS}))))"
+            f" * {float(LG_SQ)!r}) AS BIGINT) - f.y * {LG_SQ}) AS BIGINT)"
+            f" AS g{LG_DIMS}")
+        parts.append(f"""
+g{it} AS (
+  SELECT {gcols}
+  FROM feats f CROSS JOIN w{it - 1} w)""")
+        scale = float(LG_SQ * LG_XQ)
+        wcols = ", ".join(
+            f"w.w{d} - {LG_LR!r} * ((CAST(g.g{d} AS DOUBLE) / {scale!r})"
+            f" / (SELECT n FROM n)) AS w{d}"
+            for d in range(LG_DIMS))
+        wcols += (
+            f", w.w{LG_DIMS} - {LG_LR!r} * ((CAST(g.g{LG_DIMS} AS DOUBLE)"
+            f" / {float(LG_SQ)!r}) / (SELECT n FROM n)) AS w{LG_DIMS}")
+        parts.append(f"""
+w{it} AS (SELECT {wcols} FROM w{it - 1} w CROSS JOIN g{it} g)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {d} AS dim, w{d} AS weight FROM w{LG_ITERS}"
+        for d in range(LG_DIMS + 1))
+    return ("WITH " + ",".join(parts) + f"\nSELECT dim, weight FROM ({sel})"
+            " ORDER BY dim")
+
+
+LOGREG_SQL = _logreg_sql()
+
+QUERIES["iter_logreg"] = iter_logreg
+ORACLE_SQL["iter_logreg"] = LOGREG_SQL

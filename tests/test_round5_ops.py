@@ -363,3 +363,52 @@ def test_quantile_sliding_monotone_and_bounded(spark):
             (r.event_type, r.day - datetime.timedelta(days=k)), 0)
             for k in range(7))
         assert r.n == true_n, (r.event_type, r.day, r.n, true_n)
+
+
+def test_logreg_loss_decreases(spark):
+    """Full-batch GD with a small LR must not increase the training
+    log-loss over the fitted iterations (computed on the quantized
+    pipeline's own features)."""
+    import math
+
+    from kmr_spark.plans.iterative import (LG_DIMS, LG_ITERS, LG_LR, LG_SQ,
+                                           LG_XQ, _lg_features)
+    from kmr_spark.session import load_tables
+
+    rows = _lg_features(spark, SF_SMALL).collect()
+    X = [list(r.xq) + [1.0] for r in rows]
+    y = [r.y for r in rows]
+    n = float(len(rows))
+
+    def loss(w):
+        tot = 0.0
+        for xi, yi in zip(X, y):
+            z = sum(wd * xd for wd, xd in zip(w, xi))
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(yi * math.log(p) + (1 - yi) * math.log(1 - p))
+        return tot / n
+
+    w = [0.0] * (LG_DIMS + 1)
+    losses = [loss(w)]
+    for _ in range(LG_ITERS):
+        g = [0.0] * (LG_DIMS + 1)
+        for xi, yi in zip(X, y):
+            z = sum(wd * xd for wd, xd in zip(w, xi))
+            sq = math.floor(1.0 / (1.0 + math.exp(-z)) * LG_SQ)
+            err = sq - yi * LG_SQ
+            for d in range(LG_DIMS):
+                g[d] += err * math.floor(xi[d] * LG_XQ)
+            g[LG_DIMS] += err
+        w = [w[d] - LG_LR * ((g[d] / (LG_SQ * LG_XQ)) / n)
+             for d in range(LG_DIMS)] + [
+            w[LG_DIMS] - LG_LR * ((g[LG_DIMS] / LG_SQ) / n)]
+        losses.append(loss(w))
+    assert losses[-1] <= losses[0]
+
+    # and the engine's fitted weights equal this replica's
+    from kmr_spark.plans.iterative import iter_logreg
+
+    got = {r.dim: r.weight for r in iter_logreg(spark, SF_SMALL).collect()}
+    for d in range(LG_DIMS + 1):
+        assert abs(got[d] - w[d]) < 1e-12, (d, got[d], w[d])
