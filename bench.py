@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "docs_tfidf_cosine_pairs",
     "events_quantile_sliding",
     "iter_logreg",
+    "graph_link_prediction",
+    "events_jsonl_roundtrip",
 ]
 
 

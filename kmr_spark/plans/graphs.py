@@ -343,3 +343,94 @@ FROM m
 
 QUERIES["graph_assortativity"] = graph_assortativity
 ORACLE_SQL["graph_assortativity"] = ASSORTATIVITY_SQL
+
+
+#: link-prediction output size + minimum evidence
+LP_TOP_K = 100
+LP_MIN_COMMON = 2
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the R-MAT graph: for node
+    pairs NOT already connected, count shared neighbors and score with
+    integer-permille Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    link-prediction baseline (Liben-Nowell & Kleinberg 2003). Top
+    LP_TOP_K pairs by (common DESC, jaccard DESC, a, b).
+
+    Plan: candidate pairs come from the WEDGE join (two directed edges
+    sharing their center) — the same bounded self-join shape as the
+    triangle census, pair volume Σ C(deg,2); an anti-join against the
+    edge set removes existing links; degrees broadcast back; top-k is
+    TakeOrderedAndProject, no global sort.
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
+    try:
+        n_edges = canon.count()
+        with sized_shuffle_partitions(spark, n_edges):
+            both = (canon.select(F.col("u").alias("c"), F.col("v").alias("x"))
+                    .unionAll(canon.select(F.col("v").alias("c"),
+                                           F.col("u").alias("x"))))
+            deg = both.groupBy(F.col("c").alias("node")).agg(
+                F.count("*").alias("d"))
+            w1 = both.select("c", F.col("x").alias("a"))
+            w2 = both.select("c", F.col("x").alias("b"))
+            wedges = (w1.join(w2, "c")
+                      .filter(F.col("a") < F.col("b"))
+                      .groupBy("a", "b")
+                      .agg(F.count("*").alias("common"))
+                      .filter(F.col("common") >= LP_MIN_COMMON))
+            non_edges = wedges.join(
+                canon, (wedges["a"] == canon["u"]) & (wedges["b"] == canon["v"]),
+                "left_anti")
+            da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+            db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+            scored = (
+                non_edges.join(F.broadcast(da), "a")
+                .join(F.broadcast(db), "b")
+                .select(
+                    "a", "b", "common", "da", "db",
+                    F.expr("(1000 * common) DIV (da + db - common)")
+                    .alias("jaccard_permille")))
+            out = scored.orderBy(
+                F.col("common").desc(), F.col("jaccard_permille").desc(),
+                "a", "b").limit(LP_TOP_K)
+            from kmr_spark.session import materialize_release
+
+            return materialize_release(out, canon)
+    except Exception:
+        canon.unpersist()
+        raise
+
+
+LINK_PREDICTION_SQL = f"""
+WITH raw AS ({RMAT_RAW_SQL}),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+eb AS (
+  SELECT u AS c, v AS x FROM canon
+  UNION ALL SELECT v AS c, u AS x FROM canon),
+deg AS (SELECT c AS node, COUNT(*) AS d FROM eb GROUP BY c),
+wedges AS (
+  SELECT w1.x AS a, w2.x AS b, COUNT(*) AS common
+  FROM eb w1 JOIN eb w2 ON w1.c = w2.c AND w1.x < w2.x
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LP_MIN_COMMON}),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM canon e
+                    WHERE e.u = w.a AND e.v = w.b)),
+scored AS (
+  SELECT n.a, n.b, n.common, da.d AS da, db.d AS db,
+         (1000 * n.common) // (da.d + db.d - n.common) AS jaccard_permille
+  FROM non_edges n
+  JOIN deg da ON da.node = n.a
+  JOIN deg db ON db.node = n.b)
+SELECT * FROM scored
+ORDER BY common DESC, jaccard_permille DESC, a, b
+LIMIT {LP_TOP_K}
+"""
+
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+ORACLE_SQL["graph_link_prediction"] = LINK_PREDICTION_SQL

@@ -328,3 +328,63 @@ ORACLE_SQL = {"validate_events": VALIDATE_EVENTS_SQL,
               "events_gate_streamed": GATE_STREAMED_SQL,
               "events_watermark_late_census": WATERMARK_LATE_SQL,
               "events_duplicate_purchases": DUP_PAYMENTS_SQL}
+
+
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-fidelity gate: events flow parquet -> JSONL sink ->
+    JSONL source (explicit schema, no inference pass) -> per-type
+    census, and the oracle computes the same census from the ORIGINAL
+    parquet — any row lost, duplicated, or value-mangled by the text
+    round-trip breaks the hash. Timestamps travel as unix micros longs
+    (JSON has no timestamp type; re-encoding as strings would invite
+    timezone drift), doubles as exact cents.
+
+    Plan: the sink/source pair is splittable line-text — at 100 TB the
+    write and read both parallelize by partition; the census aggregate
+    is map-side combinable.
+    """
+    import shutil
+    import tempfile
+
+    from kmr_spark.sources.files import read_jsonl, save_jsonl
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    d = tempfile.mkdtemp(prefix="kmr_jsonl_rt_")
+    try:
+        save_jsonl(ev, d)
+        back = read_jsonl(
+            spark, d,
+            "event_id long, user_id long, event_type string,"
+            " us long, cents long")
+        return (
+            back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_ids"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.min("us").alias("min_us"),
+                 F.max("us").alias("max_us"))
+            .orderBy("event_type")
+            .localCheckpoint()  # pin rows before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+JSONL_ROUNDTRIP_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(us) AS min_us, MAX(us) AS max_us
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["events_jsonl_roundtrip"] = events_jsonl_roundtrip
+ORACLE_SQL["events_jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL

@@ -412,3 +412,37 @@ def test_logreg_loss_decreases(spark):
     got = {r.dim: r.weight for r in iter_logreg(spark, SF_SMALL).collect()}
     for d in range(LG_DIMS + 1):
         assert abs(got[d] - w[d]) < 1e-12, (d, got[d], w[d])
+
+
+def test_link_prediction_pairs_not_edges(spark):
+    """Predicted links must not already be edges, and every pair's
+    common count must match a brute-force recount."""
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import graph_link_prediction
+
+    edges = set()
+    adj = {}
+    for r in rmat_raw_edges(spark).collect():
+        if r.src == r.dst:
+            continue
+        u, v = min(r.src, r.dst), max(r.src, r.dst)
+        edges.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = graph_link_prediction(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert (r.a, r.b) not in edges
+        common = len(adj.get(r.a, set()) & adj.get(r.b, set()))
+        assert common == r.common, (r.a, r.b, common, r.common)
+        union = len(adj.get(r.a, set()) | adj.get(r.b, set()))
+        assert r.jaccard_permille == (1000 * r.common) // union
+
+
+def test_jsonl_roundtrip_totals_match_parquet(spark):
+    from kmr_spark.plans.quality import events_jsonl_roundtrip
+    from kmr_spark.session import load_tables
+
+    rows = events_jsonl_roundtrip(spark, SF_SMALL).collect()
+    n = load_tables(spark, SF_SMALL)["events"].count()
+    assert sum(r.n for r in rows) == n
