@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "iter_logreg",
     "graph_link_prediction",
     "events_jsonl_roundtrip",
+    "users_feature_matrix",
+    "train_export_shards",
 ]
 
 

@@ -281,3 +281,172 @@ FROM events GROUP BY user_id
 
 QUERIES["events_velocity_features"] = events_velocity_features
 ORACLE_SQL["events_velocity_features"] = VELOCITY_SQL
+
+
+def users_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: one row per user joining THREE feature
+    families computed from the events table — activity volume
+    (n_events, n_types, active_days, longest_streak), spend
+    (total cents, purchase count), and behavioral diversity (the
+    quantized-log entropy of events_user_entropy) — the composed
+    training matrix a churn/LTV model consumes. Every family is a
+    keyed aggregate; the joins are co-partitioned on user_id, so the
+    assembly adds no shape beyond its inputs.
+
+    Exactness: counts + cents are integers; entropy reuses the
+    order-independent quantized-log fold. The streak family reuses the
+    di − row_number gaps-and-islands recipe (events_user_streaks).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"))
+    spend = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id")
+             .agg(F.count("*").alias("n_purchases"),
+                  F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .alias("spend_cents")))
+    ud = (ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'1970-01-01')").alias("di"))
+        .distinct())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("di")
+    streaks = (
+        ud.withColumn("grp", F.col("di") - F.row_number().over(w))
+        .groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.sum("len").alias("active_days"),
+             F.max("len").alias("longest_streak")))
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c"))
+    q = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+    n = F.sum("c").cast("double")
+    qln_n = F.floor(F.log(n) * F.lit(1e6)).cast("double") / F.lit(1e6)
+    s_q = F.sum(F.col("c") * q).cast("double")
+    entropy = counts.groupBy("user_id").agg(
+        (qln_n - (s_q / F.lit(1e6)) / n).alias("entropy"))
+    return (
+        base.join(streaks, "user_id")
+        .join(entropy, "user_id")
+        .join(spend, "user_id", "left")
+        .select("user_id", "n_events", "n_types", "active_days",
+                "longest_streak", "entropy",
+                F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                F.coalesce("spend_cents", F.lit(0)).alias("spend_cents"))
+        .orderBy("user_id")
+    )
+
+
+FEATURE_MATRIX_SQL = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id),
+spend AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS di
+  FROM events),
+g AS (
+  SELECT user_id, di,
+         di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di) AS grp
+  FROM ud),
+sl AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+streaks AS (
+  SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+         CAST(MAX(len) AS BIGINT) AS longest_streak
+  FROM sl GROUP BY user_id),
+counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type),
+ent AS (
+  SELECT user_id,
+         CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1e6) AS DOUBLE) / 1e6
+           - (CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6)
+                                AS BIGINT)) AS DOUBLE) / 1e6)
+             / CAST(SUM(c) AS DOUBLE) AS entropy
+  FROM counts GROUP BY user_id)
+SELECT b.user_id, b.n_events, b.n_types, s.active_days,
+       s.longest_streak, e.entropy,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       COALESCE(p.spend_cents, 0) AS spend_cents
+FROM base b
+JOIN streaks s USING (user_id)
+JOIN ent e USING (user_id)
+LEFT JOIN spend p USING (user_id)
+ORDER BY b.user_id
+"""
+
+
+QUERIES["users_feature_matrix"] = users_feature_matrix
+ORACLE_SQL["users_feature_matrix"] = FEATURE_MATRIX_SQL
+
+
+EXPORT_SHARDS = 8
+
+
+def train_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sink under the gate: the user feature matrix is
+    written to EXPORT_SHARDS hash-sharded parquet partitions
+    (partitionBy — the layout a data loader consumes shard-by-shard),
+    then the MANIFEST is recomputed from the files just written: per
+    shard, row count and integer checksums over ids and spend. The
+    oracle computes the same manifest from the source tables, so a row
+    landing in the wrong shard, dropped, or mangled by the
+    write/read breaks the hash — the export itself is what is
+    verified (the events_gate_streamed sink pattern).
+
+    Shard = portable content hash of user_id, so any engine (or a
+    non-Spark loader) can recompute placement.
+    """
+    import shutil
+    import tempfile
+
+    from kmr_spark.operators.sample import hash_bucket
+
+    m = users_feature_matrix(spark, sf_dir).withColumn(
+        "shard", (hash_bucket(F.col("user_id")) % EXPORT_SHARDS).cast("int"))
+    d = tempfile.mkdtemp(prefix="kmr_export_")
+    try:
+        m.write.mode("overwrite").partitionBy("shard").parquet(d)
+        back = spark.read.parquet(d)
+        return (
+            back.groupBy("shard")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("user_id").alias("sum_ids"),
+                 F.sum("n_events").alias("sum_events"),
+                 F.sum("spend_cents").alias("sum_spend_cents"))
+            .orderBy("shard")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _export_shards_sql() -> str:
+    from kmr_spark.operators.sample import sql_bucket
+
+    return f"""
+WITH m AS ({FEATURE_MATRIX_SQL.replace("ORDER BY b.user_id", "")}),
+sharded AS (
+  SELECT *, CAST(({sql_bucket('user_id')}) % {EXPORT_SHARDS} AS INTEGER)
+           AS shard
+  FROM m)
+SELECT shard, COUNT(*) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events,
+       CAST(SUM(spend_cents) AS BIGINT) AS sum_spend_cents
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+EXPORT_SHARDS_SQL = _export_shards_sql()
+
+QUERIES["train_export_shards"] = train_export_shards
+ORACLE_SQL["train_export_shards"] = EXPORT_SHARDS_SQL

@@ -446,3 +446,31 @@ def test_jsonl_roundtrip_totals_match_parquet(spark):
     rows = events_jsonl_roundtrip(spark, SF_SMALL).collect()
     n = load_tables(spark, SF_SMALL)["events"].count()
     assert sum(r.n for r in rows) == n
+
+
+def test_feature_matrix_covers_every_user(spark):
+    from kmr_spark.plans.training import users_feature_matrix
+    from kmr_spark.session import load_tables
+
+    rows = users_feature_matrix(spark, SF_SMALL).collect()
+    users = {r.user_id for r in
+             load_tables(spark, SF_SMALL)["events"]
+             .select("user_id").distinct().collect()}
+    assert {r.user_id for r in rows} == users
+    for r in rows:
+        assert r.active_days >= r.longest_streak >= 1
+        assert r.n_events >= r.active_days
+        assert r.entropy >= -1e-9
+        assert (r.n_purchases == 0) == (r.spend_cents == 0)
+
+
+def test_export_shards_cover_all_users(spark):
+    from kmr_spark.plans.training import (EXPORT_SHARDS,
+                                          train_export_shards,
+                                          users_feature_matrix)
+
+    manifest = train_export_shards(spark, SF_SMALL).collect()
+    m = users_feature_matrix(spark, SF_SMALL).collect()
+    assert sum(r.n_users for r in manifest) == len(m)
+    assert sum(r.sum_ids for r in manifest) == sum(r.user_id for r in m)
+    assert {r.shard for r in manifest} <= set(range(EXPORT_SHARDS))
