@@ -255,15 +255,19 @@ _DRIVER_CHECKED = frozenset({
 # round-5 addition (they sit right after this window, never inside
 # it), listed with
 #   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R5_WINDOW)]
-# At round-5 end that is 15 names: the 2 defers + 13 new (exact-sim
-# green, --exact mode): events_asof_forward_sla, events_salted_user_join,
-# text_readability, emb_random_projection, emb_srp_candidates,
-# basket_rules, events_sliding_streamed, multimodal_dedup_ahash,
-# graph_assortativity, events_cohort_ltv_curve,
+# At round-5 end that is 22 names: the 2 defers + 20 new (each
+# exact-sim green via --exact mode): events_asof_forward_sla,
+# events_salted_user_join, text_readability, emb_random_projection,
+# emb_srp_candidates, basket_rules, events_sliding_streamed,
+# multimodal_dedup_ahash, graph_assortativity, events_cohort_ltv_curve,
 # events_watermark_late_census, events_duplicate_purchases,
-# parts_supplier_hhi. A 15-name window leaves 35 slots — backfill with
-# the longest-green _DRIVER_CHECKED names (re-verification rotation)
-# or the round-6 additions.
+# parts_supplier_hhi, events_hll_sliding, events_bootstrap_ci,
+# docs_tfidf_cosine_pairs, events_quantile_sliding, iter_logreg,
+# graph_link_prediction, events_jsonl_roundtrip, users_feature_matrix,
+# train_export_shards. (That's 24 total with the defers if the list
+# grows; recompute with the formula above.) A ~24-name window leaves
+# ~26 slots — backfill with the longest-green _DRIVER_CHECKED names
+# (re-verification rotation) or the round-6 additions.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

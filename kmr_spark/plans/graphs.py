@@ -286,31 +286,38 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-keyed joins edge->degree, one global 1-row moment fold with
     map-side combine.
     """
-    canon = canonicalize_edges(rmat_raw_edges(spark))
-    deg = (canon.select(F.col("u").alias("node"))
-           .unionAll(canon.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d")))
-    both = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
-            .unionAll(canon.select(F.col("v").alias("a"),
-                                   F.col("u").alias("b"))))
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
-    dec = lambda c: F.col(c).cast("decimal(38,0)")
-    m = (both.join(da, "a").join(db, "b")
-         .agg(F.count("*").alias("n"),
-              F.sum(dec("dx")).alias("sx"),
-              F.sum(dec("dx") * dec("dy")).alias("sxy"),
-              F.sum(dec("dx") * dec("dx")).alias("sxx")))
-    n_d = F.col("n").cast("double")
-    sx_d = F.col("sx").cast("double")
-    sxy_d = F.col("sxy").cast("double")
-    sxx_d = F.col("sxx").cast("double")
-    return m.select(
-        "n", F.col("sx").cast("long").alias("sum_deg"),
-        F.col("sxy").cast("long").alias("sum_xy"),
-        F.col("sxx").cast("long").alias("sum_xx"),
-        ((n_d * sxy_d - sx_d * sx_d) / (n_d * sxx_d - sx_d * sx_d))
-        .alias("assortativity"))
+    canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
+    try:
+        n_edges = canon.count()
+        with sized_shuffle_partitions(spark, n_edges):
+            deg = (canon.select(F.col("u").alias("node"))
+                   .unionAll(canon.select(F.col("v").alias("node")))
+                   .groupBy("node").agg(F.count("*").alias("d")))
+            eb = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                  .unionAll(canon.select(F.col("v").alias("a"),
+                                         F.col("u").alias("b"))))
+            da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+            db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+            dec = lambda c: F.col(c).cast("decimal(38,0)")
+            m = (eb.join(da, "a").join(db, "b")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(dec("dx")).alias("sx"),
+                      F.sum(dec("dx") * dec("dy")).alias("sxy"),
+                      F.sum(dec("dx") * dec("dx")).alias("sxx")))
+            n_d = F.col("n").cast("double")
+            sx_d = F.col("sx").cast("double")
+            sxy_d = F.col("sxy").cast("double")
+            sxx_d = F.col("sxx").cast("double")
+            out = m.select(
+                "n", F.col("sx").cast("long").alias("sum_deg"),
+                F.col("sxy").cast("long").alias("sum_xy"),
+                F.col("sxx").cast("long").alias("sum_xx"),
+                ((n_d * sxy_d - sx_d * sx_d) / (n_d * sxx_d - sx_d * sx_d))
+                .alias("assortativity"))
+            return materialize_release(out, canon)
+    except Exception:
+        canon.unpersist()
+        raise
 
 
 ASSORTATIVITY_SQL = f"""
