@@ -144,6 +144,16 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.privacy as privacy
+        modules.append(privacy)
+    except ImportError:
+        pass
+    try:
+        import kmr_spark.plans.inference as inference
+        modules.append(inference)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.plans.corpusstats as corpusstats
         modules.append(corpusstats)
     except ImportError:

@@ -1,0 +1,335 @@
+"""Statistical-inference plans over the events table: OLS trend fits,
+difference-in-differences, change-point detection, and a Kaplan-Meier
+risk table.
+
+These are the "is the metric moving, and did the launch cause it"
+queries every analytics engine ends up hosting next to its rollups
+(the reference's aggregate layer — kmr_reduce over keyed groups,
+/root/reference/src/kmrbase.c:1665 — provides the sums these need;
+here each estimator is expressed as grouped integer sums + ONE fixed
+final expression tree so the driver's exact value-hash is stable).
+
+Exactness recipe (see SCALE.md): every accumulated quantity is a
+BIGINT (counts, day indexes, floor(value*100) cents, and their
+products); doubles appear only in a single final expression computed
+identically by Spark and the DuckDB oracle — IEEE ops on identical
+operands in identical order are bit-equal, so no 6dp tolerance is
+needed.
+
+Scale notes: each query is one or two keyed aggregations over events
+(shuffle keyed by user_id or (type, day)) followed by per-group
+O(days) window work on post-aggregation data (|types| x |days| rows —
+KBs at 100 TB input). No driver-side data, no unpartitioned windows
+over raw events, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+
+def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type OLS fit of daily event count against day index
+    (0 = the type's first observed day; observed days only).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) over BIGINT sums;
+    intercept = (Sy*den - num*Sx) / (n*den) reuses the same integers,
+    so both doubles come from one fixed expression tree each.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    w_min = Window.partitionBy("event_type")
+    pts = daily.withColumn(
+        "x", F.datediff("day", F.min("day").over(w_min)).cast("long"))
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.select(
+            "event_type", "n_days",
+            (num.cast("double") / den.cast("double")).alias("slope"),
+            ((F.col("sy") * den - num * F.col("sx")).cast("double")
+             / (F.col("n_days") * den).cast("double")).alias("intercept"))
+        .orderBy("event_type")
+    )
+
+
+LINREG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+pts AS (
+  SELECT event_type, y,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type),
+                        day) AS BIGINT) AS x
+  FROM daily),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(sy * (n_days * sxx - sx * sx)
+              - (n_days * sxy - sx * sy) * sx AS DOUBLE)
+         / CAST(n_days * (n_days * sxx - sx * sx) AS DOUBLE) AS intercept
+FROM sums ORDER BY event_type
+"""
+
+
+_DID_CUTOFF = "2024-01-16"
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event value (cents): treatment =
+    odd user_id (a deterministic 50/50 assignment standing in for an
+    experiment flag), post = day >= the cutoff. One output row with
+    the four group means and the DiD estimate, every double a fixed
+    tree over four (cent-sum, count) BIGINT pairs.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    g = (
+        ev.select(
+            (F.pmod("user_id", F.lit(2)) == 1).alias("treated"),
+            (F.to_date("ts") >= F.lit(_DID_CUTOFF)).alias("post"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy()
+        .agg(*[
+            F.sum(F.when(cond, F.col("cents"))).alias(f"s_{tag}")
+            for tag, cond in _did_groups()
+        ], *[
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}")
+            for tag, cond in _did_groups()
+        ])
+    )
+    mean = lambda t: (F.col(f"s_{t}").cast("double")
+                      / F.col(f"n_{t}").cast("double"))
+    return g.select(
+        *[F.col(f"n_{t}") for t, _ in _did_groups()],
+        mean("t_pre").alias("mean_t_pre"),
+        mean("t_post").alias("mean_t_post"),
+        mean("c_pre").alias("mean_c_pre"),
+        mean("c_post").alias("mean_c_post"),
+        ((mean("t_post") - mean("t_pre"))
+         - (mean("c_post") - mean("c_pre"))).alias("did_cents"),
+    )
+
+
+def _did_groups():
+    t, p = F.col("treated"), F.col("post")
+    return [("t_pre", t & ~p), ("t_post", t & p),
+            ("c_pre", ~t & ~p), ("c_post", ~t & p)]
+
+
+DID_SQL = f"""
+WITH b AS (
+  SELECT (user_id % 2) = 1 AS treated,
+         CAST(ts AS DATE) >= DATE '{_DID_CUTOFF}' AS post,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN treated AND NOT post THEN cents END) AS BIGINT) AS s_t_pre,
+    CAST(SUM(CASE WHEN treated AND post THEN cents END) AS BIGINT) AS s_t_post,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN cents END) AS BIGINT) AS s_c_pre,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN cents END) AS BIGINT) AS s_c_post,
+    COUNT(CASE WHEN treated AND NOT post THEN 1 END) AS n_t_pre,
+    COUNT(CASE WHEN treated AND post THEN 1 END) AS n_t_post,
+    COUNT(CASE WHEN NOT treated AND NOT post THEN 1 END) AS n_c_pre,
+    COUNT(CASE WHEN NOT treated AND post THEN 1 END) AS n_c_post
+  FROM b)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS mean_t_pre,
+  CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS mean_t_post,
+  CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS mean_c_pre,
+  CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS mean_c_post,
+  (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+   - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+  - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+     - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_cents
+FROM g
+"""
+
+
+def events_changepoint_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type single change-point in the daily cent-sum series:
+    the day t maximizing |N*S_t - t*S_N| (the integer-scaled CUSUM
+    statistic for a mean shift; S_t = prefix sum of daily cents, N =
+    number of observed days). Ties resolve to the earliest day.
+
+    Everything through the argmax is BIGINT, so the driver hash is
+    exact; the plan is one (type, day) aggregation, a per-type window
+    over the tiny daily series, and a row_number pick.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents"))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    scored = (
+        daily
+        .withColumn("t_pos", F.row_number().over(wo).cast("long"))
+        .withColumn("s_t", F.sum("cents").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_days", F.count("*").over(wt))
+        .withColumn("s_n", F.sum("cents").over(wt))
+        .withColumn("score_num", F.abs(
+            F.col("n_days") * F.col("s_t") - F.col("t_pos") * F.col("s_n")))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("score_num").desc(), F.col("day").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("change_day"),
+                "n_days", "score_num", "s_n",
+                (F.col("score_num").cast("double")
+                 / (F.col("n_days") * F.col("n_days")).cast("double"))
+                .alias("shift_cents"))
+        .orderBy("event_type")
+    )
+
+
+CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t_pos,
+         CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS s_t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+ranked AS (
+  SELECT event_type, day, n_days, s_n,
+         abs(n_days * s_t - t_pos * s_n) AS score_num,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_days * s_t - t_pos * s_n) DESC,
+                                     day ASC) AS rn
+  FROM scored)
+SELECT event_type, day AS change_day, n_days, score_num, s_n,
+       CAST(score_num AS DOUBLE)
+         / CAST(n_days * n_days AS DOUBLE) AS shift_cents
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table for days from a user's first view to
+    their first purchase at-or-after it; users who never purchase are
+    right-censored at the dataset's last day. One row per distinct
+    duration: n_risk (users still unresolved entering that day),
+    n_event, n_censored — the estimator's exact sufficient statistics
+    (all BIGINT; the survival curve itself is an ordered product, so
+    the table is the hash-stable surface).
+
+    Plan: two user-keyed aggregations (first view; first qualifying
+    purchase via a user-co-partitioned join), a broadcast scalar for
+    the censor horizon, then an O(|durations|) window.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("purch_ts"))
+    )
+    per_user = (
+        first_view.join(first_purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("purch_ts").isNotNull(),
+                   F.datediff(F.to_date("purch_ts"), F.to_date("view_ts")))
+            .otherwise(F.datediff("end_day", F.to_date("view_ts")))
+            .cast("long").alias("duration"),
+            F.col("purch_ts").isNotNull().alias("observed"))
+    )
+    by_day = per_user.groupBy("duration").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("n_event"),
+        F.count(F.when(~F.col("observed"), 1)).alias("n_censored"))
+    wo = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    total = per_user.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        by_day.crossJoin(F.broadcast(total))
+        .withColumn("resolved_through", F.sum(
+            F.col("n_event") + F.col("n_censored")).over(wo))
+        .select(
+            "duration", "n_event", "n_censored",
+            (F.col("n_total") - F.col("resolved_through")
+             + F.col("n_event") + F.col("n_censored")).alias("n_risk"))
+        .orderBy("duration")
+    )
+
+
+SURVIVAL_KM_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS purch_ts
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.view_ts
+  GROUP BY 1),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events),
+per_user AS (
+  SELECT CAST(CASE WHEN fp.purch_ts IS NOT NULL
+              THEN date_diff('day', CAST(fv.view_ts AS DATE),
+                             CAST(fp.purch_ts AS DATE))
+              ELSE date_diff('day', CAST(fv.view_ts AS DATE), h.end_day)
+              END AS BIGINT) AS duration,
+         fp.purch_ts IS NOT NULL AS observed
+  FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id CROSS JOIN horizon h),
+by_day AS (
+  SELECT duration,
+         COUNT(CASE WHEN observed THEN 1 END) AS n_event,
+         COUNT(CASE WHEN NOT observed THEN 1 END) AS n_censored
+  FROM per_user GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM per_user)
+SELECT duration, n_event, n_censored,
+       n_total - SUM(n_event + n_censored)
+                   OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+         + n_event + n_censored AS n_risk
+FROM by_day CROSS JOIN tot ORDER BY duration
+"""
+
+
+QUERIES = {
+    "events_linreg_trend": events_linreg_trend,
+    "events_diff_in_diff": events_diff_in_diff,
+    "events_changepoint_mean": events_changepoint_mean,
+    "events_survival_km": events_survival_km,
+}
+ORACLE_SQL = {
+    "events_linreg_trend": LINREG_SQL,
+    "events_diff_in_diff": DID_SQL,
+    "events_changepoint_mean": CHANGEPOINT_SQL,
+    "events_survival_km": SURVIVAL_KM_SQL,
+}

@@ -213,13 +213,74 @@ FROM ranked
 """
 
 
+def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    inequality companion to the Pareto decile census:
+    G = (2*Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i) with i the 1-based rank
+    of revenue ascending (ties broken by custkey).
+
+    Ranks come from the distributed exscan (no global window). The
+    rank-weighted sum Σ i·x_i is ~n²·cents, far past BIGINT at a
+    100 TB customer count, so it accumulates as DECIMAL(38,0) on the
+    Spark side and HUGEINT in DuckDB; only the final double (one fixed
+    expression tree over exact integers, identical in both engines)
+    reaches the output, keeping the driver hash stable.
+    """
+    from kmr_spark.operators.reduce import scan_distributed
+    from kmr_spark.session import sized_shuffle_partitions
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    rev = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("r")).persist()
+    try:
+        n = rev.count()
+        with sized_shuffle_partitions(spark, n):
+            scanned = scan_distributed(
+                rev.select("k", "r", F.lit(1).alias("one")),
+                ["one"], [F.col("r").asc(), F.col("k")])
+    finally:
+        rev.unpersist()
+    sums = scanned.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("r").alias("s0"),
+        F.sum((F.col("scan") + 1).cast("decimal(38,0)") * F.col("r"))
+        .alias("s1"))
+    d = lambda c: F.col(c).cast("double")
+    return sums.select(
+        "n_customers",
+        F.col("s0").alias("total_cents"),
+        ((F.lit(2.0) * d("s1") - (d("n_customers") + F.lit(1.0)) * d("s0"))
+         / (d("n_customers") * d("s0"))).alias("gini"))
+
+
+GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT k, r, ROW_NUMBER() OVER (ORDER BY r ASC, k) AS i FROM rev),
+sums AS (
+  SELECT COUNT(*) AS n_customers, CAST(SUM(r) AS BIGINT) AS s0,
+         SUM(CAST(i AS HUGEINT) * r) AS s1
+  FROM ranked)
+SELECT n_customers, s0 AS total_cents,
+       (2.0 * CAST(s1 AS DOUBLE)
+        - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+       / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)) AS gini
+FROM sums
+"""
+
+
 QUERIES = {
     "events_decayed_value": events_decayed_value,
     "orders_pareto_share": orders_pareto_share,
     "users_spearman_freq_value": users_spearman_freq_value,
+    "orders_gini_revenue": orders_gini_revenue,
 }
 ORACLE_SQL = {
     "events_decayed_value": DECAYED_VALUE_SQL,
     "orders_pareto_share": PARETO_SQL,
     "users_spearman_freq_value": SPEARMAN_SQL,
+    "orders_gini_revenue": GINI_SQL,
 }
