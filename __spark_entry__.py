@@ -274,9 +274,14 @@ _DRIVER_CHECKED = frozenset({
 # parts_supplier_hhi, events_hll_sliding, events_bootstrap_ci,
 # docs_tfidf_cosine_pairs, events_quantile_sliding, iter_logreg,
 # graph_link_prediction, events_jsonl_roundtrip, users_feature_matrix,
-# train_export_shards. (That's 24 total with the defers if the list
-# grows; recompute with the formula above.) A ~24-name window leaves
-# ~26 slots — backfill with the longest-green _DRIVER_CHECKED names
+# train_export_shards — plus the round-5 second wave (all exact-sim
+# green at sf0.001+sf0.01 at add time): events_linreg_trend,
+# events_diff_in_diff, events_changepoint_mean, events_survival_km,
+# orders_gini_revenue, privacy_k_anonymity, events_compaction_plan,
+# dedup_minhash_calibration, text_lm_perplexity, docs_naive_bayes_lang,
+# graph_degree_distribution, graph_kcore. That's 36 total with the 2
+# defers; recompute with the formula above. A 36-name window leaves
+# ~14 slots — backfill with the longest-green _DRIVER_CHECKED names
 # (re-verification rotation) or the round-6 additions.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",

@@ -264,6 +264,18 @@ BENCH_QUERIES = [
     "events_jsonl_roundtrip",
     "users_feature_matrix",
     "train_export_shards",
+    "events_linreg_trend",
+    "events_diff_in_diff",
+    "events_changepoint_mean",
+    "events_survival_km",
+    "orders_gini_revenue",
+    "privacy_k_anonymity",
+    "events_compaction_plan",
+    "dedup_minhash_calibration",
+    "text_lm_perplexity",
+    "docs_naive_bayes_lang",
+    "graph_degree_distribution",
+    "graph_kcore",
 ]
 
 

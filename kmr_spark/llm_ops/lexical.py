@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, materialize_release
 
 #: minimum pair occurrences for a PMI row (standard low-count cutoff:
 #: PMI explodes on hapax pairs)
@@ -338,3 +338,218 @@ ORACLE_SQL = {
     "text_pii_redact": PII_REDACT_SQL,
     "bpe_merge_candidates": BPE_SQL,
 }
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram LM cross-entropy per document, the corpus as its own
+    model with add-one smoothing: for each bigram occurrence (a,b),
+    log P(b|a) = ln(c_ab + 1) - ln(c_a + V). The per-doc score is the
+    KenLM-style quality feature corpus filters threshold on.
+
+    Every log term is integer-quantized (q(x) = floor(ln(x)*1e6) as
+    BIGINT — the entropy recipe) so the per-doc sum is order-free
+    integer arithmetic; xent = -sum/(n*1e6) is one fixed expression.
+
+    Plan: per-(doc, bigram) pre-aggregate (one shuffle keyed by doc),
+    bigram model = second keyed count over the SAME pre-aggregate, the
+    scoring join is keyed by bigram string — all hash equi-joins; V
+    and nothing else is a broadcast scalar.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    docbg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
+                                  F.element_at(F.col("t"), i + 2))))
+            .alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("n_occ"))
+        .persist()
+    )
+    model_bg = docbg.groupBy("bg").agg(F.sum("n_occ").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c_a"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    q = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    scored_model = (
+        model_bg
+        .withColumn("a_tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(uni.withColumnRenamed("tok", "a_tok"), "a_tok")
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", (q(F.col("c_ab") + 1)
+                       - q(F.col("c_a") + F.col("v"))).alias("qlp"))
+    )
+    out = (
+        docbg.join(scored_model, "bg")
+        .groupBy("doc_id")
+        .agg(F.sum("n_occ").alias("n_bigrams"),
+             F.sum(F.col("n_occ") * F.col("qlp")).alias("qlp_sum"))
+        .select("doc_id", "n_bigrams", "qlp_sum",
+                (-F.col("qlp_sum").cast("double")
+                 / (F.col("n_bigrams").cast("double") * F.lit(1e6)))
+                .alias("cross_entropy"))
+    )
+    return materialize_release(out, docbg)
+
+
+_QLN = lambda x: f"CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+LM_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+docbg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, COUNT(*) AS n_occ
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2),
+model_bg AS (SELECT bg, CAST(SUM(n_occ) AS BIGINT) AS c_ab
+             FROM docbg GROUP BY bg),
+uni AS (
+  SELECT tok, COUNT(*) AS c_a
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+scored AS (
+  SELECT m.bg,
+         {_QLN('m.c_ab + 1')} - {_QLN('u.c_a + vocab.v')} AS qlp
+  FROM model_bg m
+  JOIN uni u ON u.tok = split_part(m.bg, ' ', 1)
+  CROSS JOIN vocab)
+SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.n_occ * s.qlp) AS BIGINT) AS qlp_sum,
+       -CAST(SUM(d.n_occ * s.qlp) AS DOUBLE)
+         / (CAST(SUM(d.n_occ) AS DOUBLE) * 1e6) AS cross_entropy
+FROM docbg d JOIN scored s ON d.bg = s.bg
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def docs_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained on the
+    corpus's own (text, lang) pairs, reported as a confusion matrix
+    (true lang x predicted lang x doc count) — the standard sanity
+    gate before trusting a cheap classifier on unlabeled 100 TB data.
+
+    score(doc, L) = q(prior_L) + sum_w n_w * [q(c_wL + 1) - q(N_L + V)]
+    with all q() = floor(ln(x)*1e6) BIGINTs, so the argmax compares
+    exact integers; ties break to the lexicographically first lang.
+
+    Plan: per-(doc, token) counts shuffle once keyed by token for the
+    scoring join against the (token x lang) smoothed model (built from
+    vocab x langs — langs are a HANDFUL, so the model is |V|·|L| rows);
+    the per-class totals and priors are broadcast scalars.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    dw = (
+        toks.filter(F.size("t") >= 1)
+        .select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("n_w"))
+        .persist()
+    )
+    q = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    wc = (
+        toks.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang", "tok").agg(F.count("*").alias("c_wl"))
+    )
+    class_tot = wc.groupBy("lang").agg(F.sum("c_wl").alias("n_l"))
+    vocab = dw.select("tok").distinct()
+    v = vocab.agg(F.count("*").alias("v"))
+    model = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .join(wc, ["lang", "tok"], "left")
+        .crossJoin(F.broadcast(v))
+        .select("tok", "lang",
+                (q(F.coalesce(F.col("c_wl"), F.lit(0)) + 1)
+                 - q(F.col("n_l") + F.col("v"))).alias("qlw"))
+    )
+    priors = (
+        docs.groupBy(F.col("lang")).agg(F.count("*").alias("n_docs_l"))
+        .crossJoin(F.broadcast(
+            docs.agg(F.count("*").alias("n_docs"))))
+        .select("lang", (q(F.col("n_docs_l"))
+                         - q(F.col("n_docs"))).alias("q_prior"))
+    )
+    scores = (
+        dw.join(model, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n_w") * F.col("qlw")).alias("q_like"))
+        .join(F.broadcast(priors), "lang")
+        .select("doc_id", "lang",
+                (F.col("q_like") + F.col("q_prior")).alias("score"))
+    )
+    from pyspark.sql import Window
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
+    pred = (
+        scores.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    out = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+    return materialize_release(out, dw)
+
+
+NAIVE_BAYES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+dw AS (
+  SELECT doc_id, tok, COUNT(*) AS n_w
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) >= 1)
+  GROUP BY 1, 2),
+wc AS (
+  SELECT lang, tok, COUNT(*) AS c_wl
+  FROM (SELECT lang, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+class_tot AS (SELECT lang, CAST(SUM(c_wl) AS BIGINT) AS n_l
+              FROM wc GROUP BY lang),
+vocab AS (SELECT DISTINCT tok FROM dw),
+v AS (SELECT COUNT(*) AS v FROM vocab),
+model AS (
+  SELECT vocab.tok, ct.lang,
+         {_QLN('COALESCE(wc.c_wl, 0) + 1')} - {_QLN('ct.n_l + v.v')} AS qlw
+  FROM vocab CROSS JOIN class_tot ct
+  LEFT JOIN wc ON wc.lang = ct.lang AND wc.tok = vocab.tok
+  CROSS JOIN v),
+priors AS (
+  SELECT lang, {_QLN('COUNT(*)')}
+           - {_QLN('(SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)')}
+           AS q_prior
+  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+scores AS (
+  SELECT dw.doc_id, m.lang,
+         CAST(SUM(dw.n_w * m.qlw) AS BIGINT) + ANY_VALUE(p.q_prior) AS score
+  FROM dw JOIN model m ON m.tok = dw.tok
+  JOIN priors p ON p.lang = m.lang
+  GROUP BY dw.doc_id, m.lang),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores)
+SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n_docs
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+WHERE d.text IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["text_lm_perplexity"] = text_lm_perplexity
+ORACLE_SQL["text_lm_perplexity"] = LM_PERPLEXITY_SQL
+QUERIES["docs_naive_bayes_lang"] = docs_naive_bayes_lang
+ORACLE_SQL["docs_naive_bayes_lang"] = NAIVE_BAYES_SQL

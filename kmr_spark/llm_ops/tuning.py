@@ -273,3 +273,88 @@ FROM sh GROUP BY source
 
 QUERIES["docs_shingle_saturation"] = docs_shingle_saturation
 ORACLE_SQL["docs_shingle_saturation"] = SHINGLE_SAT_SQL
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration on the LSH candidate pairs: for every
+    banded candidate, the MinHash-ESTIMATED Jaccard (matching
+    signature components / 8) next to the EXACT shingle Jaccard — the
+    table that tells you whether 8 hashes are enough before a 100 TB
+    pass trusts the estimate (plot est vs exact; systematic gaps mean
+    more hashes, not more bands).
+
+    Candidates come from the same banded equi-join as minhash_lsh_pairs
+    (never all-pairs); both ratios are integer permille via DIV so the
+    driver hash is exact.
+    """
+    sigs, th_table = _docs_with_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(b), F.col(f"sig{2 * b}"),
+                        F.col(f"sig{2 * b + 1}"))
+            for b in range(H.N_BANDS)
+        ])).alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("set_a"),
+                     *[F.col(f"sig{j}").alias(f"a{j}")
+                       for j in range(H.N_HASHES)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("set_b"),
+                     *[F.col(f"sig{j}").alias(f"b{j}")
+                       for j in range(H.N_HASHES)])
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(H.N_HASHES)).cast("long")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    union = F.size(F.array_union("set_a", "set_b")).cast("long")
+    out = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_match.alias("n_sig_match"),
+            inter.alias("inter_size"), union.alias("union_size"))
+        .withColumn("est_permille",
+                    F.expr(f"(n_sig_match * 1000) DIV {H.N_HASHES}"))
+        .withColumn("exact_permille",
+                    F.expr("(inter_size * 1000) DIV union_size"))
+    )
+    return materialize_release(out, sigs, th_table)
+
+
+CALIBRATION_SQL = f"""
+WITH {_sql_sigs_cte()},
+bands AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         || ':' ||
+         CAST((CASE b {' '.join(f"WHEN {b} THEN sig{2*b+1}" for b in range(H.N_BANDS))} END) AS VARCHAR)
+         AS band_key
+  FROM sigs, unnest(range({H.N_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST({' + '.join(f"CASE WHEN sa.sig{j} = sb.sig{j} THEN 1 ELSE 0 END" for j in range(H.N_HASHES))} AS BIGINT) AS n_sig_match,
+       CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS inter_size,
+       CAST(len(list_distinct(sa.shset || sb.shset)) AS BIGINT) AS union_size,
+       (CAST({' + '.join(f"CASE WHEN sa.sig{j} = sb.sig{j} THEN 1 ELSE 0 END" for j in range(H.N_HASHES))} AS BIGINT) * 1000) // {H.N_HASHES} AS est_permille,
+       (CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) * 1000)
+         // len(list_distinct(sa.shset || sb.shset)) AS exact_permille
+FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+          JOIN sigs sb ON cand.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
+ORACLE_SQL["dedup_minhash_calibration"] = CALIBRATION_SQL

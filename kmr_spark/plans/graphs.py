@@ -441,3 +441,125 @@ LIMIT {LP_TOP_K}
 
 QUERIES["graph_link_prediction"] = graph_link_prediction
 ORACLE_SQL["graph_link_prediction"] = LINK_PREDICTION_SQL
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the R-MAT graph (undirected canonical
+    edges): one row per distinct degree with its node count — the
+    first diagnostic run on any new graph (a power-law tail here, by
+    construction) and the input to skew planning for every per-node
+    join downstream.
+
+    Two keyed counts: degree per node (shuffle on node id), then count
+    per degree (tiny key space). Map-side combine does most of the
+    work at scale.
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark))
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+DEGREE_DIST_SQL = f"""
+WITH raw AS ({RMAT_RAW_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY node)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+KCORE_K = 3
+#: peeling rounds the oracle unrolls; Spark iterates to the true
+#: fixpoint and tests/test_graphs assert convergence within this bound
+#: at test scale (extra rounds are no-ops on both sides once converged)
+KCORE_MAX_ROUNDS = 12
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core (k=3) of the R-MAT graph by iterative peeling:
+    repeatedly drop nodes with degree < k until none remain; emit each
+    surviving node with its degree inside the core. K-cores are the
+    standard "dense cohesive region" extraction (community seeding,
+    spam/fraud ring detection) that plain joins can't express.
+
+    Spark plan: the peel loop is degree-count -> semi-join filter per
+    round, localCheckpoint every round to keep lineage flat (the CC
+    discipline, operators/graph.py) — each round is two keyed shuffles
+    of the SHRINKING edge set, O(log n)-ish rounds in practice. The
+    DuckDB oracle unrolls KCORE_MAX_ROUNDS peels of the same recurrence
+    (idempotent once converged, so fixpoint == unrolled as long as
+    convergence happens within the bound — asserted in tests).
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark))
+    edges = canon.localCheckpoint(eager=True)
+    prev_n = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: each peel references its predecessor
+    # several times, and CTE inlining would re-evaluate the whole
+    # chain per reference — exponential across the unrolled rounds
+    parts = [f"WITH raw AS MATERIALIZED ({RMAT_RAW_SQL}),",
+             """peel0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),"""]
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        p, c = f"peel{i - 1}", f"peel{i}"
+        parts.append(f"""keep{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, COUNT(*) AS degree
+    FROM (SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p})
+    GROUP BY node) WHERE degree >= {KCORE_K}),
+{c} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {p} e
+  JOIN keep{i} ku ON ku.node = e.u
+  JOIN keep{i} kv ON kv.node = e.v),""")
+    last = f"peel{KCORE_MAX_ROUNDS}"
+    parts.append(f"""final_deg AS (
+  SELECT node, COUNT(*) AS core_degree
+  FROM (SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+  GROUP BY node)
+SELECT node, core_degree FROM final_deg ORDER BY node""")
+    return "\n".join(parts)
+
+
+KCORE_SQL = _kcore_sql()
+
+QUERIES["graph_degree_distribution"] = graph_degree_distribution
+ORACLE_SQL["graph_degree_distribution"] = DEGREE_DIST_SQL
+QUERIES["graph_kcore"] = graph_kcore
+ORACLE_SQL["graph_kcore"] = KCORE_SQL

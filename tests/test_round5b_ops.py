@@ -1,0 +1,267 @@
+"""Semantic tests for the round-5 second-wave operators: OLS vs
+numpy, DiD decomposition, changepoint brute force, KM invariants,
+Gini brute force, k-anonymity census consistency, compaction packing
+property, LM perplexity brute force, NB confusion totals, k-core
+peeling invariants, degree-distribution conservation, and MinHash
+calibration bounds.  (Value parity vs DuckDB is the oracle gate's
+job; these pin the MATH.)
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _daily_counts(spark):
+    from kmr_spark.session import load_tables
+    ev = load_tables(spark, SF_SMALL)["events"]
+    rows = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("y")).collect())
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.day, r.y))
+    return {t: sorted(v) for t, v in by_type.items()}
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    from kmr_spark.plans.inference import events_linreg_trend
+
+    got = {r.event_type: r for r in
+           events_linreg_trend(spark, SF_SMALL).collect()}
+    for t, pts in _daily_counts(spark).items():
+        d0 = pts[0][0]
+        x = np.array([(d - d0).days for d, _ in pts], dtype=float)
+        y = np.array([c for _, c in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert math.isclose(got[t].slope, slope, rel_tol=1e-9)
+        assert math.isclose(got[t].intercept, intercept, rel_tol=1e-9)
+        assert got[t].n_days == len(pts)
+
+
+def test_did_decomposition(spark):
+    from kmr_spark.plans.inference import _DID_CUTOFF, events_diff_in_diff
+    from kmr_spark.session import load_tables
+
+    r = events_diff_in_diff(spark, SF_SMALL).collect()[0]
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "value").collect()
+    import datetime
+    cut = datetime.date.fromisoformat(_DID_CUTOFF)
+    g = {k: [0, 0] for k in ("t_pre", "t_post", "c_pre", "c_post")}
+    for e in ev:
+        key = ("t" if e.user_id % 2 == 1 else "c") + (
+            "_post" if e.day >= cut else "_pre")
+        g[key][0] += math.floor(e.value * 100)
+        g[key][1] += 1
+    m = {k: s / n for k, (s, n) in g.items()}
+    assert math.isclose(r.did_cents,
+                        (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"]),
+                        rel_tol=1e-12)
+    assert r.n_t_pre == g["t_pre"][1] and r.n_c_post == g["c_post"][1]
+
+
+def test_changepoint_bruteforce(spark):
+    from kmr_spark.plans.inference import events_changepoint_mean
+    from kmr_spark.session import load_tables
+
+    got = {r.event_type: r for r in
+           events_changepoint_mean(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", F.to_date("ts").alias("day"), "value").collect()
+    daily = {}
+    for e in ev:
+        daily.setdefault(e.event_type, {}).setdefault(e.day, 0)
+        daily[e.event_type][e.day] += math.floor(e.value * 100)
+    for t, dd in daily.items():
+        days = sorted(dd)
+        n = len(days)
+        s_n = sum(dd.values())
+        best, best_day = -1, None
+        s = 0
+        for i, d in enumerate(days, start=1):
+            s += dd[d]
+            score = abs(n * s - i * s_n)
+            if score > best:
+                best, best_day = score, d
+        assert got[t].change_day == best_day
+        assert got[t].score_num == best
+
+
+def test_survival_km_invariants(spark):
+    from kmr_spark.plans.inference import events_survival_km
+
+    rows = events_survival_km(spark, SF_SMALL).collect()
+    assert rows == sorted(rows, key=lambda r: r.duration)
+    total = rows[0].n_risk
+    resolved = 0
+    prev_risk = None
+    for r in rows:
+        assert r.n_event + r.n_censored > 0
+        assert r.n_risk == total - resolved
+        resolved += r.n_event + r.n_censored
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk
+        prev_risk = r.n_risk
+    assert resolved == total
+
+
+def test_gini_bruteforce(spark):
+    from kmr_spark.plans.valuation import orders_gini_revenue
+    from kmr_spark.session import load_tables
+
+    r = orders_gini_revenue(spark, SF_SMALL).collect()[0]
+    orders = load_tables(spark, SF_SMALL)["orders"].select(
+        "o_custkey", "o_totalprice").collect()
+    rev = {}
+    for o in orders:
+        rev[o.o_custkey] = rev.get(o.o_custkey, 0) + math.floor(
+            o.o_totalprice * 100)
+    xs = sorted(rev.values())
+    n, s0 = len(xs), sum(xs)
+    s1 = sum(i * x for i, x in enumerate(xs, start=1))
+    assert r.n_customers == n and r.total_cents == s0
+    assert math.isclose(r.gini, (2 * s1 - (n + 1) * s0) / (n * s0),
+                        rel_tol=1e-12)
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_k_anonymity_census(spark):
+    from kmr_spark.plans.privacy import privacy_k_anonymity
+    from kmr_spark.session import load_tables
+
+    r = privacy_k_anonymity(spark, SF_SMALL).collect()[0]
+    cust = load_tables(spark, SF_SMALL)["customer"].collect()
+    groups = {}
+    for c in cust:
+        k = (c.c_mktsegment, c.c_nationkey)
+        groups.setdefault(k, []).append(math.floor(c.c_acctbal / 1000))
+    assert r.n_groups == len(groups)
+    assert r.n_rows == len(cust)
+    assert r.min_l_diversity == min(len(set(v)) for v in groups.values())
+    for k in (2, 5, 10):
+        assert r[f"rows_below_k{k}"] == sum(
+            len(v) for v in groups.values() if len(v) < k)
+    assert r.rows_below_k2 <= r.rows_below_k5 <= r.rows_below_k10
+
+
+def test_compaction_plan_packing(spark):
+    from kmr_spark.plans.layout import (COMPACTION_TARGET_BYTES,
+                                        events_compaction_plan)
+
+    rows = events_compaction_plan(spark, SF_SMALL).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    # greedy packing: file_group = floor(cum_before / target) must be
+    # non-decreasing, and each group's bytes < target + its last
+    # member's bytes (one day can straddle the boundary)
+    cum = 0
+    by_group = {}
+    for r in rows:
+        assert r.file_group == cum // COMPACTION_TARGET_BYTES
+        cum += r.day_bytes
+        by_group.setdefault(r.file_group, []).append(r.day_bytes)
+    for g, sizes in by_group.items():
+        assert sum(sizes) < COMPACTION_TARGET_BYTES + sizes[-1] + max(sizes)
+
+
+def test_lm_perplexity_bruteforce(spark):
+    from kmr_spark.llm_ops.lexical import text_lm_perplexity
+    from kmr_spark.session import load_tables
+
+    got = {r.doc_id: r for r in
+           text_lm_perplexity(spark, SF_SMALL).collect()}
+    docs = load_tables(spark, SF_SMALL)["documents"].select(
+        "doc_id", "text").collect()
+    toks = {d.doc_id: [t for t in (d.text or "").split(" ") if t]
+            for d in docs}
+    bg_counts, uni_counts = {}, {}
+    for ts in toks.values():
+        for t in ts:
+            uni_counts[t] = uni_counts.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg_counts[(a, b)] = bg_counts.get((a, b), 0) + 1
+    v = len(uni_counts)
+    q = lambda x: math.floor(math.log(x) * 1e6)
+    for doc_id, ts in toks.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            assert doc_id not in got
+            continue
+        s = sum(q(bg_counts[p] + 1) - q(uni_counts[p[0]] + v) for p in bgs)
+        assert got[doc_id].n_bigrams == len(bgs)
+        assert got[doc_id].qlp_sum == s
+        assert got[doc_id].cross_entropy > 0
+
+
+def test_naive_bayes_totals(spark):
+    from kmr_spark.llm_ops.lexical import docs_naive_bayes_lang
+    from kmr_spark.session import load_tables
+
+    rows = docs_naive_bayes_lang(spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    n_scorable = docs.filter(
+        F.col("text").isNotNull()
+        & (F.size(F.filter(F.split("text", " "),
+                           lambda x: x != "")) >= 1)).count()
+    assert sum(r.n_docs for r in rows) == n_scorable
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert r.true_lang in langs and r.pred_lang in langs
+
+
+def test_kcore_invariants(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import (KCORE_K, KCORE_MAX_ROUNDS,
+                                        canonicalize_edges, graph_kcore)
+
+    core = {r.node: r.core_degree
+            for r in graph_kcore(spark, SF_SMALL).collect()}
+    # brute-force peel in Python
+    edges = {(r.u, r.v) for r in canonicalize_edges(
+        rmat_raw_edges(spark)).collect()}
+    rounds = 0
+    while True:
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in keep and v in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+        rounds += 1
+    assert rounds <= KCORE_MAX_ROUNDS, "oracle unroll bound too small"
+    want = {}
+    for u, v in edges:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    assert core == want
+    assert all(d >= KCORE_K for d in core.values())
+
+
+def test_degree_distribution_conservation(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import (canonicalize_edges,
+                                        graph_degree_distribution)
+
+    rows = graph_degree_distribution(spark, SF_SMALL).collect()
+    n_edges = canonicalize_edges(rmat_raw_edges(spark)).count()
+    assert sum(r.degree * r.n_nodes for r in rows) == 2 * n_edges
+
+
+def test_minhash_calibration_bounds(spark):
+    from kmr_spark.functions.hashing import N_HASHES
+    from kmr_spark.llm_ops.tuning import dedup_minhash_calibration
+
+    rows = dedup_minhash_calibration(spark, SF_SMALL).collect()
+    assert rows, "banded candidates expected on the synthetic corpus"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.n_sig_match <= N_HASHES
+        assert r.est_permille == r.n_sig_match * 1000 // N_HASHES
+        assert 0 < r.inter_size <= r.union_size or r.inter_size == 0
+        assert r.exact_permille == r.inter_size * 1000 // r.union_size
