@@ -144,6 +144,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.winfuncs as winfuncs
+        modules.append(winfuncs)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.plans.privacy as privacy
         modules.append(privacy)
     except ImportError:
@@ -279,10 +284,11 @@ _DRIVER_CHECKED = frozenset({
 # events_diff_in_diff, events_changepoint_mean, events_survival_km,
 # orders_gini_revenue, privacy_k_anonymity, events_compaction_plan,
 # dedup_minhash_calibration, text_lm_perplexity, docs_naive_bayes_lang,
-# graph_degree_distribution, graph_kcore. That's 36 total with the 2
-# defers; recompute with the formula above. A 36-name window leaves
-# ~14 slots — backfill with the longest-green _DRIVER_CHECKED names
-# (re-verification rotation) or the round-6 additions.
+# graph_degree_distribution, graph_kcore, events_window_parity,
+# emb_silhouette, text_rake_keywords, graph_label_propagation. That's
+# 40 total with the 2 defers; recompute with the formula above. A
+# 40-name window leaves ~10 slots — backfill with the longest-green
+# _DRIVER_CHECKED names (re-verification rotation) or round-6 adds.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

@@ -276,6 +276,10 @@ BENCH_QUERIES = [
     "docs_naive_bayes_lang",
     "graph_degree_distribution",
     "graph_kcore",
+    "events_window_parity",
+    "emb_silhouette",
+    "text_rake_keywords",
+    "graph_label_propagation",
 ]
 
 

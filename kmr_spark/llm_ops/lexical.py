@@ -553,3 +553,113 @@ QUERIES["text_lm_perplexity"] = text_lm_perplexity
 ORACLE_SQL["text_lm_perplexity"] = LM_PERPLEXITY_SQL
 QUERIES["docs_naive_bayes_lang"] = docs_naive_bayes_lang
 ORACLE_SQL["docs_naive_bayes_lang"] = NAIVE_BAYES_SQL
+
+
+#: RAKE stopword segmenters (the synthetic corpus's function words;
+#: a real deployment passes its own list)
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MIN_OCC = 3
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency over the phrase corpus (degree = summed length
+    of phrases it appears in), and a phrase scores the sum of its
+    words' scores. The cheap unsupervised keyword baseline every
+    corpus intake wants next to TF-IDF.
+
+    Integer-exact: degree and frequency are counts; word scores are
+    milli-units via integer DIV, phrase scores integer sums of those.
+    Plan: positions from one posexplode; run segmentation is a
+    DOC-KEYED window cumsum (no global window); phrase assembly is a
+    (doc, run)-keyed aggregate; word stats one more keyed count. All
+    shuffles are keyed by doc or token — the wordcount shape.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    from pyspark.sql import Window
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("pos", "tok"))
+    runs = toks.withColumn(
+        "is_stop", F.col("tok").isin(*RAKE_STOPWORDS)).withColumn(
+        "run_id",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+    words = runs.filter(~F.col("is_stop"))
+    phrases = (
+        words.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("phrase_len"),
+             F.concat_ws(
+                 " ",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"])).alias("phrase"))
+        .persist()
+    )
+    pw = words.join(phrases, ["doc_id", "run_id"]).select(
+        "doc_id", "run_id", "tok", "phrase_len", "phrase")
+    wstats = (
+        pw.groupBy("tok")
+        .agg(F.sum("phrase_len").alias("deg"), F.count("*").alias("freq"))
+        .withColumn("w_score_milli", F.expr("(deg * 1000) DIV freq"))
+    )
+    phrase_occ = (
+        pw.join(wstats.select("tok", "w_score_milli"), "tok")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(F.sum("w_score_milli").alias("score_milli"))
+    )
+    out = (
+        phrase_occ.groupBy("phrase")
+        .agg(F.count("*").alias("n_occ"),
+             F.max("score_milli").alias("score_milli"))
+        .filter(F.col("n_occ") >= RAKE_MIN_OCC)
+        .orderBy("phrase")
+    )
+    return materialize_release(out, phrases)
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+       unnest(range(1, len(t) + 1)) AS u(i)),
+runs AS (
+  SELECT doc_id, pos, tok, tok IN ({_RAKE_STOP_SQL}) AS is_stop,
+         SUM(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM toks),
+phrases AS (
+  SELECT doc_id, run_id, COUNT(*) AS phrase_len,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM runs WHERE NOT is_stop GROUP BY 1, 2),
+pw AS (
+  SELECT r.doc_id, r.run_id, r.tok, p.phrase_len, p.phrase
+  FROM runs r JOIN phrases p
+    ON p.doc_id = r.doc_id AND p.run_id = r.run_id
+  WHERE NOT r.is_stop),
+wstats AS (
+  SELECT tok, (CAST(SUM(phrase_len) AS BIGINT) * 1000) // COUNT(*)
+           AS w_score_milli
+  FROM pw GROUP BY tok),
+phrase_occ AS (
+  SELECT pw.doc_id, pw.run_id, pw.phrase,
+         CAST(SUM(w.w_score_milli) AS BIGINT) AS score_milli
+  FROM pw JOIN wstats w ON w.tok = pw.tok
+  GROUP BY 1, 2, 3)
+SELECT phrase, COUNT(*) AS n_occ,
+       CAST(MAX(score_milli) AS BIGINT) AS score_milli
+FROM phrase_occ GROUP BY phrase
+HAVING COUNT(*) >= {RAKE_MIN_OCC}
+ORDER BY phrase
+"""
+
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+ORACLE_SQL["text_rake_keywords"] = RAKE_SQL

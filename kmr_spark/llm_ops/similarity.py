@@ -1005,3 +1005,105 @@ TFIDF_COSINE_SQL = _tfidf_cosine_sql()
 
 QUERIES["docs_tfidf_cosine_pairs"] = docs_tfidf_cosine_pairs
 ORACLE_SQL["docs_tfidf_cosine_pairs"] = TFIDF_COSINE_SQL
+
+
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per IVF cell: for each
+    vector, a = squared distance to its own (nearest) centroid, b =
+    squared distance to the second-nearest; s = (b - a)/max(a, b).
+    Per-cell mean silhouette is THE clustering-quality readout that
+    says whether the coarse quantizer's cells are actually separated
+    (s near 0 = boundary-crowded cells, recall risk for single-probe
+    ANN).
+
+    Exactness: vectors and centroids quantize to 1e-6-unit longs, so
+    a and b are exact integers; each point's s quantizes to milli
+    units via integer DIV (both engines truncate toward zero), and
+    the per-cell mean is an integer sum with one final division.
+    Plan: distances come from a NARROW literal-centroid fold (the
+    assign_cells pattern) — no explode, no join for assignment; one
+    keyed aggregate by cell.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = [(cid, [int(_math.floor(x * 1_000_000)) for x in vec])
+             for cid, vec in _collect_centroids(emb)]
+    q = F.transform(F.col("vd"),
+                    lambda x: F.floor(x * 1_000_000).cast("long"))
+    pts = emb.select("vec_id", q.alias("qv"))
+    structs = []
+    for cid, qvec in cents:
+        lit = F.array(*[F.lit(v).cast("long") for v in qvec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    ordered = F.array_sort(F.array(*structs))  # (d2, cid) lexicographic
+    own = F.element_at(ordered, 1)
+    nxt = F.element_at(ordered, 2)
+    s_milli = F.expr("((b_d2 - a_d2) * 1000) DIV "
+                     "CASE WHEN b_d2 > a_d2 THEN b_d2 ELSE a_d2 END")
+    scored = (
+        pts.select(
+            "vec_id",
+            own["cid"].alias("cell"),
+            own["d2"].alias("a_d2"),
+            nxt["d2"].alias("b_d2"))
+        # a point ON a centroid has a=0; b>=a>0 guaranteed otherwise
+        .filter(F.col("b_d2") > 0)
+        .withColumn("s_milli", s_milli)
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(F.count("*").alias("n_points"),
+             F.sum("s_milli").alias("s_milli_sum"),
+             F.min("s_milli").alias("s_min"))
+        .select("cell", "n_points",
+                (F.col("s_milli_sum").cast("double")
+                 / (F.col("n_points").cast("double") * F.lit(1000.0)))
+                .alias("mean_silhouette"),
+                "s_min")
+        .orderBy("cell")
+    )
+
+
+import math as _math  # noqa: E402  (used by emb_silhouette literals)
+
+SILHOUETTE_SQL = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, qv AS cq FROM pts
+          WHERE vec_id < {N_CENTROIDS}),
+dists AS (
+  SELECT p.vec_id, c.cid,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(p.qv) + 1),
+                            i -> (p.qv[i] - c.cq[i]) * (p.qv[i] - c.cq[i]))),
+           (acc, x) -> acc + x) AS d2
+  FROM pts p CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM dists),
+pairs AS (
+  SELECT a.vec_id, a.cid AS cell, a.d2 AS a_d2, b.d2 AS b_d2
+  FROM ranked a JOIN ranked b
+    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+scored AS (
+  SELECT cell,
+         ((b_d2 - a_d2) * 1000)
+           // (CASE WHEN b_d2 > a_d2 THEN b_d2 ELSE a_d2 END) AS s_milli
+  FROM pairs WHERE b_d2 > 0)
+SELECT cell, COUNT(*) AS n_points,
+       CAST(SUM(s_milli) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS mean_silhouette,
+       CAST(MIN(s_milli) AS BIGINT) AS s_min
+FROM scored GROUP BY cell ORDER BY cell
+"""
+
+
+QUERIES["emb_silhouette"] = emb_silhouette
+ORACLE_SQL["emb_silhouette"] = SILHOUETTE_SQL

@@ -563,3 +563,92 @@ QUERIES["graph_degree_distribution"] = graph_degree_distribution
 ORACLE_SQL["graph_degree_distribution"] = DEGREE_DIST_SQL
 QUERIES["graph_kcore"] = graph_kcore
 ORACLE_SQL["graph_kcore"] = KCORE_SQL
+
+
+#: synchronous LPA rounds — FIXED, not run-to-fixpoint: sync LPA can
+#: oscillate on bipartite-ish structures, so the operator's contract
+#: is "R rounds of deterministic sync updates" on both engines
+LPA_ROUNDS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation: labels
+    start as node ids; each round every node adopts the most frequent
+    label among its neighbors (ties -> smallest label). Deterministic
+    by construction — sync updates + total tie order — so the DuckDB
+    oracle (the same recurrence unrolled LPA_ROUNDS times, CTEs
+    materialized) matches exactly. Communities are finer than
+    connected components (graph_components) and need no convergence.
+
+    Per round: one join of the adjacency with the label table (keyed
+    by node), one (node, label) count, one argmax — all hash shuffles
+    on node id; localCheckpoint keeps lineage flat (the CC
+    discipline). Output: node, community, community size.
+    """
+    from pyspark.sql import Window
+
+    canon = canonicalize_edges(rmat_raw_edges(spark))
+    adj = (
+        canon.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(canon.select(F.col("v").alias("node"),
+                               F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
+                 .alias("best"))
+            .select("node", (-F.col("best.neg")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("lbl")
+    return (
+        labels.withColumn("community_size", F.count("*").over(w))
+        .select("node", F.col("lbl").alias("community"), "community_size")
+        .orderBy("community", "node")
+    )
+
+
+def _lpa_sql() -> str:
+    parts = [f"WITH raw AS MATERIALIZED ({RMAT_RAW_SQL}),",
+             """canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM canon
+  UNION ALL SELECT v AS node, u AS nbr FROM canon),
+lbl0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS lbl FROM adj),"""]
+    for i in range(1, LPA_ROUNDS + 1):
+        p, c = f"lbl{i - 1}", f"lbl{i}"
+        parts.append(f"""cnt{i} AS MATERIALIZED (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN {p} l ON l.node = a.nbr
+  GROUP BY a.node, l.lbl),
+{c} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{i}) WHERE rn = 1),""")
+    last = f"lbl{LPA_ROUNDS}"
+    parts.append(f"""sized AS (
+  SELECT node, lbl AS community,
+         COUNT(*) OVER (PARTITION BY lbl) AS community_size
+  FROM {last})
+SELECT node, community, community_size FROM sized
+ORDER BY community, node""")
+    return "\n".join(parts)
+
+
+LPA_SQL = _lpa_sql()
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLE_SQL["graph_label_propagation"] = LPA_SQL

@@ -265,3 +265,97 @@ def test_minhash_calibration_bounds(spark):
         assert r.est_permille == r.n_sig_match * 1000 // N_HASHES
         assert 0 < r.inter_size <= r.union_size or r.inter_size == 0
         assert r.exact_permille == r.inter_size * 1000 // r.union_size
+
+
+def test_window_parity_derivations(spark):
+    from kmr_spark.plans.winfuncs import events_window_parity
+
+    rows = events_window_parity(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.rn)
+        n = len(rs)
+        assert [r.rn for r in rs] == list(range(1, n + 1))
+        for r in rs:
+            # unique ordering => rank == rn, so the doubles are derivable
+            want_pr = 0.0 if n == 1 else (r.rn - 1) / (n - 1)
+            assert math.isclose(r.pct_rank, want_pr, rel_tol=1e-15)
+            assert math.isclose(r.cume, r.rn / n, rel_tol=1e-15)
+            assert 1 <= r.quartile <= 4
+        assert rs[0].prev_value_cents is None
+        assert rs[-1].next_type is None
+
+
+def test_silhouette_bounds(spark):
+    from kmr_spark.llm_ops.similarity import N_CENTROIDS, emb_silhouette
+
+    rows = emb_silhouette(spark, SF_SMALL).collect()
+    assert 1 <= len(rows) <= N_CENTROIDS
+    for r in rows:
+        # simplified silhouette is in [0, 1] by construction here
+        # (a = NEAREST centroid => b >= a): milli sum bounded per point
+        assert 0.0 <= r.mean_silhouette <= 1.0
+        assert 0 <= r.s_min <= 1000
+
+
+def test_rake_bruteforce(spark):
+    from kmr_spark.llm_ops.lexical import (RAKE_MIN_OCC, RAKE_STOPWORDS,
+                                           text_rake_keywords)
+    from kmr_spark.session import load_tables
+
+    got = {r.phrase: (r.n_occ, r.score_milli) for r in
+           text_rake_keywords(spark, SF_SMALL).collect()}
+    docs = load_tables(spark, SF_SMALL)["documents"].select("text").collect()
+    stop = set(RAKE_STOPWORDS)
+    phrases = []
+    for d in docs:
+        run = []
+        for t in [t for t in (d.text or "").split(" ") if t]:
+            if t in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    deg, freq = {}, {}
+    for p in phrases:
+        for w in p:
+            deg[w] = deg.get(w, 0) + len(p)
+            freq[w] = freq.get(w, 0) + 1
+    wscore = {w: deg[w] * 1000 // freq[w] for w in deg}
+    want = {}
+    for p in phrases:
+        s = " ".join(p)
+        n, _ = want.get(s, (0, 0))
+        want[s] = (n + 1, sum(wscore[w] for w in p))
+    want = {s: v for s, v in want.items() if v[0] >= RAKE_MIN_OCC}
+    assert got == want
+
+
+def test_lpa_bruteforce(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import (LPA_ROUNDS, canonicalize_edges,
+                                        graph_label_propagation)
+
+    got = {r.node: r.community for r in
+           graph_label_propagation(spark, SF_SMALL).collect()}
+    edges = [(r.u, r.v) for r in
+             canonicalize_edges(rmat_raw_edges(spark)).collect()]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lbl = new
+    assert got == lbl
