@@ -285,10 +285,11 @@ _DRIVER_CHECKED = frozenset({
 # orders_gini_revenue, privacy_k_anonymity, events_compaction_plan,
 # dedup_minhash_calibration, text_lm_perplexity, docs_naive_bayes_lang,
 # graph_degree_distribution, graph_kcore, events_window_parity,
-# emb_silhouette, text_rake_keywords, graph_label_propagation. That's
-# 40 total with the 2 defers; recompute with the formula above. A
-# 40-name window leaves ~10 slots — backfill with the longest-green
-# _DRIVER_CHECKED names (re-verification rotation) or round-6 adds.
+# emb_silhouette, text_rake_keywords, graph_label_propagation,
+# orders_mix_shift, events_schema_drift. That's 42 total with the 2
+# defers; recompute with the formula above. A 42-name window leaves
+# ~8 slots — backfill with the longest-green _DRIVER_CHECKED names
+# (re-verification rotation) or round-6 adds.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

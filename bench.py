@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "emb_silhouette",
     "text_rake_keywords",
     "graph_label_propagation",
+    "orders_mix_shift",
+    "events_schema_drift",
 ]
 
 

@@ -178,3 +178,76 @@ FROM k GROUP BY key
 
 QUERIES["events_props_schema_infer"] = events_props_schema_infer
 ORACLE_SQL["events_props_schema_infer"] = PROPS_SCHEMA_SQL
+
+
+SCHEMA_DRIFT_CUTOFF = "2024-01-16"
+
+
+def events_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detector over the JSON props column: per key, the
+    row counts and per-period presence shares before/after the cutoff,
+    plus appeared/disappeared flags — the alert that catches a
+    producer silently renaming a field mid-stream (the incremental
+    companion to events_props_schema_infer's static inventory).
+
+    Integer-exact: counts and permille shares (integer DIV by the
+    period row totals, broadcast scalars). One keyed aggregate over
+    exploded keys; key cardinality is schema-sized, so the final
+    census is tiny.
+    """
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("props").isNotNull())
+    keyed = ev.select(
+        (F.to_date("ts") >= F.lit(SCHEMA_DRIFT_CUTOFF)).alias("post"),
+        F.explode(F.map_keys(
+            F.from_json("props", "map<string,string>"))).alias("key"))
+    totals = ev.groupBy().agg(
+        F.count(F.when(F.to_date("ts") < F.lit(SCHEMA_DRIFT_CUTOFF), 1))
+        .alias("rows_pre"),
+        F.count(F.when(F.to_date("ts") >= F.lit(SCHEMA_DRIFT_CUTOFF), 1))
+        .alias("rows_post"))
+    return (
+        keyed.groupBy("key")
+        .agg(F.count(F.when(~F.col("post"), 1)).alias("n_pre"),
+             F.count(F.when(F.col("post"), 1)).alias("n_post"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key", "n_pre", "n_post",
+            F.expr("(n_pre * 1000) DIV rows_pre").alias("share_pre_permille"),
+            F.expr("(n_post * 1000) DIV rows_post")
+            .alias("share_post_permille"),
+            ((F.col("n_pre") == 0) & (F.col("n_post") > 0)).alias("appeared"),
+            ((F.col("n_pre") > 0) & (F.col("n_post") == 0))
+            .alias("disappeared"))
+        .orderBy("key")
+    )
+
+
+SCHEMA_DRIFT_SQL = f"""
+WITH e AS (
+  SELECT props, CAST(ts AS DATE) >= DATE '{SCHEMA_DRIFT_CUTOFF}' AS post
+  FROM events WHERE props IS NOT NULL),
+keyed AS (
+  SELECT post, unnest(json_keys(props)) AS key FROM e),
+totals AS (
+  SELECT COUNT(CASE WHEN NOT post THEN 1 END) AS rows_pre,
+         COUNT(CASE WHEN post THEN 1 END) AS rows_post
+  FROM e)
+SELECT key,
+       COUNT(CASE WHEN NOT post THEN 1 END) AS n_pre,
+       COUNT(CASE WHEN post THEN 1 END) AS n_post,
+       (COUNT(CASE WHEN NOT post THEN 1 END) * 1000) // rows_pre
+         AS share_pre_permille,
+       (COUNT(CASE WHEN post THEN 1 END) * 1000) // rows_post
+         AS share_post_permille,
+       COUNT(CASE WHEN NOT post THEN 1 END) = 0
+         AND COUNT(CASE WHEN post THEN 1 END) > 0 AS appeared,
+       COUNT(CASE WHEN NOT post THEN 1 END) > 0
+         AND COUNT(CASE WHEN post THEN 1 END) = 0 AS disappeared
+FROM keyed CROSS JOIN totals
+GROUP BY key, rows_pre, rows_post ORDER BY key
+"""
+
+
+QUERIES["events_schema_drift"] = events_schema_drift
+ORACLE_SQL["events_schema_drift"] = SCHEMA_DRIFT_SQL

@@ -284,3 +284,88 @@ ORACLE_SQL = {
     "users_spearman_freq_value": SPEARMAN_SQL,
     "orders_gini_revenue": GINI_SQL,
 }
+
+
+MIX_SHIFT_CUTOFF = "1998-01-01"
+
+
+def orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate/mix/volume decomposition of revenue change across the
+    cutoff, by order priority: for each segment g,
+
+      rate_g   = n2_g * (avg2_g - avg1_g)          (price/size moved)
+      mix_g    = (n2_g - n1_g * N2/N1) * avg1_g    (portfolio shifted)
+      volume_g = n1_g * (N2/N1 - 1) * avg1_g       (everything grew)
+
+    and sum(rate + mix + volume) == S2 - S1 exactly — the bridge every
+    revenue review wants. Inputs are 4 BIGINTs per segment (pre/post
+    count + cent sums) plus 3 broadcast totals; each effect is ONE
+    fixed expression tree over them, so the driver hash is stable.
+
+    Plan: one aggregation of orders keyed by (priority, half), a tiny
+    pivot, one broadcast totals join.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    seg = (
+        orders.select(
+            F.col("o_orderpriority").alias("segment"),
+            (F.to_date("o_orderdate") >= F.lit(MIX_SHIFT_CUTOFF))
+            .alias("post"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("segment")
+        .agg(F.count(F.when(~F.col("post"), 1)).alias("n1"),
+             F.sum(F.when(~F.col("post"), F.col("cents"))
+                   .otherwise(0)).alias("s1"),
+             F.count(F.when(F.col("post"), 1)).alias("n2"),
+             F.sum(F.when(F.col("post"), F.col("cents"))
+                   .otherwise(0)).alias("s2"))
+    )
+    tot = seg.groupBy().agg(F.sum("n1").alias("tn1"),
+                            F.sum("n2").alias("tn2"))
+    d = lambda c: F.col(c).cast("double")
+    avg1 = d("s1") / d("n1")
+    avg2 = d("s2") / d("n2")
+    growth = d("tn2") / d("tn1")
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment", "n1", "s1", "n2", "s2",
+            (d("n2") * (avg2 - avg1)).alias("rate_effect_cents"),
+            ((d("n2") - d("n1") * growth) * avg1).alias("mix_effect_cents"),
+            (d("n1") * (growth - F.lit(1.0)) * avg1)
+            .alias("volume_effect_cents"))
+        .orderBy("segment")
+    )
+
+
+MIX_SHIFT_SQL = f"""
+WITH seg AS (
+  SELECT o_orderpriority AS segment,
+         COUNT(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{MIX_SHIFT_CUTOFF}'
+                    THEN 1 END) AS n1,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{MIX_SHIFT_CUTOFF}'
+                  THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s1,
+         COUNT(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{MIX_SHIFT_CUTOFF}'
+                    THEN 1 END) AS n2,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{MIX_SHIFT_CUTOFF}'
+                  THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s2
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+               CAST(SUM(n2) AS BIGINT) AS tn2 FROM seg)
+SELECT segment, n1, s1, n2, s2,
+  CAST(n2 AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+    AS rate_effect_cents,
+  (CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+     * (CAST(tn2 AS DOUBLE) / CAST(tn1 AS DOUBLE)))
+    * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mix_effect_cents,
+  CAST(n1 AS DOUBLE) * (CAST(tn2 AS DOUBLE) / CAST(tn1 AS DOUBLE) - 1.0)
+    * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS volume_effect_cents
+FROM seg CROSS JOIN tot ORDER BY segment
+"""
+
+
+QUERIES["orders_mix_shift"] = orders_mix_shift
+ORACLE_SQL["orders_mix_shift"] = MIX_SHIFT_SQL

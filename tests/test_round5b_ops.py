@@ -359,3 +359,31 @@ def test_lpa_bruteforce(spark):
             new[n] = min(cnt, key=lambda l: (-cnt[l], l))
         lbl = new
     assert got == lbl
+
+
+def test_mix_shift_bridge(spark):
+    """rate + mix + volume effects must sum to S2 - S1 exactly."""
+    from kmr_spark.plans.valuation import orders_mix_shift
+
+    rows = orders_mix_shift(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    s1 = sum(r.s1 for r in rows)
+    s2 = sum(r.s2 for r in rows)
+    bridge = sum(r.rate_effect_cents + r.mix_effect_cents
+                 + r.volume_effect_cents for r in rows)
+    assert math.isclose(bridge, s2 - s1, rel_tol=1e-9)
+
+
+def test_schema_drift_consistency(spark):
+    from kmr_spark.plans.semistruct import events_schema_drift
+    from kmr_spark.session import load_tables
+
+    rows = events_schema_drift(spark, SF_SMALL).collect()
+    assert rows
+    n_props = load_tables(spark, SF_SMALL)["events"].filter(
+        F.col("props").isNotNull()).count()
+    for r in rows:
+        assert not (r.appeared and r.disappeared)
+        assert 0 <= r.share_pre_permille <= 1000
+        assert 0 <= r.share_post_permille <= 1000
+        assert 0 < r.n_pre + r.n_post <= n_props
