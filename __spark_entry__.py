@@ -286,9 +286,10 @@ _DRIVER_CHECKED = frozenset({
 # dedup_minhash_calibration, text_lm_perplexity, docs_naive_bayes_lang,
 # graph_degree_distribution, graph_kcore, events_window_parity,
 # emb_silhouette, text_rake_keywords, graph_label_propagation,
-# orders_mix_shift, events_schema_drift. That's 42 total with the 2
-# defers; recompute with the formula above. A 42-name window leaves
-# ~8 slots — backfill with the longest-green _DRIVER_CHECKED names
+# orders_mix_shift, events_schema_drift, events_acf_daily,
+# orders_lines_histogram. That's 44 total with the 2 defers;
+# recompute with the formula above. A 44-name window leaves ~6
+# slots — backfill with the longest-green _DRIVER_CHECKED names
 # (re-verification rotation) or round-6 adds.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",

@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     "orders_mix_shift",
     "events_schema_drift",
+    "events_acf_daily",
+    "orders_lines_histogram",
 ]
 
 

@@ -333,3 +333,87 @@ ORACLE_SQL = {
     "events_changepoint_mean": CHANGEPOINT_SQL,
     "events_survival_km": SURVIVAL_KM_SQL,
 }
+
+
+ACF_MAX_LAG = 7
+
+
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type daily count series at
+    lags 1..ACF_MAX_LAG — the seasonality screen (a weekly cycle shows
+    as a lag-7 spike) run before any forecasting model.
+
+    Exactness: each lag's Pearson r comes from six integer sums over
+    the aligned (x_t, x_{t-k}) pairs; the only floats are one fixed
+    expression tree per row — sqrt IS portable (IEEE correctly-rounded
+    in both engines), unlike ln/exp. Plan: one (type, day) aggregate
+    over events, then per-type lag windows on the tiny daily census
+    and an unpivot to (type, lag) rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "y",
+        *[F.lag("y", k).over(w).alias(f"l{k}")
+          for k in range(1, ACF_MAX_LAG + 1)])
+    stack = F.expr(
+        "stack({}, {}) as (lag, prev)".format(
+            ACF_MAX_LAG,
+            ", ".join(f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1))))
+    pairs = (
+        lagged.select("event_type", "y", stack)
+        .filter(F.col("prev").isNotNull())
+    )
+    sums = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("y").alias("sx"), F.sum("prev").alias("sp"),
+        F.sum(F.col("y") * F.col("prev")).alias("sxp"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("spp"))
+    d = lambda c: F.col(c).cast("double")
+    num = d("n_pairs") * d("sxp") - d("sx") * d("sp")
+    den = F.sqrt((d("n_pairs") * d("sxx") - d("sx") * d("sx"))
+                 * (d("n_pairs") * d("spp") - d("sp") * d("sp")))
+    return (
+        sums.select("event_type", F.col("lag").cast("long").alias("lag"),
+                    "n_pairs", (num / den).alias("acf"))
+        .orderBy("event_type", "lag")
+    )
+
+
+def _acf_sql() -> str:
+    lag_selects = "\nUNION ALL\n".join(
+        f"SELECT event_type, {k} AS lag, y, "
+        f"LAG(y, {k}) OVER (PARTITION BY event_type ORDER BY day) AS prev "
+        f"FROM daily" for k in range(1, ACF_MAX_LAG + 1))
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS ({lag_selects}),
+sums AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sp,
+         CAST(SUM(y * prev) AS BIGINT) AS sxp,
+         CAST(SUM(y * y) AS BIGINT) AS sxx,
+         CAST(SUM(prev * prev) AS BIGINT) AS spp
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * CAST(sxp AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE))
+       / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n_pairs AS DOUBLE) * CAST(spp AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS acf
+FROM sums ORDER BY event_type, lag
+"""
+
+
+ACF_SQL = _acf_sql()
+
+QUERIES["events_acf_daily"] = events_acf_daily
+ORACLE_SQL["events_acf_daily"] = ACF_SQL

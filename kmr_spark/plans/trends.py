@@ -729,3 +729,37 @@ GROUP BY 1, 2 ORDER BY partkey
 
 QUERIES["parts_supplier_hhi"] = parts_supplier_hhi
 ORACLE_SQL["parts_supplier_hhi"] = SUPPLIER_HHI_SQL
+
+
+def orders_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size profile: distribution of line-item counts per order
+    (how many orders have 1, 2, ... lines) with each size's share of
+    total revenue in cents — the fulfillment-shape census. Two keyed
+    counts (order, then size); all-integer output."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("rev_cents"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("rev_cents").alias("rev_cents"))
+        .orderBy("n_lines")
+    )
+
+
+LINES_HIST_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY 1)
+SELECT n_lines, COUNT(*) AS n_orders,
+       CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+FROM per_order GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["orders_lines_histogram"] = orders_lines_histogram
+ORACLE_SQL["orders_lines_histogram"] = LINES_HIST_SQL

@@ -387,3 +387,32 @@ def test_schema_drift_consistency(spark):
         assert 0 <= r.share_pre_permille <= 1000
         assert 0 <= r.share_post_permille <= 1000
         assert 0 < r.n_pre + r.n_post <= n_props
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    from kmr_spark.plans.inference import events_acf_daily
+
+    got = {(r.event_type, r.lag): r for r in
+           events_acf_daily(spark, SF_SMALL).collect()}
+    for t, pts in _daily_counts(spark).items():
+        y = np.array([c for _, c in pts], dtype=float)
+        for k in range(1, 8):
+            a, b = y[k:], y[:-k]
+            r = got[(t, k)]
+            assert r.n_pairs == len(a)
+            want = np.corrcoef(a, b)[0, 1]
+            assert math.isclose(r.acf, want, rel_tol=1e-9), (t, k)
+            assert -1.0 <= r.acf <= 1.0
+
+
+def test_lines_histogram_conservation(spark):
+    from kmr_spark.plans.trends import orders_lines_histogram
+    from kmr_spark.session import load_tables
+
+    rows = orders_lines_histogram(spark, SF_SMALL).collect()
+    li = load_tables(spark, SF_SMALL)["lineitem"]
+    assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
+    assert sum(r.n_orders for r in rows) == li.select(
+        "l_orderkey").distinct().count()
