@@ -287,10 +287,11 @@ _DRIVER_CHECKED = frozenset({
 # graph_degree_distribution, graph_kcore, events_window_parity,
 # emb_silhouette, text_rake_keywords, graph_label_propagation,
 # orders_mix_shift, events_schema_drift, events_acf_daily,
-# orders_lines_histogram. That's 44 total with the 2 defers;
-# recompute with the formula above. A 44-name window leaves ~6
-# slots — backfill with the longest-green _DRIVER_CHECKED names
-# (re-verification rotation) or round-6 adds.
+# orders_lines_histogram, events_audience_overlap,
+# text_token_burstiness, events_slo_burn. That's 47 total with the
+# 2 defers; recompute with the formula above. A 47-name window
+# leaves ~3 slots — backfill with the longest-green _DRIVER_CHECKED
+# names (re-verification rotation) or round-6 adds.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

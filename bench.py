@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "events_schema_drift",
     "events_acf_daily",
     "orders_lines_histogram",
+    "events_audience_overlap",
+    "text_token_burstiness",
+    "events_slo_burn",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, materialize_release
 
 #: two-sided 5% significance threshold for the A/B z-test
 Z_CRIT = 1.96
@@ -1012,3 +1012,62 @@ SESSION_DEPTH_SQL = _session_depth_sql()
 
 QUERIES["events_session_depth_histogram"] = events_session_depth_histogram
 ORACLE_SQL["events_session_depth_histogram"] = SESSION_DEPTH_SQL
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    distinct-user intersection, union, and Jaccard permille — "do the
+    people who error also purchase?" without materializing user sets
+    anywhere but the keyed joins.
+
+    Plan: distinct (type, user) once (one shuffle), per-type counts,
+    then a user-keyed self-join producing |pairs-per-user| rows —
+    bounded by |types|² per user. All integers.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    tu = ev.select("event_type", "user_id").distinct().persist()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b").agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n_users").alias("n_b"))
+    out = (
+        both.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+            F.expr("(n_both * 1000) DIV (n_a + n_b - n_both)")
+            .alias("jaccard_permille"))
+        .orderBy("type_a", "type_b")
+    )
+    return materialize_release(out, tu)
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1),
+both_c AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       sa.n_users + sb.n_users - n_both AS n_union,
+       (n_both * 1000) // (sa.n_users + sb.n_users - n_both)
+         AS jaccard_permille
+FROM both_c
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+QUERIES["events_audience_overlap"] = events_audience_overlap
+ORACLE_SQL["events_audience_overlap"] = AUDIENCE_OVERLAP_SQL

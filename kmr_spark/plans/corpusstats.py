@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kmr_spark.functions import hashing as H
 from kmr_spark.llm_ops.textstats import _floor_log2, _sql_floor_log2
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, materialize_release
 
 
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,3 +435,82 @@ FROM agg ORDER BY source
 
 QUERIES["text_readability"] = text_readability
 ORACLE_SQL["text_readability"] = READABILITY_SQL
+
+
+BURSTINESS_TOP_K = 20
+
+
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (variance-to-mean ratio of per-doc counts, zeros
+    included) for the corpus's top-K tokens: VMR ~ 1 means a token
+    spreads Poisson-like; VMR >> 1 means it clumps into few documents
+    — the content-word/function-word separator and a dedup-shingle
+    quality signal.
+
+    vmr = (N*Σc² - C²) / (N*C) over BIGINTs, one fixed tree. The
+    top-K cut is ORDER BY count LIMIT (TakeOrderedAndProject — no
+    vocab-sized window); per-token stats then come from one keyed
+    aggregate over the per-(doc, token) counts of ONLY those K tokens
+    (broadcast semi-join).
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+            .alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .persist()
+    )
+    top = (
+        dw.groupBy("tok").agg(F.sum("c").alias("c_total"))
+        .orderBy(F.col("c_total").desc(), F.col("tok"))
+        .limit(BURSTINESS_TOP_K)
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    d = lambda c: F.col(c).cast("double")
+    out = (
+        dw.join(F.broadcast(top), "tok")
+        .groupBy("tok")
+        .agg(F.first("c_total").alias("c_total"),
+             F.count("*").alias("n_docs_with"),
+             F.sum(F.col("c") * F.col("c")).alias("sc2"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok", "c_total", "n_docs_with",
+            ((d("n_docs") * d("sc2") - d("c_total") * d("c_total"))
+             / (d("n_docs") * d("c_total"))).alias("vmr"))
+        .orderBy("tok")
+    )
+    return materialize_release(out, dw)
+
+
+BURSTINESS_SQL = f"""
+WITH dw AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS tok
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1, 2),
+top AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS c_total
+  FROM dw GROUP BY tok
+  ORDER BY c_total DESC, tok LIMIT {BURSTINESS_TOP_K}),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL)
+SELECT dw.tok, ANY_VALUE(t.c_total) AS c_total,
+       COUNT(*) AS n_docs_with,
+       (CAST(ANY_VALUE(nd.n_docs) AS DOUBLE)
+          * CAST(SUM(dw.c * dw.c) AS DOUBLE)
+        - CAST(ANY_VALUE(t.c_total) AS DOUBLE)
+          * CAST(ANY_VALUE(t.c_total) AS DOUBLE))
+       / (CAST(ANY_VALUE(nd.n_docs) AS DOUBLE)
+          * CAST(ANY_VALUE(t.c_total) AS DOUBLE)) AS vmr
+FROM dw JOIN top t ON t.tok = dw.tok CROSS JOIN nd
+GROUP BY dw.tok ORDER BY dw.tok
+"""
+
+
+QUERIES["text_token_burstiness"] = text_token_burstiness
+ORACLE_SQL["text_token_burstiness"] = BURSTINESS_SQL

@@ -388,3 +388,68 @@ FROM e GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_jsonl_roundtrip"] = events_jsonl_roundtrip
 ORACLE_SQL["events_jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
+SLO_ERROR_PERMILLE = 50
+SLO_WINDOW_DAYS = 7
+
+
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn-rate: per day the error share (permille) and
+    the trailing-7-day burn rate against a 50-permille SLO — the SRE
+    multi-window alert readout, integer end to end.
+
+    One (day) aggregate over events; the rolling sums run over the
+    |days| census (post-agg tiny at any scale). burn_x10 is the burn
+    rate in tenths (rolling_err_share / SLO, x10 via integer DIV) so
+    the breach threshold (burn > 1, i.e. x10 > 10) stays integral.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_total"),
+             F.count(F.when(F.col("event_type") == "error", 1))
+             .alias("n_err"))
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(-(SLO_WINDOW_DAYS - 1), Window.currentRow))
+    return (
+        daily
+        .withColumn("err_7d", F.sum("n_err").over(w))
+        .withColumn("total_7d", F.sum("n_total").over(w))
+        .select(
+            "day", "n_total", "n_err",
+            F.expr("(n_err * 1000) DIV n_total").alias("err_permille"),
+            "err_7d", "total_7d",
+            F.expr(f"(err_7d * 10000) DIV (total_7d * {SLO_ERROR_PERMILLE})")
+            .alias("burn_x10"))
+        .withColumn("breach", F.col("burn_x10") > 10)
+        .orderBy("day")
+    )
+
+
+SLO_BURN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_total,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+  FROM events GROUP BY 1),
+rolled AS (
+  SELECT day, n_total, n_err,
+         CAST(SUM(n_err) OVER w AS BIGINT) AS err_7d,
+         CAST(SUM(n_total) OVER w AS BIGINT) AS total_7d
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {SLO_WINDOW_DAYS - 1} PRECEDING
+               AND CURRENT ROW))
+SELECT day, n_total, n_err,
+       (n_err * 1000) // n_total AS err_permille,
+       err_7d, total_7d,
+       (err_7d * 10000) // (total_7d * {SLO_ERROR_PERMILLE}) AS burn_x10,
+       (err_7d * 10000) // (total_7d * {SLO_ERROR_PERMILLE}) > 10 AS breach
+FROM rolled ORDER BY day
+"""
+
+
+QUERIES["events_slo_burn"] = events_slo_burn
+ORACLE_SQL["events_slo_burn"] = SLO_BURN_SQL

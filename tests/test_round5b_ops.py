@@ -416,3 +416,65 @@ def test_lines_histogram_conservation(spark):
     assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
     assert sum(r.n_orders for r in rows) == li.select(
         "l_orderkey").distinct().count()
+
+
+def test_audience_overlap_bruteforce(spark):
+    from kmr_spark.plans.behavior import events_audience_overlap
+    from kmr_spark.session import load_tables
+
+    got = {(r.type_a, r.type_b): r for r in
+           events_audience_overlap(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", "user_id").distinct().collect()
+    sets = {}
+    for e in ev:
+        sets.setdefault(e.event_type, set()).add(e.user_id)
+    types = sorted(sets)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0 and (a, b) not in got:
+                continue
+            r = got[(a, b)]
+            union = len(sets[a] | sets[b])
+            assert (r.n_both, r.n_union) == (inter, union)
+            assert r.jaccard_permille == inter * 1000 // union
+
+
+def test_burstiness_bruteforce(spark):
+    from kmr_spark.plans.corpusstats import (BURSTINESS_TOP_K,
+                                             text_token_burstiness)
+    from kmr_spark.session import load_tables
+
+    rows = text_token_burstiness(spark, SF_SMALL).collect()
+    assert len(rows) == BURSTINESS_TOP_K
+    docs = load_tables(spark, SF_SMALL)["documents"].select("text").collect()
+    n_docs = len(docs)
+    counts = []
+    for d in docs:
+        cd = {}
+        for t in [t for t in (d.text or "").split(" ") if t]:
+            cd[t] = cd.get(t, 0) + 1
+        counts.append(cd)
+    for r in rows:
+        c = r.c_total
+        sc2 = sum(cd.get(r.tok, 0) ** 2 for cd in counts)
+        assert c == sum(cd.get(r.tok, 0) for cd in counts)
+        assert r.n_docs_with == sum(1 for cd in counts if r.tok in cd)
+        want = (n_docs * sc2 - c * c) / (n_docs * c)
+        assert math.isclose(r.vmr, want, rel_tol=1e-12)
+
+
+def test_slo_burn_rolling(spark):
+    from kmr_spark.plans.quality import (SLO_ERROR_PERMILLE,
+                                         SLO_WINDOW_DAYS, events_slo_burn)
+
+    rows = events_slo_burn(spark, SF_SMALL).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    for i, r in enumerate(rows):
+        lo = max(0, i - SLO_WINDOW_DAYS + 1)
+        err7 = sum(x.n_err for x in rows[lo:i + 1])
+        tot7 = sum(x.n_total for x in rows[lo:i + 1])
+        assert (r.err_7d, r.total_7d) == (err7, tot7)
+        assert r.burn_x10 == err7 * 10000 // (tot7 * SLO_ERROR_PERMILLE)
+        assert r.breach == (r.burn_x10 > 10)
