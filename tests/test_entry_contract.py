@@ -33,11 +33,11 @@ def test_no_duplicate_names_across_modules():
     from kmr_spark.llm_ops import registry
     from kmr_spark.plans import (analytics, basket, behavior, bloomjoin,
                                  corpusstats, diagnostics, generate, graphs,
-                                 graysort, incremental, iterative, layout,
-                                 linalg, quality, rfm, robust, sampling,
-                                 semistruct, sketches, timeseries, tpch,
-                                 tpch_extra, training, trends, valuation,
-                                 wordcount)
+                                 graysort, incremental, inference, iterative,
+                                 layout, linalg, privacy, quality, rfm,
+                                 robust, sampling, semistruct, sketches,
+                                 timeseries, tpch, tpch_extra, training,
+                                 trends, valuation, winfuncs, wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -47,7 +47,8 @@ def test_no_duplicate_names_across_modules():
              quality.QUERIES, basket.QUERIES, rfm.QUERIES,
              training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
              diagnostics.QUERIES, valuation.QUERIES, robust.QUERIES,
-             corpusstats.QUERIES, trends.QUERIES, registry.QUERIES]
+             corpusstats.QUERIES, trends.QUERIES, inference.QUERIES,
+             privacy.QUERIES, winfuncs.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
