@@ -315,3 +315,56 @@ def test_salted_user_join_is_sort_merge_on_salted_key(spark):
     plan = _plan(events_salted_user_join(spark, SF))
     assert "SortMergeJoin" in plan
     assert "__salt" in plan  # join key carries the salt
+
+
+def test_window_parity_single_exchange(spark):
+    """All six window primitives ride ONE user-keyed hash exchange —
+    no global sort, no extra shuffle per function."""
+    from kmr_spark.plans.winfuncs import events_window_parity
+
+    plan = _plan(events_window_parity(spark, SF))
+    assert plan.count(") Exchange") == 1
+    assert "rangepartitioning" not in plan.replace(" ", "").lower()
+
+
+def test_silhouette_assignment_is_narrow(spark):
+    """Centroid assignment must be the literal-array fold: no join and
+    no explode (generator) before the cell aggregate."""
+    from kmr_spark.llm_ops.similarity import emb_silhouette
+
+    plan = _plan(emb_silhouette(spark, SF))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_inference_windows_are_post_agg(spark):
+    """linreg/changepoint window over the DAILY census, never raw
+    events: the window's input must sit above the (type, day)
+    HashAggregate, so the plan has exactly 2 aggregate levels and the
+    events scan feeds an aggregate, not a Window/Sort."""
+    from kmr_spark.plans.inference import events_changepoint_mean
+
+    import re
+
+    plan = _plan(events_changepoint_mean(spark, SF))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids
+    # operator ids grow leaf->root: every Window sits ABOVE (higher id
+    # than) the first aggregate, i.e. it reads the daily census
+    assert min(win_ids) > min(agg_ids)
+
+
+def test_gini_no_global_window(spark):
+    from kmr_spark.plans.valuation import orders_gini_revenue
+
+    plan = _plan(orders_gini_revenue(spark, SF))
+    assert "Window" not in plan  # exscan path, not a window rank
+
+
+def test_audience_overlap_no_cartesian(spark):
+    from kmr_spark.plans.behavior import events_audience_overlap
+
+    plan = _plan(events_audience_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
