@@ -288,10 +288,11 @@ _DRIVER_CHECKED = frozenset({
 # emb_silhouette, text_rake_keywords, graph_label_propagation,
 # orders_mix_shift, events_schema_drift, events_acf_daily,
 # orders_lines_histogram, events_audience_overlap,
-# text_token_burstiness, events_slo_burn. That's 47 total with the
-# 2 defers; recompute with the formula above. A 47-name window
-# leaves ~3 slots — backfill with the longest-green _DRIVER_CHECKED
-# names (re-verification rotation) or round-6 adds.
+# text_token_burstiness, events_slo_burn, emb_gram_matrix. That's 48
+# total with the 2 defers; recompute with the formula above. A
+# 48-name window leaves 2 slots — backfill with the longest-green
+# _DRIVER_CHECKED names (tpch_q1, tpch_q2 re-verification rotation)
+# or round-6 adds.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "events_audience_overlap",
     "text_token_burstiness",
     "events_slo_burn",
+    "emb_gram_matrix",
 ]
 
 

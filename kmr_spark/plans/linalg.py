@@ -286,3 +286,67 @@ FROM r GROUP BY label, decile
 
 QUERIES["emb_norm_deciles"] = emb_norm_deciles
 ORACLE_SQL["emb_norm_deciles"] = EMB_NORM_DECILES_SQL
+
+
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix A^T A of the embedding table (upper triangle) — the
+    tall-skinny kernel behind PCA/covariance/whitening, and the
+    classic "narrow generate, tiny shuffle" MapReduce pattern: each
+    row emits its d(d+1)/2 upper-triangle products map-side; partial
+    aggregation collapses them to |dims|² partials per partition, so
+    the exchange carries ~2080 keys x partitions regardless of row
+    count. (The reference's dense matmul example,
+    /root/reference/ex/mm.c, materializes blocks; A^T A needs no
+    second operand and no blocking.)
+
+    Exactness: coordinates quantize to 1e-6 longs; per-row products
+    accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the sum
+    passes BIGINT at ~1e9 rows — and the output double is one cast.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from kmr_spark.functions import vectors as V
+    q = F.transform(V.to_double_array("embedding"),
+                    lambda x: F.floor(x * 1_000_000).cast("long"))
+    pts = emb.select(q.alias("qv"))
+    # nested transform keeps the expression tree O(1) in d (a literal
+    # per-pair array of 2080 expressions OOMs codegen)
+    tri = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("qv")),
+        lambda i: F.transform(
+            F.sequence(i, F.size("qv")),
+            lambda j: F.struct(
+                (i - 1).alias("i"), (j - 1).alias("j"),
+                (F.element_at(F.col("qv"), i)
+                 * F.element_at(F.col("qv"), j)).alias("p")))))
+    return (
+        pts.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").cast("long").alias("i"),
+                 F.col("t.j").cast("long").alias("j"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("t.p").cast("decimal(38,0)")).alias("s"))
+        .select("i", "j", "n_rows",
+                F.col("s").cast("double").alias("gram_micro2"))
+        .orderBy("i", "j")
+    )
+
+
+GRAM_SQL = """
+WITH pts AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+prods AS (
+  SELECT i.i AS i, j.j AS j, p.qv[i.i + 1] * p.qv[j.j + 1] AS prod
+  FROM pts p,
+       unnest(range(0, 64)) AS i(i),
+       unnest(range(0, 64)) AS j(j)
+  WHERE j.j >= i.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(prod AS HUGEINT)) AS DOUBLE) AS gram_micro2
+FROM prods GROUP BY i, j ORDER BY i, j
+"""
+
+
+QUERIES["emb_gram_matrix"] = emb_gram_matrix
+ORACLE_SQL["emb_gram_matrix"] = GRAM_SQL

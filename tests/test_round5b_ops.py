@@ -478,3 +478,21 @@ def test_slo_burn_rolling(spark):
         assert (r.err_7d, r.total_7d) == (err7, tot7)
         assert r.burn_x10 == err7 * 10000 // (tot7 * SLO_ERROR_PERMILLE)
         assert r.breach == (r.burn_x10 > 10)
+
+
+def test_gram_matrix_bruteforce(spark):
+    import math as m
+
+    from kmr_spark.plans.linalg import emb_gram_matrix
+    from kmr_spark.session import load_tables
+
+    got = {(r.i, r.j): r.gram_micro2 for r in
+           emb_gram_matrix(spark, SF_SMALL).collect()}
+    vecs = [[m.floor(x * 1_000_000) for x in r.embedding] for r in
+            load_tables(spark, SF_SMALL)["embeddings"].collect()]
+    d = len(vecs[0])
+    assert len(got) == d * (d + 1) // 2
+    # spot-check a few cells exactly (full 2080 is slow in Python)
+    for (i, j) in [(0, 0), (0, 1), (5, 40), (63, 63), (31, 32)]:
+        want = float(sum(v[i] * v[j] for v in vecs))
+        assert got[(i, j)] == want
