@@ -288,11 +288,13 @@ _DRIVER_CHECKED = frozenset({
 # emb_silhouette, text_rake_keywords, graph_label_propagation,
 # orders_mix_shift, events_schema_drift, events_acf_daily,
 # orders_lines_histogram, events_audience_overlap,
-# text_token_burstiness, events_slo_burn, emb_gram_matrix. That's 48
-# total with the 2 defers; recompute with the formula above. A
-# 48-name window leaves 2 slots — backfill with the longest-green
-# _DRIVER_CHECKED names (tpch_q1, tpch_q2 re-verification rotation)
-# or round-6 adds.
+# text_token_burstiness, events_slo_burn, emb_gram_matrix,
+# graph_modularity, events_forecast_snaive, text_simpson_diversity.
+# That's 51 total with the 2 defers — ONE over the 50-slot window:
+# defer orders_lines_histogram (pure integer counts, judge-sim green,
+# zero float-hash risk — the lowest-risk name, same policy as the r5
+# heatmap/length-histogram defers) to round 7 and pin the other 50.
+# Recompute the live list with the formula above.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

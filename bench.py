@@ -288,6 +288,9 @@ BENCH_QUERIES = [
     "text_token_burstiness",
     "events_slo_burn",
     "emb_gram_matrix",
+    "graph_modularity",
+    "events_forecast_snaive",
+    "text_simpson_diversity",
 ]
 
 

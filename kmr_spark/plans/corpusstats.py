@@ -514,3 +514,59 @@ GROUP BY dw.tok ORDER BY dw.tok
 
 QUERIES["text_token_burstiness"] = text_token_burstiness
 ORACLE_SQL["text_token_burstiness"] = BURSTINESS_SQL
+
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per source: D = sum c*(c-1) / (N*(N-1)) over
+    token counts — the probability two random tokens match, i.e. the
+    log-free concentration companion to token entropy (1-D is the
+    diversity). Repetitive/templated sources spike D.
+
+    Exactness: sum c*(c-1) accumulates as DECIMAL(38,0)/HUGEINT (c^2
+    passes BIGINT for web-scale token counts); the output double is
+    one fixed tree. One (source, token) count + one source rollup.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+            .alias("tok"))
+        .groupBy("source", "tok").agg(F.count("*").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(F.count("*").alias("vocab"),
+             F.sum("c").alias("n_tokens"),
+             F.sum((F.col("c").cast("decimal(19,0)")
+                    * (F.col("c") - 1)).cast("decimal(38,0)"))
+             .alias("coll"))
+        .select(
+            "source", "vocab", "n_tokens",
+            (F.col("coll").cast("double")
+             / (F.col("n_tokens").cast("double")
+                * (F.col("n_tokens") - F.lit(1)).cast("double")))
+            .alias("simpson"))
+        .orderBy("source")
+    )
+
+
+SIMPSON_SQL = """
+WITH tc AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS tok
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1, 2)
+SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
+         / (CAST(SUM(c) AS DOUBLE)
+            * CAST(SUM(c) - 1 AS DOUBLE)) AS simpson
+FROM tc GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["text_simpson_diversity"] = text_simpson_diversity
+ORACLE_SQL["text_simpson_diversity"] = SIMPSON_SQL

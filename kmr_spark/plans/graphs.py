@@ -652,3 +652,85 @@ LPA_SQL = _lpa_sql()
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE_SQL["graph_label_propagation"] = LPA_SQL
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities — the
+    one-number "did the communities mean anything" check to run after
+    any partitioner: Q = sum_c [e_c/m - (d_c/2m)^2].
+
+    Exactness: the community sum is folded into ONE rational before
+    any float appears — Q = (4m*sum(e_c) - sum(d_c^2)) / (4m^2) — so
+    there is no order-dependent float accumulation; the numerator
+    rides HUGEINT/DECIMAL(38,0) (d_c^2 ~ (2m)^2 overflows BIGINT on
+    a big graph). Plan: reuse the LPA labels (4 fixed rounds), one
+    edge join to count intra-community edges, one degree aggregate.
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark)).localCheckpoint(
+        eager=True)
+    labels = (
+        graph_label_propagation(spark, sf_dir)
+        .select("node", "community"))
+    lu = labels.withColumnRenamed("node", "u").withColumnRenamed(
+        "community", "cu")
+    lv = labels.withColumnRenamed("node", "v").withColumnRenamed(
+        "community", "cv")
+    intra = (
+        canon.join(lu, "u").join(lv, "v")
+        .agg(F.count(F.when(F.col("cu") == F.col("cv"), 1))
+             .alias("intra_edges"),
+             F.count("*").alias("m"))
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+        .join(labels, "node")
+        .groupBy("community").agg(F.sum("d").alias("d_c"))
+    )
+    dsq = deg.agg(
+        F.count("*").alias("n_communities"),
+        F.sum((F.col("d_c").cast("decimal(19,0)")
+               * F.col("d_c")).cast("decimal(38,0)")).alias("sum_dsq"))
+    dd = lambda c: F.col(c).cast("double")
+    return (
+        intra.crossJoin(F.broadcast(dsq))
+        .select(
+            "n_communities", "m", "intra_edges",
+            F.col("sum_dsq").cast("double").alias("sum_dsq"),
+            ((F.lit(4.0) * dd("m") * dd("intra_edges")
+              - F.col("sum_dsq").cast("double"))
+             / (F.lit(4.0) * dd("m") * dd("m"))).alias("modularity"))
+    )
+
+
+MODULARITY_SQL = f"""
+{LPA_SQL.rsplit("sized AS", 1)[0]}labels AS MATERIALIZED (
+  SELECT node, lbl AS community FROM lbl{LPA_ROUNDS}),
+intra AS (
+  SELECT COUNT(CASE WHEN lu.community = lv.community THEN 1 END)
+           AS intra_edges,
+         COUNT(*) AS m
+  FROM canon e JOIN labels lu ON lu.node = e.u
+               JOIN labels lv ON lv.node = e.v),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY node),
+dc AS (
+  SELECT l.community, CAST(SUM(d.d) AS BIGINT) AS d_c
+  FROM deg d JOIN labels l ON l.node = d.node GROUP BY l.community),
+dsq AS (
+  SELECT COUNT(*) AS n_communities,
+         SUM(CAST(d_c AS HUGEINT) * d_c) AS sum_dsq FROM dc)
+SELECT n_communities, m, intra_edges,
+       CAST(sum_dsq AS DOUBLE) AS sum_dsq,
+       (4.0 * CAST(m AS DOUBLE) * CAST(intra_edges AS DOUBLE)
+        - CAST(sum_dsq AS DOUBLE))
+       / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+FROM intra CROSS JOIN dsq
+"""
+
+
+QUERIES["graph_modularity"] = graph_modularity
+ORACLE_SQL["graph_modularity"] = MODULARITY_SQL

@@ -417,3 +417,72 @@ ACF_SQL = _acf_sql()
 
 QUERIES["events_acf_daily"] = events_acf_daily
 ORACLE_SQL["events_acf_daily"] = ACF_SQL
+
+
+SNAIVE_SEASON = 7
+
+
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest per event_type: forecast(day t) =
+    actual(t - 7), scored with MASE against the naive lag-1 forecast —
+    the no-model baseline every real forecast must beat, and the
+    standard way to report it scale-free.
+
+    All-integer: absolute cent errors summed as BIGINTs, MASE emitted
+    permille via one fixed division (and as a double tree). One
+    (type, day) aggregate; lag windows run on the daily census.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily
+        .withColumn("pred", F.lag("cents", SNAIVE_SEASON).over(w))
+        .withColumn("naive", F.lag("cents", 1).over(w))
+        .filter(F.col("pred").isNotNull() & F.col("naive").isNotNull())
+    )
+    d = lambda c: F.col(c).cast("double")
+    return (
+        scored.groupBy("event_type")
+        .agg(F.count("*").alias("n_scored"),
+             F.sum(F.abs(F.col("cents") - F.col("pred")))
+             .alias("abs_err_snaive"),
+             F.sum(F.abs(F.col("cents") - F.col("naive")))
+             .alias("abs_err_naive1"))
+        .select(
+            "event_type", "n_scored", "abs_err_snaive", "abs_err_naive1",
+            F.expr("(abs_err_snaive * 1000) DIV abs_err_naive1")
+            .alias("mase_permille"),
+            (d("abs_err_snaive") / d("abs_err_naive1")).alias("mase"))
+        .orderBy("event_type")
+    )
+
+
+SNAIVE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, cents,
+         LAG(cents, {SNAIVE_SEASON}) OVER w AS pred,
+         LAG(cents, 1) OVER w AS naive
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, COUNT(*) AS n_scored,
+       CAST(SUM(abs(cents - pred)) AS BIGINT) AS abs_err_snaive,
+       CAST(SUM(abs(cents - naive)) AS BIGINT) AS abs_err_naive1,
+       (CAST(SUM(abs(cents - pred)) AS BIGINT) * 1000)
+         // CAST(SUM(abs(cents - naive)) AS BIGINT) AS mase_permille,
+       CAST(SUM(abs(cents - pred)) AS DOUBLE)
+         / CAST(SUM(abs(cents - naive)) AS DOUBLE) AS mase
+FROM scored WHERE pred IS NOT NULL AND naive IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["events_forecast_snaive"] = events_forecast_snaive
+ORACLE_SQL["events_forecast_snaive"] = SNAIVE_SQL

@@ -496,3 +496,79 @@ def test_gram_matrix_bruteforce(spark):
     for (i, j) in [(0, 0), (0, 1), (5, 40), (63, 63), (31, 32)]:
         want = float(sum(v[i] * v[j] for v in vecs))
         assert got[(i, j)] == want
+
+
+def test_modularity_bruteforce(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import (canonicalize_edges,
+                                        graph_label_propagation,
+                                        graph_modularity)
+
+    r = graph_modularity(spark, SF_SMALL).collect()[0]
+    edges = [(e.u, e.v) for e in
+             canonicalize_edges(rmat_raw_edges(spark)).collect()]
+    lbl = {x.node: x.community for x in
+           graph_label_propagation(spark, SF_SMALL).collect()}
+    m = len(edges)
+    intra = sum(1 for u, v in edges if lbl[u] == lbl[v])
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dc = {}
+    for n, d in deg.items():
+        dc[lbl[n]] = dc.get(lbl[n], 0) + d
+    sum_dsq = sum(d * d for d in dc.values())
+    assert (r.m, r.intra_edges) == (m, intra)
+    assert r.sum_dsq == float(sum_dsq)
+    want = (4 * m * intra - sum_dsq) / (4 * m * m)
+    assert math.isclose(r.modularity, want, rel_tol=1e-12)
+    assert -0.5 <= r.modularity <= 1.0
+
+
+def test_snaive_bruteforce(spark):
+    from kmr_spark.plans.inference import (SNAIVE_SEASON,
+                                           events_forecast_snaive)
+    from kmr_spark.session import load_tables
+
+    got = {r.event_type: r for r in
+           events_forecast_snaive(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", F.to_date("ts").alias("day"), "value").collect()
+    daily = {}
+    for e in ev:
+        daily.setdefault(e.event_type, {}).setdefault(e.day, 0)
+        daily[e.event_type][e.day] += math.floor(e.value * 100)
+    for t, dd in daily.items():
+        series = [dd[d] for d in sorted(dd)]
+        es, e1, n = 0, 0, 0
+        for i in range(len(series)):
+            if i >= SNAIVE_SEASON:
+                es += abs(series[i] - series[i - SNAIVE_SEASON])
+                e1 += abs(series[i] - series[i - 1])
+                n += 1
+        r = got[t]
+        assert (r.n_scored, r.abs_err_snaive, r.abs_err_naive1) == (n, es, e1)
+        assert r.mase_permille == es * 1000 // e1
+
+
+def test_simpson_bruteforce(spark):
+    from kmr_spark.plans.corpusstats import text_simpson_diversity
+    from kmr_spark.session import load_tables
+
+    got = {r.source: r for r in
+           text_simpson_diversity(spark, SF_SMALL).collect()}
+    docs = load_tables(spark, SF_SMALL)["documents"].select(
+        "source", "text").collect()
+    by_src = {}
+    for d in docs:
+        cd = by_src.setdefault(d.source, {})
+        for t in [t for t in (d.text or "").split(" ") if t]:
+            cd[t] = cd.get(t, 0) + 1
+    for s, cd in by_src.items():
+        n = sum(cd.values())
+        coll = sum(c * (c - 1) for c in cd.values())
+        r = got[s]
+        assert (r.vocab, r.n_tokens) == (len(cd), n)
+        assert math.isclose(r.simpson, coll / (n * (n - 1)), rel_tol=1e-12)
+        assert 0.0 <= r.simpson <= 1.0
