@@ -289,12 +289,13 @@ _DRIVER_CHECKED = frozenset({
 # orders_mix_shift, events_schema_drift, events_acf_daily,
 # orders_lines_histogram, events_audience_overlap,
 # text_token_burstiness, events_slo_burn, emb_gram_matrix,
-# graph_modularity, events_forecast_snaive, text_simpson_diversity.
-# That's 51 total with the 2 defers — ONE over the 50-slot window:
-# defer orders_lines_histogram (pure integer counts, judge-sim green,
-# zero float-hash risk — the lowest-risk name, same policy as the r5
-# heatmap/length-histogram defers) to round 7 and pin the other 50.
-# Recompute the live list with the formula above.
+# graph_modularity, events_forecast_snaive, text_simpson_diversity,
+# events_mann_whitney. That's 52 total with the 2 defers — TWO over
+# the 50-slot window: defer orders_lines_histogram and
+# graph_degree_distribution (both pure integer counts, judge-sim
+# green, zero float-hash risk — the lowest-risk names, same policy as
+# the r5 heatmap/length-histogram defers) to round 7 and pin the
+# other 50. Recompute the live list with the formula above.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "graph_modularity",
     "events_forecast_snaive",
     "text_simpson_diversity",
+    "events_mann_whitney",
 ]
 
 

@@ -486,3 +486,87 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_forecast_snaive"] = events_forecast_snaive
 ORACLE_SQL["events_forecast_snaive"] = SNAIVE_SQL
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on purchase value between the odd/even
+    user-id split — the nonparametric companion to events_ab_test
+    (no normality assumption on the heavy-tailed value column).
+
+    The scalable trick: ranks come from the VALUE HISTOGRAM, not a
+    per-row sort — group counts per distinct cent value, one ordered
+    prefix over the value census (bounded by the value domain, tiny),
+    and midranks in 2x units stay integral under ties:
+    2*r(v) = 2*below(v) + n_v + 1. U (2x), the tie term sum(t^3-t),
+    and counts are BIGINT; z = (2U - n1*n2) / (2*sqrt(var)) is one
+    fixed tree (IEEE sqrt is portable).
+    """
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase")
+    hist = (
+        ev.select(
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            (F.pmod("user_id", F.lit(2)) == 1).alias("treated"))
+        .groupBy("cents")
+        .agg(F.count(F.when(F.col("treated"), 1)).alias("n1_v"),
+             F.count(F.when(~F.col("treated"), 1)).alias("n2_v"))
+    )
+    w = (Window.orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (
+        hist
+        .withColumn("n_v", F.col("n1_v") + F.col("n2_v"))
+        .withColumn("below",
+                    F.sum("n_v").over(w) - F.col("n_v"))
+        .withColumn("r2", 2 * F.col("below") + F.col("n_v") + 1)
+    )
+    sums = ranked.groupBy().agg(
+        F.sum("n1_v").alias("n1"), F.sum("n2_v").alias("n2"),
+        F.sum(F.col("n1_v") * F.col("r2")).alias("r1_x2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .alias("tie_term"))
+    d = lambda c: F.col(c).cast("double")
+    n = F.col("n1") + F.col("n2")
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    var = (d("n1") * d("n2") / F.lit(12.0)
+           * ((n.cast("double") + F.lit(1.0))
+              - d("tie_term") / (n.cast("double")
+                                 * (n.cast("double") - F.lit(1.0)))))
+    return sums.select(
+        "n1", "n2", u1_x2.alias("u1_x2"), "tie_term",
+        ((u1_x2.cast("double") - d("n1") * d("n2"))
+         / (F.lit(2.0) * F.sqrt(var))).alias("z"))
+
+
+MANN_WHITNEY_SQL = """
+WITH hist AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+         COUNT(CASE WHEN (user_id % 2) = 1 THEN 1 END) AS n1_v,
+         COUNT(CASE WHEN (user_id % 2) = 0 THEN 1 END) AS n2_v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+ranked AS (
+  SELECT n1_v, n2_v, n1_v + n2_v AS n_v,
+         CAST(SUM(n1_v + n2_v) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (n1_v + n2_v) AS BIGINT) AS below
+  FROM hist),
+sums AS (
+  SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+         CAST(SUM(n2_v) AS BIGINT) AS n2,
+         CAST(SUM(n1_v * (2 * below + n_v + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+  FROM ranked)
+SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_term,
+       (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+            * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+               - CAST(tie_term AS DOUBLE)
+                 / (CAST(n1 + n2 AS DOUBLE)
+                    * (CAST(n1 + n2 AS DOUBLE) - 1.0))))) AS z
+FROM sums
+"""
+
+
+QUERIES["events_mann_whitney"] = events_mann_whitney
+ORACLE_SQL["events_mann_whitney"] = MANN_WHITNEY_SQL

@@ -572,3 +572,30 @@ def test_simpson_bruteforce(spark):
         assert (r.vocab, r.n_tokens) == (len(cd), n)
         assert math.isclose(r.simpson, coll / (n * (n - 1)), rel_tol=1e-12)
         assert 0.0 <= r.simpson <= 1.0
+
+
+def test_mann_whitney_vs_scipy_formula(spark):
+    """U and midranks against a brute-force rank computation."""
+    from kmr_spark.plans.inference import events_mann_whitney
+    from kmr_spark.session import load_tables
+
+    r = events_mann_whitney(spark, SF_SMALL).collect()[0]
+    ev = load_tables(spark, SF_SMALL)["events"].filter(
+        F.col("event_type") == "purchase").select(
+        "user_id", "value").collect()
+    g1 = sorted(math.floor(e.value * 100) for e in ev if e.user_id % 2 == 1)
+    g2 = sorted(math.floor(e.value * 100) for e in ev if e.user_id % 2 == 0)
+    allv = sorted(g1 + g2)
+    n = len(allv)
+    # midrank of value v = (#below) + (#equal + 1)/2, 1-based
+    import bisect
+    r1 = 0.0
+    for v in g1:
+        lo = bisect.bisect_left(allv, v)
+        hi = bisect.bisect_right(allv, v)
+        r1 += lo + (hi - lo + 1) / 2
+    u1 = r1 - len(g1) * (len(g1) + 1) / 2
+    assert r.n1 == len(g1) and r.n2 == len(g2)
+    assert r.u1_x2 == round(2 * u1)
+    # z sanity: standardized, finite, reasonable magnitude
+    assert abs(r.z) < 10
