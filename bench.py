@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "events_forecast_snaive",
     "text_simpson_diversity",
     "events_mann_whitney",
+    "events_qte_deciles",
+    "text_heaps_curve",
 ]
 
 

@@ -570,3 +570,87 @@ FROM tc GROUP BY source ORDER BY source
 
 QUERIES["text_simpson_diversity"] = text_simpson_diversity
 ORACLE_SQL["text_simpson_diversity"] = SIMPSON_SQL
+
+
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve: cumulative distinct vocabulary vs cumulative
+    token count at 10 id-range checkpoints of the corpus — how fast
+    the vocabulary still grows tells you whether more data buys new
+    tokens (tokenizer/planning input). Sub-linear growth = Heaps'
+    law; a linear curve flags templated/generated text.
+
+    Exactness/scale: decile = (doc_id * 10) DIV (max_id + 1) (id-range
+    deciles, one broadcast max — no global window over docs); vocab
+    increments come from each token's FIRST decile (min aggregate);
+    the two cumulative sums run over the 10-row census. All integers.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    mx = docs.agg((F.max("doc_id") + 1).alias("mx"))
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(doc_id * 10) DIV mx").alias("decile"),
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+            .alias("tok"))
+    )
+    per_dec_tokens = toks.groupBy("decile").agg(
+        F.count("*").alias("n_tokens"))
+    first_dec = (
+        toks.groupBy("tok").agg(F.min("decile").alias("decile"))
+        .groupBy("decile").agg(F.count("*").alias("n_new_vocab"))
+    )
+    docs_per_dec = (
+        docs.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("(doc_id * 10) DIV mx").alias("decile"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs_per_dec
+        .join(per_dec_tokens, "decile", "left")
+        .join(first_dec, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_docs").over(w).alias("docs_cum"),
+            F.sum(F.coalesce("n_tokens", F.lit(0))).over(w)
+            .alias("tokens_cum"),
+            F.sum(F.coalesce("n_new_vocab", F.lit(0))).over(w)
+            .alias("vocab_cum"))
+        .orderBy("decile")
+    )
+
+
+HEAPS_SQL = """
+WITH mx AS (SELECT MAX(doc_id) + 1 AS mx FROM documents
+            WHERE text IS NOT NULL),
+toks AS (
+  SELECT (doc_id * 10) // mx.mx AS decile,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents CROSS JOIN mx WHERE text IS NOT NULL),
+per_dec AS (SELECT decile, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+first_dec AS (
+  SELECT decile, COUNT(*) AS n_new_vocab
+  FROM (SELECT tok, MIN(decile) AS decile FROM toks GROUP BY tok)
+  GROUP BY decile),
+docs_per AS (
+  SELECT (doc_id * 10) // mx.mx AS decile, COUNT(*) AS n_docs
+  FROM documents CROSS JOIN mx WHERE text IS NOT NULL GROUP BY 1)
+SELECT d.decile,
+       CAST(SUM(d.n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(p.n_tokens, 0)) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(f.n_new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM docs_per d
+LEFT JOIN per_dec p ON p.decile = d.decile
+LEFT JOIN first_dec f ON f.decile = d.decile
+WINDOW w AS (ORDER BY d.decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY d.decile
+"""
+
+
+QUERIES["text_heaps_curve"] = text_heaps_curve
+ORACLE_SQL["text_heaps_curve"] = HEAPS_SQL

@@ -570,3 +570,88 @@ FROM sums
 
 QUERIES["events_mann_whitney"] = events_mann_whitney
 ORACLE_SQL["events_mann_whitney"] = MANN_WHITNEY_SQL
+
+
+QTE_DECILES = 10
+
+
+def events_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect by decile: rank purchase values
+    WITHIN treatment and control (odd/even user split), cut each into
+    exact NTILE deciles, and report the per-decile mean difference —
+    where in the distribution an effect lives (means hide tail-only
+    effects; this is the distributional A/B readout).
+
+    Ranks come from ranking_per_group (distributed exscan — no
+    low-cardinality rank window), deciles from ntile_from_rank (exact
+    NTILE), and each decile-mean/QTE double is one fixed tree over
+    cent-sum/count BIGINTs.
+    """
+    from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
+    from kmr_spark.session import sized_shuffle_partitions
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase")
+    base = ev.select(
+        F.when(F.pmod("user_id", F.lit(2)) == 1, "treat")
+        .otherwise("control").alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id").persist()
+    try:
+        n = base.count()
+        with sized_shuffle_partitions(spark, n):
+            ranked = ranking_per_group(
+                base, ["grp"], [F.col("cents"), F.col("event_id")],
+                materialize=True)
+    finally:
+        base.unpersist()
+    by_dec = (
+        ranked.select(
+            "grp", "cents",
+            ntile_from_rank(F.col("rank") + 1, F.col("n_group"),
+                            QTE_DECILES).alias("decile"))
+        .groupBy("grp", "decile")
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("c"))
+    )
+    t = by_dec.filter(F.col("grp") == "treat").select(
+        "decile", F.col("s").alias("s_t"), F.col("c").alias("n_t"))
+    c = by_dec.filter(F.col("grp") == "control").select(
+        "decile", F.col("s").alias("s_c"), F.col("c").alias("n_c"))
+    d = lambda col: F.col(col).cast("double")
+    return (
+        t.join(c, "decile")
+        .select(
+            "decile", "n_t", "n_c",
+            (d("s_t") / d("n_t")).alias("mean_treat_cents"),
+            (d("s_c") / d("n_c")).alias("mean_control_cents"),
+            (d("s_t") / d("n_t") - d("s_c") / d("n_c")).alias("qte_cents"))
+        .orderBy("decile")
+    )
+
+
+QTE_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN (user_id % 2) = 1 THEN 'treat' ELSE 'control' END AS grp,
+         CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+  FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT grp, cents,
+         NTILE({QTE_DECILES}) OVER (PARTITION BY grp
+                                    ORDER BY cents, event_id) AS decile
+  FROM base),
+by_dec AS (
+  SELECT grp, decile, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS c
+  FROM ranked GROUP BY 1, 2)
+SELECT t.decile, t.c AS n_t, ctl.c AS n_c,
+       CAST(t.s AS DOUBLE) / CAST(t.c AS DOUBLE) AS mean_treat_cents,
+       CAST(ctl.s AS DOUBLE) / CAST(ctl.c AS DOUBLE) AS mean_control_cents,
+       CAST(t.s AS DOUBLE) / CAST(t.c AS DOUBLE)
+         - CAST(ctl.s AS DOUBLE) / CAST(ctl.c AS DOUBLE) AS qte_cents
+FROM by_dec t JOIN by_dec ctl
+  ON t.decile = ctl.decile AND t.grp = 'treat' AND ctl.grp = 'control'
+ORDER BY t.decile
+"""
+
+
+QUERIES["events_qte_deciles"] = events_qte_deciles
+ORACLE_SQL["events_qte_deciles"] = QTE_SQL

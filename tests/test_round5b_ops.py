@@ -599,3 +599,44 @@ def test_mann_whitney_vs_scipy_formula(spark):
     assert r.u1_x2 == round(2 * u1)
     # z sanity: standardized, finite, reasonable magnitude
     assert abs(r.z) < 10
+
+
+def test_qte_deciles_consistency(spark):
+    from kmr_spark.plans.inference import events_qte_deciles
+    from kmr_spark.session import load_tables
+
+    rows = events_qte_deciles(spark, SF_SMALL).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    ev = load_tables(spark, SF_SMALL)["events"].filter(
+        F.col("event_type") == "purchase").collect()
+    n_t = sum(1 for e in ev if e.user_id % 2 == 1)
+    n_c = len(ev) - n_t
+    assert sum(r.n_t for r in rows) == n_t
+    assert sum(r.n_c for r in rows) == n_c
+    for r in rows:
+        assert math.isclose(
+            r.qte_cents, r.mean_treat_cents - r.mean_control_cents,
+            rel_tol=1e-12)
+    # decile means are non-decreasing within each group (rank cut)
+    for key in ("mean_treat_cents", "mean_control_cents"):
+        vals = [r[key] for r in rows]
+        assert vals == sorted(vals)
+
+
+def test_heaps_curve_invariants(spark):
+    from kmr_spark.plans.corpusstats import text_heaps_curve
+    from kmr_spark.session import load_tables
+
+    rows = text_heaps_curve(spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL)["documents"].select("text").collect()
+    all_toks = []
+    for d in docs:
+        all_toks.extend(t for t in (d.text or "").split(" ") if t)
+    last = rows[-1]
+    assert last.docs_cum == len(docs)
+    assert last.tokens_cum == len(all_toks)
+    assert last.vocab_cum == len(set(all_toks))
+    for a, b in zip(rows, rows[1:]):
+        assert a.docs_cum <= b.docs_cum
+        assert a.tokens_cum <= b.tokens_cum
+        assert a.vocab_cum <= b.vocab_cum
