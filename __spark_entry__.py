@@ -290,13 +290,15 @@ _DRIVER_CHECKED = frozenset({
 # orders_lines_histogram, events_audience_overlap,
 # text_token_burstiness, events_slo_burn, emb_gram_matrix,
 # graph_modularity, events_forecast_snaive, text_simpson_diversity,
-# events_mann_whitney, events_qte_deciles, text_heaps_curve. That's
-# 54 total with the 2 defers — FOUR over the 50-slot window: defer
-# orders_lines_histogram, graph_degree_distribution, text_heaps_curve
-# and events_slo_burn (all pure integer counts, judge-sim green, zero
-# float-hash risk — the lowest-risk names, same policy as the r5
-# heatmap/length-histogram defers) to round 7 and pin the other 50.
-# Recompute the live list with the formula above.
+# events_mann_whitney, events_qte_deciles, text_heaps_curve,
+# docs_source_divergence_js, events_rolling_corr. That's 56 total
+# with the 2 defers — SIX over the 50-slot window: defer
+# orders_lines_histogram, graph_degree_distribution, text_heaps_curve,
+# events_slo_burn, events_compaction_plan, events_audience_overlap
+# (all pure integer-count outputs, judge-sim green, zero float-hash
+# risk — the lowest-risk names, same policy as the r5 defers) to
+# round 7 and pin the other 50. Recompute the live list with the
+# formula above.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

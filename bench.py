@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "events_mann_whitney",
     "events_qte_deciles",
     "text_heaps_curve",
+    "docs_source_divergence_js",
+    "events_rolling_corr",
 ]
 
 

@@ -654,3 +654,111 @@ ORDER BY d.decile
 
 QUERIES["text_heaps_curve"] = text_heaps_curve
 ORACLE_SQL["text_heaps_curve"] = HEAPS_SQL
+
+
+def docs_source_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the bounded, symmetric drift metric (TV's log
+    companion; JS is what LLM-corpus mixture monitors report).
+
+    Exact-hash recipe: with common denominator 2*T_a*T_b,
+    ln(p/m) = ln(2*c_a*T_b) - ln(c_a*T_b + c_b*T_a) — INTEGER log
+    arguments, so each term quantizes to q(x)=floor(ln(x)*1e6) BIGINTs
+    and one-sided tokens need no special case (c_b=0 makes the term
+    ~ln 2 naturally). JS = S(a,b)/(2*T_a*1e6) + S(b,a)/(2*T_b*1e6) is
+    one fixed tree over the two ordered integer sums. Same int64
+    bound as the TV query: per-source token totals < ~3e9 (scale
+    counts down first beyond that — documented there).
+
+    Plan: per-(source, token) counts once; each ordered side is the
+    count table crossed with the tiny source-totals list and
+    left-joined back on (token, other-source) — vocabulary-bounded.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull())
+    uni = (
+        docs.select(
+            "source",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+            .alias("tok"))
+        .groupBy("source", "tok").agg(F.count("*").alias("c"))
+        .persist()
+    )
+    totals = uni.groupBy("source").agg(F.sum("c").alias("t"))
+    q = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    a = uni.select(F.col("source").alias("src_a"), "tok",
+                   F.col("c").alias("c_a"))
+    tb = totals.select(F.col("source").alias("src_b"),
+                       F.col("t").alias("t_b"))
+    ta = totals.select(F.col("source").alias("src_a"),
+                       F.col("t").alias("t_a"))
+    b = uni.select(F.col("source").alias("src_b"),
+                   F.col("tok").alias("tok"), F.col("c").alias("c_b"))
+    side = (
+        a.crossJoin(F.broadcast(tb))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .join(b, ["src_b", "tok"], "left")
+        .join(F.broadcast(ta), "src_a")
+        .select(
+            "src_a", "src_b",
+            (F.col("c_a")
+             * (q(2 * F.col("c_a") * F.col("t_b"))
+                - q(F.col("c_a") * F.col("t_b")
+                    + F.coalesce(F.col("c_b"), F.lit(0)) * F.col("t_a"))))
+            .alias("term"))
+        .groupBy("src_a", "src_b").agg(F.sum("term").alias("s"))
+    )
+    s_fwd = side.filter(F.col("src_a") < F.col("src_b"))
+    s_rev = side.filter(F.col("src_a") > F.col("src_b")).select(
+        F.col("src_b").alias("src_a"), F.col("src_a").alias("src_b"),
+        F.col("s").alias("s_rev"))
+    d = lambda c: F.col(c).cast("double")
+    out = (
+        s_fwd.join(s_rev, ["src_a", "src_b"])
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "s", "s_rev",
+            (d("s") / (F.lit(2e6) * d("t_a"))
+             + d("s_rev") / (F.lit(2e6) * d("t_b"))).alias("js"))
+        .orderBy("src_a", "src_b")
+    )
+    return materialize_release(out, uni)
+
+
+_QL = lambda x: f"CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+JS_DIVERGENCE_SQL = f"""
+WITH uni AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS tok
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM uni GROUP BY 1),
+side AS (
+  SELECT a.source AS src_a, tb.source AS src_b,
+         CAST(SUM(a.c * ({_QL('2 * a.c * tb.t')}
+                  - {_QL('a.c * tb.t + COALESCE(b.c, 0) * ta.t')}))
+              AS BIGINT) AS s
+  FROM uni a
+  CROSS JOIN totals tb
+  LEFT JOIN uni b ON b.source = tb.source AND b.tok = a.tok
+  JOIN totals ta ON ta.source = a.source
+  WHERE a.source <> tb.source
+  GROUP BY 1, 2)
+SELECT f.src_a, f.src_b, f.s, r.s AS s_rev,
+       CAST(f.s AS DOUBLE) / (2e6 * CAST(ta.t AS DOUBLE))
+       + CAST(r.s AS DOUBLE) / (2e6 * CAST(tb.t AS DOUBLE)) AS js
+FROM side f
+JOIN side r ON r.src_a = f.src_b AND r.src_b = f.src_a
+JOIN totals ta ON ta.source = f.src_a
+JOIN totals tb ON tb.source = f.src_b
+WHERE f.src_a < f.src_b
+ORDER BY f.src_a, f.src_b
+"""
+
+
+QUERIES["docs_source_divergence_js"] = docs_source_divergence_js
+ORACLE_SQL["docs_source_divergence_js"] = JS_DIVERGENCE_SQL

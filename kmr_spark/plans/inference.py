@@ -655,3 +655,82 @@ ORDER BY t.decile
 
 QUERIES["events_qte_deciles"] = events_qte_deciles
 ORACLE_SQL["events_qte_deciles"] = QTE_SQL
+
+
+ROLLING_CORR_DAYS = 7
+
+
+def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between daily VIEW and
+    PURCHASE counts — the leading-indicator monitor ("are views still
+    converting?") as a rolling series.
+
+    Integer rolling sums (n, Sx, Sy, Sxy, Sxx, Syy) over the day
+    census; each day's r is one fixed tree with IEEE sqrt. Windows run
+    over |days| rows post-aggregation; days with an undefined r (zero
+    variance) emit NULL in both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+             F.count(F.when(F.col("event_type") == "purchase", 1))
+             .alias("y"))
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(-(ROLLING_CORR_DAYS - 1), Window.currentRow))
+    rolled = (
+        daily
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    return (
+        rolled.select(
+            "day", "x", "y", "n",
+            F.when((varx > 0) & (vary > 0),
+                   num / F.sqrt(varx * vary)).alias("rolling_r"))
+        .orderBy("day")
+    )
+
+
+ROLLING_CORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+rolled AS (
+  SELECT day, x, y,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLLING_CORR_DAYS - 1} PRECEDING
+               AND CURRENT ROW))
+SELECT day, x, y, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+       END AS rolling_r
+FROM rolled ORDER BY day
+"""
+
+
+QUERIES["events_rolling_corr"] = events_rolling_corr
+ORACLE_SQL["events_rolling_corr"] = ROLLING_CORR_SQL

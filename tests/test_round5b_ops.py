@@ -640,3 +640,57 @@ def test_heaps_curve_invariants(spark):
         assert a.docs_cum <= b.docs_cum
         assert a.tokens_cum <= b.tokens_cum
         assert a.vocab_cum <= b.vocab_cum
+
+
+def test_js_divergence_properties(spark):
+    """JS is symmetric by construction here; check bounds (0..ln2 in
+    nats, allowing quantization slack) and a brute-force spot pair."""
+    from kmr_spark.plans.corpusstats import docs_source_divergence_js
+    from kmr_spark.session import load_tables
+
+    rows = docs_source_divergence_js(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert -1e-5 <= r.js <= math.log(2) + 1e-5
+    # brute force one pair with the same quantization
+    docs = load_tables(spark, SF_SMALL)["documents"].select(
+        "source", "text").collect()
+    pick_a, pick_b = rows[0].src_a, rows[0].src_b
+    ca, cb = {}, {}
+    for d in docs:
+        tgt = ca if d.source == pick_a else cb if d.source == pick_b else None
+        if tgt is None:
+            continue
+        for t in [t for t in (d.text or "").split(" ") if t]:
+            tgt[t] = tgt.get(t, 0) + 1
+    t_a, t_b = sum(ca.values()), sum(cb.values())
+    q = lambda x: math.floor(math.log(x) * 1e6)
+    s_ab = sum(c * (q(2 * c * t_b) - q(c * t_b + cb.get(t, 0) * t_a))
+               for t, c in ca.items())
+    s_ba = sum(c * (q(2 * c * t_a) - q(c * t_a + ca.get(t, 0) * t_b))
+               for t, c in cb.items())
+    want = s_ab / (2e6 * t_a) + s_ba / (2e6 * t_b)
+    assert math.isclose(rows[0].js, want, rel_tol=1e-12)
+
+
+def test_rolling_corr_bruteforce(spark):
+    from kmr_spark.plans.inference import (ROLLING_CORR_DAYS,
+                                           events_rolling_corr)
+
+    rows = events_rolling_corr(spark, SF_SMALL).collect()
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+    for i, r in enumerate(rows):
+        lo = max(0, i - ROLLING_CORR_DAYS + 1)
+        wx, wy = xs[lo:i + 1], ys[lo:i + 1]
+        n = len(wx)
+        num = n * sum(a * b for a, b in zip(wx, wy)) - sum(wx) * sum(wy)
+        vx = n * sum(a * a for a in wx) - sum(wx) ** 2
+        vy = n * sum(b * b for b in wy) - sum(wy) ** 2
+        if vx > 0 and vy > 0:
+            assert math.isclose(r.rolling_r, num / math.sqrt(vx * vy),
+                                rel_tol=1e-12)
+            assert -1.0 - 1e-12 <= r.rolling_r <= 1.0 + 1e-12
+        else:
+            assert r.rolling_r is None
