@@ -296,6 +296,12 @@ BENCH_QUERIES = [
     "text_heaps_curve",
     "docs_source_divergence_js",
     "events_rolling_corr",
+    "graph_clustering_coefficient",
+    "graph_reciprocity",
+    "events_spectral_daily",
+    "integrity_audit",
+    "events_decision_stump",
+    "users_ols_normal_equations",
 ]
 
 

@@ -734,3 +734,180 @@ FROM intra CROSS JOIN dsq
 
 QUERIES["graph_modularity"] = graph_modularity
 ORACLE_SQL["graph_modularity"] = MODULARITY_SQL
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity + average local clustering coefficient of
+    the R-MAT graph — the standard "how clumpy is this graph" pair
+    (social graphs ~0.1-0.5, random graphs ~d/n) that every graph
+    report leads with; the reference's edge-list join examples
+    (/root/reference/ex/mrmpi-crmat.c) stop at triangle counts.
+
+    Spark plan: per-node triangle counts come from the wedge-close
+    join over canonical edges (wedges centered at each node with
+    b1 < b2, closed by one more equi-join), then each closed wedge
+    credits its CENTER node — summing per center counts every
+    triangle exactly once per corner. The wedge table is O(sum d^2);
+    at 100 TB you'd cap or orient by degree first (see
+    :func:`triangle_census`), but per-node counts inherently need
+    all three corners so the join stays keyed and shuffled, never
+    collected. Wedble counts (sum d*(d-1)/2) come from the degree
+    table alone.
+
+    Exactness: transitivity = 3T/W and avg local cc are both emitted
+    via the one-rational-fold recipe — per-node cc is quantized to
+    ppm with integer DIV (both engines truncate toward zero on
+    positives), integer-summed, and the final doubles are single
+    fixed expression trees over BIGINTs.
+    """
+    canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
+    try:
+        n_edges = canon.count()
+        with sized_shuffle_partitions(spark, n_edges):
+            adj = canon.select(F.col("u").alias("a"), F.col("v").alias("b")) \
+                .unionAll(canon.select(F.col("v").alias("a"),
+                                       F.col("u").alias("b")))
+            deg = adj.groupBy(F.col("a").alias("node")) \
+                .agg(F.count("*").alias("degree"))
+            e1 = adj.select(F.col("a"), F.col("b").alias("b1"))
+            e2 = adj.select(F.col("a"), F.col("b").alias("b2"))
+            wedges = e1.join(e2, "a").filter(F.col("b1") < F.col("b2"))
+            closed = wedges.join(
+                canon.select(F.col("u").alias("b1"), F.col("v").alias("b2")),
+                ["b1", "b2"])
+            tri_per_node = closed.groupBy(F.col("a").alias("node")) \
+                .agg(F.count("*").alias("tri"))
+            local = (
+                deg.filter(F.col("degree") >= 2)
+                .join(tri_per_node, "node", "left")
+                .select(
+                    "node", "degree",
+                    F.coalesce(F.col("tri"), F.lit(0)).alias("tri"))
+                .select(F.expr(
+                    "(2000000 * tri) DIV (degree * (degree - 1))")
+                    .alias("cc_ppm"))
+            )
+            sums = local.agg(
+                F.count("*").alias("n_nodes_deg2"),
+                F.sum("cc_ppm").alias("sum_cc_ppm"))
+            wedge_tri = (
+                deg.agg(F.sum(F.expr(
+                    "(degree * (degree - 1)) DIV 2")).alias("n_wedges"))
+                .crossJoin(F.broadcast(
+                    closed.agg((F.count("*") / 3).cast("long")
+                               .alias("n_triangles"))))
+            )
+            dd = lambda c: F.col(c).cast("double")
+            return (
+                sums.crossJoin(F.broadcast(wedge_tri))
+                .select(
+                    "n_nodes_deg2", "n_wedges", "n_triangles",
+                    (F.lit(3.0) * dd("n_triangles") / dd("n_wedges"))
+                    .alias("transitivity"),
+                    (dd("sum_cc_ppm") / (F.lit(1000000.0)
+                                         * dd("n_nodes_deg2")))
+                    .alias("avg_local_cc"))
+            )
+    finally:
+        canon.unpersist()
+
+
+CLUSTERING_SQL = f"""
+WITH raw AS ({RMAT_RAW_SQL}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst),
+adj AS (SELECT u AS a, v AS b FROM canon
+        UNION ALL SELECT v AS a, u AS b FROM canon),
+deg AS (SELECT a AS node, COUNT(*) AS degree FROM adj GROUP BY a),
+closed AS MATERIALIZED (
+  SELECT e1.a
+  FROM adj e1 JOIN adj e2 ON e1.a = e2.a AND e1.b < e2.b
+       JOIN canon c ON c.u = e1.b AND c.v = e2.b),
+tri_per_node AS (SELECT a AS node, COUNT(*) AS tri FROM closed GROUP BY a),
+local AS (
+  SELECT (2000000 * COALESCE(t.tri, 0)) // (d.degree * (d.degree - 1))
+           AS cc_ppm
+  FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+  WHERE d.degree >= 2),
+sums AS (
+  SELECT COUNT(*) AS n_nodes_deg2,
+         CAST(SUM(cc_ppm) AS BIGINT) AS sum_cc_ppm FROM local),
+wt AS (
+  SELECT CAST(SUM((degree * (degree - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+tri AS (SELECT CAST(COUNT(*) / 3 AS BIGINT) AS n_triangles FROM closed)
+SELECT n_nodes_deg2, n_wedges, n_triangles,
+       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         AS transitivity,
+       CAST(sum_cc_ppm AS DOUBLE) / (1000000.0 * CAST(n_nodes_deg2 AS DOUBLE))
+         AS avg_local_cc
+FROM sums CROSS JOIN wt CROSS JOIN tri
+"""
+
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+ORACLE_SQL["graph_clustering_coefficient"] = CLUSTERING_SQL
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the raw R-MAT stream: of the
+    distinct directed edges (u, v) with u != v, what fraction have the
+    reverse edge (v, u) present? Reciprocity separates follow-graphs
+    (~0.2) from friendship graphs (1.0) and is a one-line sanity probe
+    on any directed edge ingest; the canonicalized family above erases
+    direction, so this is the one query that must run on the RAW edges.
+
+    Plan: distinct directed edges (one shuffle), then a self-equi-join
+    on the swapped key — no driver state, join keyed by (u, v) so it
+    scales as the edge list does. Self-loops are counted separately
+    (distinct, not per-occurrence).
+    """
+    raw = rmat_raw_edges(spark)
+    directed = (
+        raw.filter(F.col("src") != F.col("dst")).distinct().persist())
+    try:
+        n_directed = directed.count()
+        with sized_shuffle_partitions(spark, n_directed):
+            rev = directed.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))
+            mutual = directed.join(rev, ["src", "dst"], "left_semi") \
+                .agg(F.count("*").alias("n_mutual"))
+            loops = raw.filter(F.col("src") == F.col("dst")).distinct() \
+                .agg(F.count("*").alias("n_self_loops"))
+            dd = lambda c: F.col(c).cast("double")
+            return (
+                mutual.crossJoin(F.broadcast(loops))
+                .select(
+                    F.lit(n_directed).cast("long").alias("n_directed"),
+                    "n_mutual", "n_self_loops",
+                    F.expr(f"(1000 * n_mutual) DIV {n_directed}")
+                    .alias("reciprocity_permille"),
+                    (dd("n_mutual") / F.lit(float(n_directed)))
+                    .alias("reciprocity"))
+            )
+    finally:
+        directed.unpersist()
+
+
+RECIPROCITY_SQL = f"""
+WITH raw AS ({RMAT_RAW_SQL}),
+directed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+m AS (
+  SELECT COUNT(*) AS n_mutual
+  FROM directed d
+  WHERE EXISTS (SELECT 1 FROM directed r
+                WHERE r.src = d.dst AND r.dst = d.src)),
+n AS (SELECT COUNT(*) AS n_directed FROM directed),
+loops AS (
+  SELECT COUNT(DISTINCT src) AS n_self_loops FROM raw WHERE src = dst)
+SELECT n_directed, n_mutual, n_self_loops,
+       (1000 * n_mutual) // n_directed AS reciprocity_permille,
+       CAST(n_mutual AS DOUBLE) / CAST(n_directed AS DOUBLE) AS reciprocity
+FROM m CROSS JOIN n CROSS JOIN loops
+"""
+
+
+QUERIES["graph_reciprocity"] = graph_reciprocity
+ORACLE_SQL["graph_reciprocity"] = RECIPROCITY_SQL

@@ -734,3 +734,229 @@ FROM rolled ORDER BY day
 
 QUERIES["events_rolling_corr"] = events_rolling_corr
 ORACLE_SQL["events_rolling_corr"] = ROLLING_CORR_SQL
+
+
+#: per-user features scored by the stump; each is a BIGINT count so
+#: every candidate split works on exact integers
+STUMP_FEATURES = ("n_click", "n_view", "n_days")
+
+
+def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump per feature for predicting
+    "did this user purchase", by exhaustive threshold search under
+    Gini impurity — the CART inner loop (and the standard feature-
+    screening report a feature store publishes) expressed as pure
+    keyed aggregation + per-feature cumulative windows, no ML library.
+
+    Plan: one aggregation of events to per-user feature counts
+    (shuffle keyed by user_id), melt to (feature, x, label), aggregate
+    to per-(feature, x) class counts, then a per-feature window
+    cumsum over the DISTINCT feature values (post-agg frame:
+    |features| x |distinct values| rows — KBs at any input scale).
+    The argmax is a row_number window per feature.
+
+    Exactness: class counts are BIGINTs; each candidate's Gini gain is
+    ONE fixed expression tree over its four counts (squares stay in
+    BIGINT, one cast per operand), so candidate ordering — and hence
+    the chosen stump — is bit-identical across engines; ties break on
+    the smaller threshold.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("label"))
+    melted = users.selectExpr(
+        "stack(3, 'n_click', n_click, 'n_view', n_view, "
+        "'n_days', n_days) AS (feature, x)", "label")
+    cells = melted.groupBy("feature", "x").agg(
+        F.count("*").alias("cnt"), F.sum("label").alias("pos"))
+    w = (Window.partitionBy("feature").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("feature")
+    cand = (
+        cells
+        .withColumn("l_cnt", F.sum("cnt").over(w))
+        .withColumn("l_pos", F.sum("pos").over(w))
+        .withColumn("t_cnt", F.sum("cnt").over(wt))
+        .withColumn("t_pos", F.sum("pos").over(wt))
+        .withColumn("r_cnt", F.col("t_cnt") - F.col("l_cnt"))
+        .withColumn("r_pos", F.col("t_pos") - F.col("l_pos"))
+        .filter((F.col("r_cnt") > 0) & (F.col("l_cnt") > 0))
+        .withColumn("gini_gain", F.expr(
+            "(CAST(l_pos*l_pos + (l_cnt-l_pos)*(l_cnt-l_pos) AS DOUBLE)"
+            " / CAST(l_cnt AS DOUBLE)"
+            " + CAST(r_pos*r_pos + (r_cnt-r_pos)*(r_cnt-r_pos) AS DOUBLE)"
+            " / CAST(r_cnt AS DOUBLE)"
+            " - CAST(t_pos*t_pos + (t_cnt-t_pos)*(t_cnt-t_pos) AS DOUBLE)"
+            " / CAST(t_cnt AS DOUBLE)) / CAST(t_cnt AS DOUBLE)"))
+    )
+    pick = Window.partitionBy("feature").orderBy(
+        F.col("gini_gain").desc(), F.col("x").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("feature", F.col("x").alias("threshold"),
+                "l_cnt", "l_pos", "r_cnt", "r_pos", "gini_gain")
+        .orderBy("feature")
+    )
+
+
+STUMP_SQL = """
+WITH users AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY user_id),
+melted AS (
+  SELECT 'n_click' AS feature, n_click AS x, label FROM users
+  UNION ALL SELECT 'n_view', n_view, label FROM users
+  UNION ALL SELECT 'n_days', n_days, label FROM users),
+cells AS (
+  SELECT feature, x, COUNT(*) AS cnt, CAST(SUM(label) AS BIGINT) AS pos
+  FROM melted GROUP BY feature, x),
+cand AS (
+  SELECT feature, x,
+         CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS l_cnt,
+         CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS l_pos,
+         CAST(SUM(cnt) OVER (PARTITION BY feature) AS BIGINT) AS t_cnt,
+         CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS t_pos
+  FROM cells),
+scored AS (
+  SELECT feature, x, l_cnt, l_pos,
+         t_cnt - l_cnt AS r_cnt, t_pos - l_pos AS r_pos,
+         (CAST(l_pos*l_pos + (l_cnt-l_pos)*(l_cnt-l_pos) AS DOUBLE)
+          / CAST(l_cnt AS DOUBLE)
+          + CAST((t_pos-l_pos)*(t_pos-l_pos)
+                 + ((t_cnt-l_cnt)-(t_pos-l_pos))
+                   *((t_cnt-l_cnt)-(t_pos-l_pos)) AS DOUBLE)
+          / CAST(t_cnt - l_cnt AS DOUBLE)
+          - CAST(t_pos*t_pos + (t_cnt-t_pos)*(t_cnt-t_pos) AS DOUBLE)
+          / CAST(t_cnt AS DOUBLE)) / CAST(t_cnt AS DOUBLE) AS gini_gain
+  FROM cand WHERE t_cnt - l_cnt > 0 AND l_cnt > 0),
+picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+              ORDER BY gini_gain DESC, x ASC) AS rn
+  FROM scored)
+SELECT feature, x AS threshold, l_cnt, l_pos, r_cnt, r_pos, gini_gain
+FROM picked WHERE rn = 1 ORDER BY feature
+"""
+
+QUERIES["events_decision_stump"] = events_decision_stump
+ORACLE_SQL["events_decision_stump"] = STUMP_SQL
+
+
+def users_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature-plus-intercept OLS of per-user purchase revenue on
+    view and click counts, solved in closed form from the normal
+    equations — the distributed regression shape that needs NO
+    iteration: one pass accumulates the 3x3 Gram matrix and the
+    moment vector as exact integers, Cramer's rule solves it in the
+    driver-free final projection. (iter_logreg covers the iterative
+    family; this is the one-shot family every feature store wants for
+    cheap attribution baselines.)
+
+    Exactness: features are BIGINT counts, the label is integer cents
+    (floor(value*100)); every Gram/moment entry is an integer sum, and
+    the four 3x3 determinants are cofactor expansions computed in
+    DECIMAL(38,0) on Spark / HUGEINT in DuckDB — exact integer
+    arithmetic well past the BIGINT range (entries ~1e13, products
+    ~1e28). Each coefficient is then ONE cast-to-double ratio, and
+    both engines' wide-int->double conversions are correctly rounded.
+
+    Scale: one keyed aggregation over events (shuffle on user_id),
+    one scalar aggregation; the Gram matrix is 9 numbers regardless
+    of input size.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x2"),
+        F.coalesce(F.sum(F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"))), F.lit(0))
+        .alias("y"))
+    g = users.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.expr("x1*x1")).alias("s11"),
+        F.sum(F.expr("x1*x2")).alias("s12"),
+        F.sum(F.expr("x2*x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1*y")).alias("s1y"),
+        F.sum(F.expr("x2*y")).alias("s2y"))
+    d = "CAST({} AS DECIMAL(38,0))".format
+    n, s1, s2 = d("n"), d("s1"), d("s2")
+    s11, s12, s22 = d("s11"), d("s12"), d("s22")
+    sy, s1y, s2y = d("sy"), d("s1y"), d("s2y")
+
+    def det3(a, b, c, p, q, r, x, y_, z):
+        return (f"({a}*({q}*{z} - {r}*{y_}) - {b}*({p}*{z} - {r}*{x})"
+                f" + {c}*({p}*{y_} - {q}*{x}))")
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    return g.selectExpr(
+        "n", "s1", "s2", "sy",
+        f"CAST({det} AS DOUBLE) AS det",
+        f"CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta0",
+        f"CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_views",
+        f"CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_clicks")
+
+
+def _ols_det3(a, b, c, p, q, r, x, y, z):
+    return (f"({a}*({q}*{z} - {r}*{y}) - {b}*({p}*{z} - {r}*{x})"
+            f" + {c}*({p}*{y} - {q}*{x}))")
+
+
+def _ols_sql() -> str:
+    h = "CAST({} AS HUGEINT)".format
+    det = _ols_det3(h("n"), h("s1"), h("s2"), h("s1"), h("s11"),
+                    h("s12"), h("s2"), h("s12"), h("s22"))
+    det0 = _ols_det3(h("sy"), h("s1"), h("s2"), h("s1y"), h("s11"),
+                     h("s12"), h("s2y"), h("s12"), h("s22"))
+    det1 = _ols_det3(h("n"), h("sy"), h("s2"), h("s1"), h("s1y"),
+                     h("s12"), h("s2"), h("s2y"), h("s22"))
+    det2 = _ols_det3(h("n"), h("s1"), h("sy"), h("s1"), h("s11"),
+                     h("s1y"), h("s2"), h("s12"), h("s2y"))
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS x1,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x2,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS y
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1*x1) AS BIGINT) AS s11,
+         CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         CAST(SUM(x2*y) AS BIGINT) AS s2y
+  FROM users)
+SELECT n, s1, s2, sy,
+       CAST({det} AS DOUBLE) AS det,
+       CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta0,
+       CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_views,
+       CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_clicks
+FROM g
+"""
+
+
+OLS_NORMAL_SQL = _ols_sql()
+
+QUERIES["users_ols_normal_equations"] = users_ols_normal_equations
+ORACLE_SQL["users_ols_normal_equations"] = OLS_NORMAL_SQL

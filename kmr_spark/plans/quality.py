@@ -453,3 +453,82 @@ FROM rolled ORDER BY day
 
 QUERIES["events_slo_burn"] = events_slo_burn
 ORACLE_SQL["events_slo_burn"] = SLO_BURN_SQL
+
+
+#: the TPC-H foreign-key graph audited by integrity_audit, as
+#: (child table, fk column, parent table, pk column). events.user_id
+#: -> customer is covered by validate_events' referential rule.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole warehouse: one row
+    per declared FK edge with child row count, NULL-key count, orphan
+    count (non-null keys with no parent), and orphan rate. The
+    cross-table generalization of validate_events' single referential
+    rule — the report a nightly pipeline publishes before it lets
+    downstream joins assume the FK holds (an orphan l_orderkey silently
+    drops revenue from every inner-join rollup).
+
+    Plan: per edge, ONE left join of the child keyed on the FK against
+    the parent's distinct PK projection — Catalyst broadcasts the dim
+    sides (region/nation/customer/part/supplier) and shuffles only
+    lineitem->orders, exactly the join strategy the equivalent
+    production check wants at 100 TB. The per-edge reports are
+    KB-sized one-row aggregates unioned together.
+    """
+    tables = load_tables(spark, sf_dir)
+    outs = []
+    for child, fk, parent, pk in FK_EDGES:
+        pset = tables[parent].select(
+            F.col(pk).alias("__pk"), F.lit(1).alias("__hit")).distinct()
+        joined = tables[child].select(F.col(fk).alias("__fk")) \
+            .join(pset, F.col("__fk") == F.col("__pk"), "left")
+        outs.append(joined.agg(
+            F.lit(child).alias("child_table"),
+            F.lit(fk).alias("fk_column"),
+            F.lit(parent).alias("parent_table"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("__fk").isNull(), 1)).alias("n_null_fk"),
+            F.count(F.when(F.col("__fk").isNotNull()
+                           & F.col("__hit").isNull(), 1)).alias("n_orphans"),
+        ).select(
+            "*",
+            F.expr("(1000000 * n_orphans) DIV n_rows")
+            .alias("orphan_ppm")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("child_table", "fk_column")
+
+
+def _integrity_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+       '{parent}' AS parent_table,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN c.{fk} IS NULL THEN 1 END) AS n_null_fk,
+       COUNT(CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL THEN 1 END)
+         AS n_orphans,
+       (1000000 * COUNT(CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL
+                        THEN 1 END)) // COUNT(*) AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+  ON c.{fk} = p.__pk""")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY child_table, fk_column")
+
+
+INTEGRITY_SQL = _integrity_sql()
+
+QUERIES["integrity_audit"] = integrity_audit
+ORACLE_SQL["integrity_audit"] = INTEGRITY_SQL

@@ -1009,3 +1009,114 @@ FROM events GROUP BY 1, 2
 
 QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
 ORACLE_SQL["events_dow_hour_heatmap"] = DOW_HOUR_SQL
+
+
+#: quantized trig tables for the periodogram: round(cos(2*pi*i/P)*1e6)
+#: as plain int literals, generated ONCE here and embedded verbatim in
+#: both the Spark expression and the DuckDB oracle — neither engine
+#: ever calls a trig function, so libm/StrictMath last-ulp divergence
+#: cannot touch the driver's exact value hash.
+SPECTRAL_PERIODS = (24, 168)
+
+
+def _trig_tables(period: int) -> tuple[list[int], list[int]]:
+    import math
+    cq = [round(math.cos(2 * math.pi * i / period) * 1_000_000)
+          for i in range(period)]
+    sq = [round(math.sin(2 * math.pi * i / period) * 1_000_000)
+          for i in range(period)]
+    return cq, sq
+
+
+def events_spectral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram probe of the hourly event-count series at the two
+    calendar periods that matter for traffic (daily=24h, weekly=168h):
+    the correlation of approximately-mean-centered hourly counts with
+    quantized cos/sin tables. "Is this metric diurnal, and how strongly"
+    is the first seasonality question a forecasting pipeline asks
+    before picking its model; the DFT-at-chosen-frequencies form needs
+    only two keyed aggregations, unlike a full FFT.
+
+    Plan: ONE aggregation of events to hourly counts (<= 720 rows for
+    the 30-day window regardless of input size — the post-agg frame is
+    KBs at 100 TB), a broadcast scalar join for the integer DC offset,
+    then per-period integer dot products against the literal trig
+    tables. Exactness: counts and trig values are BIGINTs, centering
+    uses integer DIV, and the final amplitude is one fixed expression
+    tree (sqrt is correctly rounded per IEEE-754, hence portable).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', "
+            "date_trunc('hour', ts))").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("x"))
+    )
+    totals = hourly.agg(
+        F.count("*").alias("n_hours"), F.sum("x").alias("sx"))
+    centered = (
+        hourly.crossJoin(F.broadcast(totals))
+        .select("t", "n_hours",
+                F.expr("x - (sx DIV n_hours)").alias("y"))
+    )
+    outs = []
+    for period in SPECTRAL_PERIODS:
+        cq, sq = _trig_tables(period)
+        carr = F.array(*[F.lit(c).cast("long") for c in cq])
+        sarr = F.array(*[F.lit(s).cast("long") for s in sq])
+        ph = (F.col("t") % period + 1).cast("int")
+        agg = centered.agg(
+            F.max("n_hours").alias("n_hours"),
+            F.sum(F.col("y") * F.element_at(carr, ph)).alias("sum_cos_q"),
+            F.sum(F.col("y") * F.element_at(sarr, ph)).alias("sum_sin_q"))
+        dd = lambda c: F.col(c).cast("double")
+        outs.append(agg.select(
+            F.lit(period).alias("period"),
+            "n_hours", "sum_cos_q", "sum_sin_q",
+            (F.sqrt(dd("sum_cos_q") * dd("sum_cos_q")
+                    + dd("sum_sin_q") * dd("sum_sin_q"))
+             * F.lit(2.0) / (F.lit(1000000.0) * dd("n_hours")))
+            .alias("amplitude")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("period")
+
+
+def _spectral_sql() -> str:
+    parts = []
+    for period in SPECTRAL_PERIODS:
+        cq, sq = _trig_tables(period)
+        parts.append(f"""
+SELECT {period} AS period, n_hours, sum_cos_q, sum_sin_q,
+       sqrt(CAST(sum_cos_q AS DOUBLE) * CAST(sum_cos_q AS DOUBLE)
+            + CAST(sum_sin_q AS DOUBLE) * CAST(sum_sin_q AS DOUBLE))
+       * 2.0 / (1000000.0 * CAST(n_hours AS DOUBLE)) AS amplitude
+FROM (
+  SELECT MAX(n_hours) AS n_hours,
+         CAST(SUM(y * ({list(cq)})[(t % {period}) + 1]) AS BIGINT)
+           AS sum_cos_q,
+         CAST(SUM(y * ({list(sq)})[(t % {period}) + 1]) AS BIGINT)
+           AS sum_sin_q
+  FROM centered)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH hourly AS (
+  SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS t,
+         COUNT(*) AS x
+  FROM events GROUP BY 1),
+totals AS (
+  SELECT COUNT(*) AS n_hours, CAST(SUM(x) AS BIGINT) AS sx FROM hourly),
+centered AS (
+  SELECT t, n_hours, x - (sx // n_hours) AS y
+  FROM hourly CROSS JOIN totals)
+{body}
+ORDER BY period
+"""
+
+
+SPECTRAL_SQL = _spectral_sql()
+
+QUERIES["events_spectral_daily"] = events_spectral_daily
+ORACLE_SQL["events_spectral_daily"] = SPECTRAL_SQL

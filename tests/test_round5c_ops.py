@@ -1,0 +1,189 @@
+"""Semantic tests for the round-5 fifth-wave operators: clustering
+coefficient vs brute force, reciprocity vs set arithmetic, spectral
+amplitudes vs a Python DFT on the same quantized tables, integrity
+audit vs set-membership counts, decision stump vs exhaustive search,
+and normal-equations OLS vs numpy lstsq.  (Value parity vs DuckDB is
+the oracle gate's job; these pin the MATH.)
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _canon_edges(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import canonicalize_edges
+
+    return {(r.u, r.v) for r in
+            canonicalize_edges(rmat_raw_edges(spark)).collect()}
+
+
+def test_clustering_coefficient_bruteforce(spark):
+    from kmr_spark.plans.graphs import graph_clustering_coefficient
+
+    got = graph_clustering_coefficient(spark, SF_SMALL).collect()[0]
+    edges = _canon_edges(spark)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_at = {n: 0 for n in adj}
+    n_tri = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w given canonical u < v
+                n_tri += 1
+                tri_at[u] += 1
+                tri_at[v] += 1
+                tri_at[w] += 1
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    deg2 = [n for n in adj if len(adj[n]) >= 2]
+    assert got.n_triangles == n_tri
+    assert got.n_wedges == wedges
+    assert got.n_nodes_deg2 == len(deg2)
+    assert math.isclose(got.transitivity, 3.0 * n_tri / wedges,
+                        rel_tol=1e-12)
+    sum_ppm = sum(
+        (2_000_000 * tri_at[n]) // (len(adj[n]) * (len(adj[n]) - 1))
+        for n in deg2)
+    assert math.isclose(got.avg_local_cc,
+                        sum_ppm / (1_000_000.0 * len(deg2)), rel_tol=1e-12)
+
+
+def test_reciprocity_set_arithmetic(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import graph_reciprocity
+
+    got = graph_reciprocity(spark, SF_SMALL).collect()[0]
+    raw = [(r.src, r.dst) for r in rmat_raw_edges(spark).collect()]
+    directed = {(s, d) for s, d in raw if s != d}
+    mutual = sum(1 for s, d in directed if (d, s) in directed)
+    loops = {s for s, d in raw if s == d}
+    assert got.n_directed == len(directed)
+    assert got.n_mutual == mutual
+    assert got.n_self_loops == len(loops)
+    assert got.reciprocity_permille == (1000 * mutual) // len(directed)
+    assert math.isclose(got.reciprocity, mutual / len(directed),
+                        rel_tol=1e-12)
+
+
+def test_spectral_python_dft(spark):
+    from kmr_spark.plans.timeseries import (_trig_tables,
+                                            events_spectral_daily)
+    from kmr_spark.session import load_tables
+
+    got = {r.period: r for r in
+           events_spectral_daily(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"]
+    rows = (ev.select(F.expr(
+        "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', "
+        "date_trunc('hour', ts))").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("x")).collect())
+    xs = {r.t: r.x for r in rows}
+    n = len(xs)
+    dc = sum(xs.values()) // n
+    for period in (24, 168):
+        cq, sq = _trig_tables(period)
+        sc = sum((x - dc) * cq[t % period] for t, x in xs.items())
+        ss = sum((x - dc) * sq[t % period] for t, x in xs.items())
+        assert got[period].sum_cos_q == sc
+        assert got[period].sum_sin_q == ss
+        assert got[period].n_hours == n
+        amp = math.sqrt(float(sc) * float(sc) + float(ss) * float(ss)) \
+            * 2.0 / (1e6 * n)
+        assert math.isclose(got[period].amplitude, amp, rel_tol=1e-12)
+    # daily rhythm should dominate weekly on a 30-day uniform clock
+    assert got[24].amplitude >= 0.0 and got[168].amplitude >= 0.0
+
+
+def test_integrity_audit_set_membership(spark):
+    from kmr_spark.plans.quality import FK_EDGES, integrity_audit
+    from kmr_spark.session import load_tables
+
+    got = {(r.child_table, r.fk_column): r for r in
+           integrity_audit(spark, SF_SMALL).collect()}
+    tables = load_tables(spark, SF_SMALL)
+    assert len(got) == len(FK_EDGES)
+    for child, fk, parent, pk in FK_EDGES:
+        fks = [r[0] for r in tables[child].select(fk).collect()]
+        pks = {r[0] for r in tables[parent].select(pk).collect()}
+        r = got[(child, fk)]
+        assert r.n_rows == len(fks)
+        assert r.n_null_fk == sum(1 for v in fks if v is None)
+        orphans = sum(1 for v in fks if v is not None and v not in pks)
+        assert r.n_orphans == orphans
+        assert r.orphan_ppm == (1_000_000 * orphans) // len(fks)
+        # synthetic TPC-H data is referentially intact
+        assert r.n_orphans == 0 and r.n_null_fk == 0
+
+
+def _stump_users(spark):
+    from kmr_spark.session import load_tables
+    ev = load_tables(spark, SF_SMALL)["events"]
+    return (ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("label")).collect())
+
+
+def test_decision_stump_exhaustive(spark):
+    from kmr_spark.plans.inference import events_decision_stump
+
+    got = {r.feature: r for r in
+           events_decision_stump(spark, SF_SMALL).collect()}
+    users = _stump_users(spark)
+    for feat in ("n_click", "n_view", "n_days"):
+        pts = sorted((getattr(u, feat), u.label) for u in users)
+        t_cnt = len(pts)
+        t_pos = sum(l for _, l in pts)
+
+        def gain(thr):
+            lp = sum(l for x, l in pts if x <= thr)
+            lc = sum(1 for x, _ in pts if x <= thr)
+            rc, rp = t_cnt - lc, t_pos - lp
+            if lc == 0 or rc == 0:
+                return None
+            return ((lp * lp + (lc - lp) ** 2) / lc
+                    + (rp * rp + (rc - rp) ** 2) / rc
+                    - (t_pos * t_pos + (t_cnt - t_pos) ** 2) / t_cnt) / t_cnt
+
+        cands = sorted({x for x, _ in pts})
+        best = max((g, -thr) for thr in cands
+                   if (g := gain(thr)) is not None)
+        r = got[feat]
+        assert math.isclose(r.gini_gain, best[0], rel_tol=1e-12)
+        assert r.threshold == -best[1]
+        assert r.l_cnt + r.r_cnt == t_cnt
+        assert r.l_pos + r.r_pos == t_pos
+        assert r.gini_gain >= 0.0  # Gini gain of the argmax split
+
+
+def test_ols_normal_equations_vs_numpy(spark):
+    import numpy as np
+
+    from kmr_spark.plans.inference import users_ols_normal_equations
+    from kmr_spark.session import load_tables
+
+    got = users_ols_normal_equations(spark, SF_SMALL).collect()[0]
+    ev = load_tables(spark, SF_SMALL)["events"].collect()
+    per_user = {}
+    for e in ev:
+        u = per_user.setdefault(e.user_id, [0, 0, 0])
+        if e.event_type == "view":
+            u[0] += 1
+        elif e.event_type == "click":
+            u[1] += 1
+        elif e.event_type == "purchase":
+            u[2] += math.floor(e.value * 100)
+    X = np.array([[1.0, v[0], v[1]] for v in per_user.values()])
+    y = np.array([float(v[2]) for v in per_user.values()])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got.n == len(per_user)
+    assert math.isclose(got.beta0, beta[0], rel_tol=1e-6)
+    assert math.isclose(got.beta_views, beta[1], rel_tol=1e-6)
+    assert math.isclose(got.beta_clicks, beta[2], rel_tol=1e-6)
