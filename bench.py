@@ -302,6 +302,11 @@ BENCH_QUERIES = [
     "integrity_audit",
     "events_decision_stump",
     "users_ols_normal_equations",
+    "orders_backlog_aging",
+    "customer_snapshot_diff",
+    "emb_quantization_error",
+    "privacy_generalization_ladder",
+    "events_power_analysis",
 ]
 
 

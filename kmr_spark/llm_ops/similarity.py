@@ -1107,3 +1107,78 @@ FROM scored GROUP BY cell ORDER BY cell
 
 QUERIES["emb_silhouette"] = emb_silhouette
 ORACLE_SQL["emb_silhouette"] = SILHOUETTE_SQL
+
+
+def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 scalar-quantization error report: min/max
+    range, the 8-bit code scale, and the reconstruction MSE each
+    dimension pays — the calibration table a vector store prints
+    before committing to int8 storage (sim_knn_quantized consumes the
+    codes; this measures what they cost). Dimensions whose MSE is an
+    outlier want per-dim or per-block scales.
+
+    Plan: posexplode the embedding array (narrow), ONE aggregation
+    keyed by dim for min/max (256 rows out), broadcast the ranges
+    back, ONE more keyed aggregation for the error sums. Exactness:
+    min/max of floats are order-independent; code = floor(x*255/range
+    + 0.5) and the reconstruction are fixed expression trees per
+    element; the squared error is quantized to 1e-12 units (floor)
+    and integer-summed, so the fold is order-free. All float32 inputs
+    are exactly representable in the doubles both engines compute in.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vals = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    ranges = vals.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    err = (
+        vals.join(F.broadcast(ranges), "dim")
+        .withColumn("code", F.expr(
+            "CAST(floor((v - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT)"))
+        .withColumn("recon", F.expr(
+            "vmin + CAST(code AS DOUBLE) * (vmax - vmin) / 255.0"))
+        .withColumn("err2_q", F.expr(
+            "CAST(floor((v - recon) * (v - recon) * 1e12) AS BIGINT)"))
+    )
+    return (
+        err.groupBy("dim")
+        .agg(F.count("*").alias("n"),
+             F.min("vmin").alias("vmin"), F.min("vmax").alias("vmax"),
+             F.min(F.col("code")).alias("code_min"),
+             F.max(F.col("code")).alias("code_max"),
+             F.sum("err2_q").alias("sum_err2_q"))
+        .select("dim", "n", "vmin", "vmax", "code_min", "code_max",
+                "sum_err2_q",
+                F.expr("CAST(sum_err2_q AS DOUBLE) / (1e12 * CAST(n AS "
+                       "DOUBLE))").alias("mse"))
+        .orderBy("dim")
+    )
+
+
+QUANT_ERROR_SQL = """
+WITH vals AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+ranges AS (
+  SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM vals GROUP BY dim),
+err AS (
+  SELECT vals.dim, v, vmin, vmax,
+         CAST(floor((v - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT)
+           AS code,
+         vmin + CAST(CAST(floor((v - vmin) * 255.0 / (vmax - vmin) + 0.5)
+                          AS BIGINT) AS DOUBLE) * (vmax - vmin) / 255.0
+           AS recon
+  FROM vals JOIN ranges ON vals.dim = ranges.dim)
+SELECT dim, COUNT(*) AS n, MIN(vmin) AS vmin, MIN(vmax) AS vmax,
+       MIN(code) AS code_min, MAX(code) AS code_max,
+       CAST(SUM(CAST(floor((v - recon) * (v - recon) * 1e12) AS BIGINT))
+            AS BIGINT) AS sum_err2_q,
+       CAST(SUM(CAST(floor((v - recon) * (v - recon) * 1e12) AS BIGINT))
+            AS DOUBLE) / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS mse
+FROM err GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["emb_quantization_error"] = emb_quantization_error
+ORACLE_SQL["emb_quantization_error"] = QUANT_ERROR_SQL

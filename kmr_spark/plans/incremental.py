@@ -151,3 +151,118 @@ ORACLE_SQL = {
     "events_incremental_merge": INCREMENTAL_MERGE_SQL,
     "events_state_streamed": INCREMENTAL_MERGE_SQL,
 }
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Generic table-diff operator: full outer join of two snapshot
+    versions on the business key, classifying every key as added /
+    removed / changed / unchanged and counting per-column changes.
+    The "what moved between yesterday's and today's load" primitive
+    every warehouse audit and CDC backfill validation needs; one
+    keyed shuffle join, null-safe comparison per column (eqNullSafe,
+    the SCD2 lesson), output is one row per key — never collected.
+    """
+    a = v1.select([F.col(c).alias(f"a_{c}") for c in key_cols + compare_cols])
+    b = v2.select([F.col(c).alias(f"b_{c}") for c in key_cols + compare_cols])
+    cond = [a[f"a_{k}"] == b[f"b_{k}"] for k in key_cols]
+    j = a.join(b, cond, "full_outer")
+    a_present = F.col(f"a_{key_cols[0]}").isNotNull()
+    b_present = F.col(f"b_{key_cols[0]}").isNotNull()
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(a_present & ~b_present, F.lit("removed"))
+        .when(~a_present & b_present, F.lit("added"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    cols = [F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
+            for k in key_cols]
+    cols.append(status.alias("diff_status"))
+    for c in compare_cols:
+        cols.append((a_present & b_present
+                     & ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")))
+                    .cast("int").alias(f"chg_{c}"))
+    return j.select(cols)
+
+
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff demo on customer: v2 applies a deterministic CDC
+    batch (acctbal +10 for custkey % 7 == 0, nation reassignment for
+    custkey % 11 == 0, deletes at % 97 == 0, inserts cloned at
+    key+1e9 for % 101 == 0), and the diff report rolls the per-key
+    classification up to status x column counts — the audit a
+    pipeline publishes next to every incremental load.
+    """
+    cust = load_tables(spark, sf_dir)["customer"]
+    v2 = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn("c_acctbal",
+                    F.when(F.col("c_custkey") % 7 == 0,
+                           F.col("c_acctbal") + 10.0)
+                    .otherwise(F.col("c_acctbal")))
+        .withColumn("c_nationkey",
+                    F.when(F.col("c_custkey") % 11 == 0,
+                           (F.col("c_nationkey") + 1) % 25)
+                    .otherwise(F.col("c_nationkey")))
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 101 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000000)
+    )
+    v2 = v2.unionByName(inserts)
+    d = snapshot_diff(cust, v2, ["c_custkey"],
+                      ["c_acctbal", "c_nationkey", "c_mktsegment"])
+    return (
+        d.groupBy("diff_status")
+        .agg(F.count("*").alias("n_keys"),
+             F.sum("chg_c_acctbal").alias("n_acctbal_chg"),
+             F.sum("chg_c_nationkey").alias("n_nation_chg"),
+             F.sum("chg_c_mktsegment").alias("n_segment_chg"))
+        .orderBy("diff_status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000000, c_acctbal, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 101 = 0),
+d AS (
+  SELECT CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NULL
+                THEN 'removed'
+              WHEN a.c_custkey IS NULL AND b.c_custkey IS NOT NULL
+                THEN 'added'
+              WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal
+                OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+                OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+                THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+               AND a.c_acctbal IS DISTINCT FROM b.c_acctbal
+              THEN 1 ELSE 0 END AS chg_acctbal,
+         CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+               AND a.c_nationkey IS DISTINCT FROM b.c_nationkey
+              THEN 1 ELSE 0 END AS chg_nation,
+         CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+               AND a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+              THEN 1 ELSE 0 END AS chg_segment
+  FROM customer a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+SELECT diff_status, COUNT(*) AS n_keys,
+       CAST(SUM(chg_acctbal) AS BIGINT) AS n_acctbal_chg,
+       CAST(SUM(chg_nation) AS BIGINT) AS n_nation_chg,
+       CAST(SUM(chg_segment) AS BIGINT) AS n_segment_chg
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_snapshot_diff"] = customer_snapshot_diff
+ORACLE_SQL["customer_snapshot_diff"] = SNAPSHOT_DIFF_SQL

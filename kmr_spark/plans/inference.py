@@ -960,3 +960,68 @@ OLS_NORMAL_SQL = _ols_sql()
 
 QUERIES["users_ols_normal_equations"] = users_ols_normal_equations
 ORACLE_SQL["users_ols_normal_equations"] = OLS_NORMAL_SQL
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, embedded as
+#: shared literals so neither engine evaluates an inverse-normal
+Z_ALPHA = 1.959963984540054
+Z_BETA = 0.8416212335729143
+#: minimum detectable effect as a fraction of the arm mean
+POWER_MDE = 0.05
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B sample-size calculator from observed value
+    variance: n per arm to detect a 5% lift in mean value at
+    alpha=0.05 / power=0.80 — the planning query every experimentation
+    platform runs before launch (and the natural companion to
+    events_ab_test, which analyzes the experiment after).
+
+    Exactness: value is floored to integer cents, variance comes from
+    the BIGINT moment sums via one fixed expression tree, and the z
+    quantiles are shared literals; ceil() of the final double is
+    exact on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100).cast("long")
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"))
+    var = ("(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+           " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))")
+    delta = f"({POWER_MDE} * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    return sums.selectExpr(
+        "event_type", "n",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents",
+        f"{var} AS var_cents2",
+        f"CAST(ceil(2.0 * (({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA}))"
+        f" * {var} / ({delta} * {delta})) AS BIGINT) AS n_per_arm",
+    ).orderBy("event_type")
+
+
+POWER_SQL = f"""
+WITH sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                  * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_cents2,
+       CAST(ceil(2.0 * (({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA}))
+            * ((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+            / (({POWER_MDE} * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * ({POWER_MDE} * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+        AS BIGINT) AS n_per_arm
+FROM sums ORDER BY event_type
+"""
+
+QUERIES["events_power_analysis"] = events_power_analysis
+ORACLE_SQL["events_power_analysis"] = POWER_SQL

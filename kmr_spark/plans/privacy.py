@@ -86,3 +86,77 @@ FROM census
 
 QUERIES = {"privacy_k_anonymity": privacy_k_anonymity}
 ORACLE_SQL = {"privacy_k_anonymity": K_ANONYMITY_SQL}
+
+
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity census re-run at three generalization levels of the
+    customer quasi-identifiers — L0 = (mktsegment, nationkey), L1 =
+    (mktsegment, regionkey), L2 = (mktsegment) — the ladder a release
+    process climbs until every group clears k: each row shows what the
+    next coarsening buys (fewer small groups) and costs (l-diversity
+    of the sensitive acctbal band collapsing toward the global mix).
+
+    Plan: one broadcast join to nation for the region rollup, then one
+    aggregation per level over the same base frame (three keyed
+    shuffles of a dimension-sized table; at 100 TB the QI projection
+    is the only thing shuffled). Integer outputs only.
+    """
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["customer"].join(
+            F.broadcast(t["nation"].select(
+                F.col("n_nationkey"), F.col("n_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_mktsegment", "c_nationkey", "n_regionkey",
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+                .alias("sens"))
+    )
+    levels = (
+        ("L0_segment_nation", ["c_mktsegment", "c_nationkey"]),
+        ("L1_segment_region", ["c_mktsegment", "n_regionkey"]),
+        ("L2_segment", ["c_mktsegment"]),
+    )
+    outs = []
+    for name, qi in levels:
+        groups = base.groupBy(*qi).agg(
+            F.count("*").alias("g_size"),
+            F.countDistinct("sens").alias("l_div"))
+        outs.append(groups.agg(
+            F.lit(name).alias("level"),
+            F.count("*").alias("n_groups"),
+            F.min("g_size").alias("min_group"),
+            F.count(F.when(F.col("g_size") < 5, 1))
+            .alias("groups_below_k5"),
+            F.sum(F.when(F.col("g_size") < 5, F.col("g_size"))
+                  .otherwise(0)).alias("rows_below_k5"),
+            F.min("l_div").alias("min_l_diversity")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("level")
+
+
+def _ladder_sql() -> str:
+    parts = []
+    for name, qi in (("L0_segment_nation", "c_mktsegment, c_nationkey"),
+                     ("L1_segment_region", "c_mktsegment, n_regionkey"),
+                     ("L2_segment", "c_mktsegment")):
+        parts.append(f"""
+SELECT '{name}' AS level, COUNT(*) AS n_groups,
+       MIN(g_size) AS min_group,
+       COUNT(CASE WHEN g_size < 5 THEN 1 END) AS groups_below_k5,
+       CAST(SUM(CASE WHEN g_size < 5 THEN g_size ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       MIN(l_div) AS min_l_diversity
+FROM (
+  SELECT {qi}, COUNT(*) AS g_size,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_div
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY {qi})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY level"
+
+
+LADDER_SQL = _ladder_sql()
+
+QUERIES["privacy_generalization_ladder"] = privacy_generalization_ladder
+ORACLE_SQL["privacy_generalization_ladder"] = LADDER_SQL

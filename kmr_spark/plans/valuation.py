@@ -369,3 +369,90 @@ FROM seg CROSS JOIN tot ORDER BY segment
 
 QUERIES["orders_mix_shift"] = orders_mix_shift
 ORACLE_SQL["orders_mix_shift"] = MIX_SHIFT_SQL
+
+
+#: backlog snapshot date and the aging bucket upper bounds (days)
+BACKLOG_ASOF = "1997-06-30"
+BACKLOG_BUCKETS = ((30, "000-030d"), (90, "031-090d"), (365, "091-365d"))
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog as of BACKLOG_ASOF with aging buckets: an
+    order is OPEN at the snapshot if it was placed on or before the
+    date but still has lineitems shipping after it. Emits per aging
+    bucket (days since order date) the order count, open-line count,
+    and open-line value in cents — the operations report every order
+    management system runs nightly, and the as-of-join shape (state
+    reconstructed from an event log at an arbitrary past date) that
+    plain current-state rollups can't answer.
+
+    Plan: lineitem is aggregated per order (max shipdate + open-line
+    sums under the snapshot predicate) keyed on l_orderkey — ONE
+    data-sized shuffle that a bucketed-by-orderkey layout (see
+    sources/bucketing.py) turns into a co-located join; orders side
+    joins in and buckets are a tiny post-agg rollup. All outputs are
+    BIGINT counts/cents.
+    """
+    t = load_tables(spark, sf_dir)
+    asof = F.lit(BACKLOG_ASOF).cast("date")
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"),
+             F.sum(F.when(F.to_date("l_shipdate") > asof, 1).otherwise(0))
+             .alias("open_lines"),
+             F.coalesce(F.sum(F.when(
+                 F.to_date("l_shipdate") > asof,
+                 F.floor(F.col("l_extendedprice") * 100).cast("long"))),
+                 F.lit(0)).alias("open_cents"))
+    )
+    open_orders = (
+        t["orders"].filter(F.to_date("o_orderdate") <= asof)
+        .join(per_order,
+              F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .filter(F.col("last_ship") > asof)
+        .withColumn("age_days", F.datediff(asof, F.to_date("o_orderdate")))
+    )
+    bucket = F.when(F.col("age_days") <= BACKLOG_BUCKETS[0][0],
+                    F.lit(BACKLOG_BUCKETS[0][1]))
+    for ub, label in BACKLOG_BUCKETS[1:]:
+        bucket = bucket.when(F.col("age_days") <= ub, F.lit(label))
+    bucket = bucket.otherwise(F.lit("366d+"))
+    return (
+        open_orders.groupBy(bucket.alias("age_bucket"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("open_lines").alias("n_open_lines"),
+             F.sum("open_cents").alias("open_value_cents"))
+        .orderBy("age_bucket")
+    )
+
+
+BACKLOG_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+         SUM(CASE WHEN CAST(l_shipdate AS DATE) > DATE '{BACKLOG_ASOF}'
+             THEN 1 ELSE 0 END) AS open_lines,
+         COALESCE(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                > DATE '{BACKLOG_ASOF}'
+             THEN CAST(floor(l_extendedprice * 100) AS BIGINT) END), 0)
+           AS open_cents
+  FROM lineitem GROUP BY l_orderkey),
+open_orders AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                   DATE '{BACKLOG_ASOF}') AS age_days,
+         open_lines, open_cents
+  FROM orders JOIN per_order ON o_orderkey = l_orderkey
+  WHERE CAST(o_orderdate AS DATE) <= DATE '{BACKLOG_ASOF}'
+    AND last_ship > DATE '{BACKLOG_ASOF}')
+SELECT CASE WHEN age_days <= 30 THEN '000-030d'
+            WHEN age_days <= 90 THEN '031-090d'
+            WHEN age_days <= 365 THEN '091-365d'
+            ELSE '366d+' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(open_lines) AS BIGINT) AS n_open_lines,
+       CAST(SUM(open_cents) AS BIGINT) AS open_value_cents
+FROM open_orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_backlog_aging"] = orders_backlog_aging
+ORACLE_SQL["orders_backlog_aging"] = BACKLOG_SQL

@@ -187,3 +187,136 @@ def test_ols_normal_equations_vs_numpy(spark):
     assert math.isclose(got.beta0, beta[0], rel_tol=1e-6)
     assert math.isclose(got.beta_views, beta[1], rel_tol=1e-6)
     assert math.isclose(got.beta_clicks, beta[2], rel_tol=1e-6)
+
+
+def test_backlog_aging_bruteforce(spark):
+    import datetime
+
+    from kmr_spark.plans.valuation import (BACKLOG_ASOF,
+                                           orders_backlog_aging)
+    from kmr_spark.session import load_tables
+
+    got = {r.age_bucket: r for r in
+           orders_backlog_aging(spark, SF_SMALL).collect()}
+    t = load_tables(spark, SF_SMALL)
+    asof = datetime.date.fromisoformat(BACKLOG_ASOF)
+    lines = {}
+    for li in t["lineitem"].collect():
+        d = li.l_shipdate.date() if hasattr(li.l_shipdate, "date") \
+            else li.l_shipdate
+        e = lines.setdefault(li.l_orderkey, [d, 0, 0])
+        e[0] = max(e[0], d)
+        if d > asof:
+            e[1] += 1
+            e[2] += math.floor(li.l_extendedprice * 100)
+    buckets = {}
+    for o in t["orders"].collect():
+        od = o.o_orderdate.date() if hasattr(o.o_orderdate, "date") \
+            else o.o_orderdate
+        li = lines.get(o.o_orderkey)
+        if od > asof or li is None or li[0] <= asof:
+            continue
+        age = (asof - od).days
+        b = ("000-030d" if age <= 30 else "031-090d" if age <= 90
+             else "091-365d" if age <= 365 else "366d+")
+        e = buckets.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += li[1]
+        e[2] += li[2]
+    assert set(got) == set(buckets)
+    for b, (n, nl, cents) in buckets.items():
+        assert (got[b].n_orders, got[b].n_open_lines,
+                got[b].open_value_cents) == (n, nl, cents)
+
+
+def test_snapshot_diff_classification(spark):
+    from kmr_spark.plans.incremental import customer_snapshot_diff
+    from kmr_spark.session import load_tables
+
+    got = {r.diff_status: r for r in
+           customer_snapshot_diff(spark, SF_SMALL).collect()}
+    keys = [r.c_custkey for r in
+            load_tables(spark, SF_SMALL)["customer"]
+            .select("c_custkey").collect()]
+    removed = sum(1 for k in keys if k % 97 == 0)
+    added = sum(1 for k in keys if k % 101 == 0)
+    chg_bal = {k for k in keys if k % 7 == 0 and k % 97 != 0}
+    chg_nat = {k for k in keys if k % 11 == 0 and k % 97 != 0}
+    changed = len(chg_bal | chg_nat)
+    assert got["removed"].n_keys == removed
+    assert got["added"].n_keys == added
+    assert got["changed"].n_keys == changed
+    assert got["changed"].n_acctbal_chg == len(chg_bal)
+    assert got["changed"].n_nation_chg == len(chg_nat)
+    assert got["changed"].n_segment_chg == 0
+    assert got["unchanged"].n_keys == len(keys) - removed - changed
+
+
+def test_quantization_error_bruteforce(spark):
+    from kmr_spark.llm_ops.similarity import emb_quantization_error
+    from kmr_spark.session import load_tables
+
+    got = {r.dim: r for r in
+           emb_quantization_error(spark, SF_SMALL).collect()}
+    vecs = [r.embedding for r in
+            load_tables(spark, SF_SMALL)["embeddings"].collect()]
+    ndim = len(vecs[0])
+    assert set(got) == set(range(ndim))
+    for dim in (0, 7, ndim - 1):
+        xs = [float(v[dim]) for v in vecs]
+        vmin, vmax = min(xs), max(xs)
+        codes, s_q = [], 0
+        for x in xs:
+            c = math.floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5)
+            recon = vmin + float(c) * (vmax - vmin) / 255.0
+            s_q += math.floor((x - recon) * (x - recon) * 1e12)
+            codes.append(c)
+        r = got[dim]
+        assert (r.vmin, r.vmax) == (vmin, vmax)
+        assert (r.code_min, r.code_max) == (min(codes), max(codes))
+        assert r.code_min >= 0 and r.code_max <= 255
+        assert r.sum_err2_q == s_q
+        # quantization error bounded by (scale/2)^2 per element
+        half = (vmax - vmin) / 255.0 / 2.0
+        assert r.mse <= half * half * 1.000001
+
+
+def test_generalization_ladder_monotone(spark):
+    from kmr_spark.plans.privacy import privacy_generalization_ladder
+
+    rows = {r.level: r for r in
+            privacy_generalization_ladder(spark, SF_SMALL).collect()}
+    l0, l1, l2 = (rows["L0_segment_nation"], rows["L1_segment_region"],
+                  rows["L2_segment"])
+    # coarsening strictly reduces group count and cannot shrink groups
+    assert l0.n_groups >= l1.n_groups >= l2.n_groups
+    assert l0.min_group <= l1.min_group <= l2.min_group
+    assert l0.groups_below_k5 >= l1.groups_below_k5 >= l2.groups_below_k5
+    # l-diversity of the coarser partition can only rise
+    assert l0.min_l_diversity <= l1.min_l_diversity <= l2.min_l_diversity
+
+
+def test_power_analysis_formula(spark):
+    from kmr_spark.plans.inference import (POWER_MDE, Z_ALPHA, Z_BETA,
+                                           events_power_analysis)
+    from kmr_spark.session import load_tables
+
+    got = {r.event_type: r for r in
+           events_power_analysis(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].collect()
+    per = {}
+    for e in ev:
+        per.setdefault(e.event_type, []).append(math.floor(e.value * 100))
+    for t, xs in per.items():
+        n, s = len(xs), sum(xs)
+        q = sum(x * x for x in xs)
+        var = (n * q - s * s) / (n * (n - 1))
+        mean = s / n
+        delta = POWER_MDE * mean
+        n_arm = math.ceil(2.0 * (Z_ALPHA + Z_BETA) ** 2 * var
+                          / (delta * delta))
+        r = got[t]
+        assert r.n == n
+        assert math.isclose(r.mean_cents, mean, rel_tol=1e-12)
+        assert math.isclose(r.var_cents2, var, rel_tol=1e-9)
+        assert r.n_per_arm == n_arm
