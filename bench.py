@@ -307,6 +307,10 @@ BENCH_QUERIES = [
     "emb_quantization_error",
     "privacy_generalization_ladder",
     "events_power_analysis",
+    "events_session_gap_sensitivity",
+    "events_bot_flags",
+    "orders_fulfillment_lag",
+    "emb_centroid_drift",
 ]
 
 

@@ -1187,3 +1187,85 @@ ORACLE_SQL = {
     "events_value_deciles": EVENTS_DECILES_SQL,
     "events_value_minmax_norm": EVENTS_MINMAX_NORM_SQL,
 }
+
+
+#: inactivity thresholds (minutes) swept by the sensitivity query
+GAP_SWEEP_MIN = (15, 30, 60)
+
+
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold sensitivity sweep: session count,
+    single-event-session count, and events-per-session at 15/30/60-min
+    inactivity gaps — the calibration table that justifies (or
+    indicts) the 30-min default every analytics stack inherits. A
+    stable session count across thresholds means the choice doesn't
+    matter; a cliff means it does.
+
+    Plan: ONE per-user ordered window pass computes the inter-event
+    gap, then each threshold is a cheap column expression over the
+    same sorted frame (Catalyst reuses the sort across identical
+    window specs); session sizes come from one groupBy per threshold
+    on (user, session_id). Integer outputs + one fixed-tree ratio.
+    """
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    outs = []
+    for mins in GAP_SWEEP_MIN:
+        gus = mins * 60 * 1_000_000
+        wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+        sess = (
+            gaps.withColumn(
+                "new_s",
+                (F.coalesce(F.col("gap_us"), F.lit(gus + 1)) > gus)
+                .cast("long"))
+            .withColumn("sid", F.sum("new_s").over(wsum))
+            .groupBy("user_id", "sid").agg(F.count("*").alias("n"))
+        )
+        outs.append(sess.agg(
+            F.lit(mins).alias("gap_minutes"),
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.count(F.when(F.col("n") == 1, 1)).alias("n_single_event"),
+        ).selectExpr(
+            "gap_minutes", "n_sessions", "n_single_event",
+            "CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)"
+            " AS events_per_session"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("gap_minutes")
+
+
+def _gap_sweep_sql() -> str:
+    parts = []
+    for mins in GAP_SWEEP_MIN:
+        gus = mins * 60 * 1_000_000
+        parts.append(f"""
+SELECT {mins} AS gap_minutes, COUNT(*) AS n_sessions,
+       COUNT(CASE WHEN n = 1 THEN 1 END) AS n_single_event,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS events_per_session
+FROM (
+  SELECT user_id, sid, COUNT(*) AS n
+  FROM (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN COALESCE(gap_us, {gus + 1}) > {gus}
+                    THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS sid
+    FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events))
+  GROUP BY user_id, sid)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY gap_minutes"
+
+
+GAP_SWEEP_SQL = _gap_sweep_sql()
+
+QUERIES["events_session_gap_sensitivity"] = events_session_gap_sensitivity
+ORACLE_SQL["events_session_gap_sensitivity"] = GAP_SWEEP_SQL

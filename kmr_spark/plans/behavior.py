@@ -1071,3 +1071,58 @@ ORDER BY type_a, type_b
 
 QUERIES["events_audience_overlap"] = events_audience_overlap
 ORACLE_SQL["events_audience_overlap"] = AUDIENCE_OVERLAP_SQL
+
+
+#: bot heuristics: max events in one clock minute / total volume
+BOT_PEAK_PER_MIN = 2
+BOT_TOTAL_EVENTS = 75
+
+
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot triage census: flag users whose peak per-clock-minute
+    event rate or total volume crosses the heuristic thresholds, and
+    report the flag combinations with their event footprint — the
+    first-pass filter a data pipeline applies before user-level
+    metrics (bots inflate every engagement statistic downstream).
+
+    Plan: per-(user, minute) count (keyed shuffle, map-side combined),
+    then per-user max/sum (second small shuffle), then a 4-row census.
+    Never materializes per-event state; both aggregations scale as
+    keyed combiners. Integer outputs only.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_min = (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("n"))
+    )
+    users = per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_min"), F.sum("n").alias("total"))
+    flagged = users.select(
+        (F.col("peak_per_min") >= BOT_PEAK_PER_MIN).alias("rate_flag"),
+        (F.col("total") >= BOT_TOTAL_EVENTS).alias("volume_flag"),
+        "total")
+    return (
+        flagged.groupBy("rate_flag", "volume_flag")
+        .agg(F.count("*").alias("n_users"),
+             F.sum("total").alias("n_events"),
+             F.max("total").alias("max_events"))
+        .orderBy("rate_flag", "volume_flag")
+    )
+
+
+BOT_FLAGS_SQL = f"""
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+users AS (
+  SELECT user_id, MAX(n) AS peak_per_min, CAST(SUM(n) AS BIGINT) AS total
+  FROM per_min GROUP BY user_id)
+SELECT peak_per_min >= {BOT_PEAK_PER_MIN} AS rate_flag,
+       total >= {BOT_TOTAL_EVENTS} AS volume_flag,
+       COUNT(*) AS n_users, CAST(SUM(total) AS BIGINT) AS n_events,
+       MAX(total) AS max_events
+FROM users GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["events_bot_flags"] = events_bot_flags
+ORACLE_SQL["events_bot_flags"] = BOT_FLAGS_SQL

@@ -350,3 +350,78 @@ FROM prods GROUP BY i, j ORDER BY i, j
 
 QUERIES["emb_gram_matrix"] = emb_gram_matrix
 ORACLE_SQL["emb_gram_matrix"] = GRAM_SQL
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic halves of
+    the embedding table (even vs odd vec_id — a stand-in for
+    yesterday's batch vs today's): L2 distance between the half
+    centroids, per label. The embedding-drift monitor a retrieval
+    stack runs after every encoder redeploy — a label whose centroid
+    moves is a label whose ANN cells and kNN labels went stale.
+
+    Plan: posexplode to (label, half, dim, vq) with elements quantized
+    to 1e6 units, ONE aggregation keyed by (label, half, dim) — 10 x
+    2 x 64 output rows regardless of input size, map-side combined —
+    then the per-dim squared mean gap is floor-quantized and
+    integer-summed per label (order-free fold; the per-dim gap itself
+    is one fixed expression tree over BIGINT sums).
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vals = e.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "half", "dim",
+             F.floor(F.col("v").cast("double") * 1e6).cast("long")
+             .alias("vq"))
+    sums = vals.groupBy("label", "half", "dim").agg(
+        F.count("*").alias("n"), F.sum("vq").alias("s"))
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_a"), F.col("s").alias("s_a"))
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_b"), F.col("s").alias("s_b"))
+    per_dim = a.join(b, ["label", "dim"]).select(
+        "label", "n_a", "n_b",
+        F.expr(
+            "CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+            " AS BIGINT)").alias("gap2_q"))
+    return (
+        per_dim.groupBy("label").agg(
+            F.max("n_a").alias("n_even"), F.max("n_b").alias("n_odd"),
+            F.sum("gap2_q").alias("sum_gap2_q"))
+        .selectExpr(
+            "label", "n_even", "n_odd", "sum_gap2_q",
+            "sqrt(CAST(sum_gap2_q AS DOUBLE)) / 1e6 AS l2_drift")
+        .orderBy("label")
+    )
+
+
+CENTROID_DRIFT_SQL = """
+WITH vals AS (
+  SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS vq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+sums AS (
+  SELECT label, half, dim, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS s
+  FROM vals GROUP BY 1, 2, 3),
+per_dim AS (
+  SELECT a.label, a.n AS n_a, b.n AS n_b,
+         CAST(floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                     - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                    * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+              AS BIGINT) AS gap2_q
+  FROM sums a JOIN sums b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.half = 0 AND b.half = 1)
+SELECT label, MAX(n_a) AS n_even, MAX(n_b) AS n_odd,
+       CAST(SUM(gap2_q) AS BIGINT) AS sum_gap2_q,
+       sqrt(CAST(SUM(gap2_q) AS DOUBLE)) / 1e6 AS l2_drift
+FROM per_dim GROUP BY label ORDER BY label
+"""
+
+QUERIES["emb_centroid_drift"] = emb_centroid_drift
+ORACLE_SQL["emb_centroid_drift"] = CENTROID_DRIFT_SQL

@@ -763,3 +763,90 @@ FROM per_order GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_lines_histogram"] = orders_lines_histogram
 ORACLE_SQL["orders_lines_histogram"] = LINES_HIST_SQL
+
+
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lag SLA report per order priority:
+    min / exact median (in 2x-day units, the histogram-midrank
+    recipe) / p90 / max days between order date and the order's first
+    lineitem shipment — the fulfillment dashboard that makes
+    '1-URGENT' mean something. Exact percentiles, not sketches,
+    because the grouped value domain (days, < ~200 distinct) makes
+    the histogram route cheap at any scale.
+
+    Plan: lineitem aggregated to first-ship per order (the one
+    data-sized shuffle, co-locatable by orderkey bucketing), joined to
+    orders, then a per-(priority, lag) histogram + cumulative-rank
+    window over the tiny post-agg frame.
+    """
+    t = load_tables(spark, sf_dir)
+    first_ship = t["lineitem"].groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship"))
+    lags = (
+        t["orders"]
+        .join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority",
+                F.datediff("first_ship", F.to_date("o_orderdate"))
+                .alias("lag"))
+    )
+    hist = lags.groupBy("o_orderpriority", "lag").agg(
+        F.count("*").alias("c"))
+    w = (Window.partitionBy("o_orderpriority").orderBy("lag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("o_orderpriority")
+    ranked = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wt))
+    )
+    # median in 2x units: lo = first value with 2*cum >= n (rank
+    # ceil(n/2)), hi = first with 2*cum > n (rank n//2 + 1); p90 =
+    # first with 10*cum >= 9n (lower integer-rank convention)
+    return (
+        ranked.groupBy("o_orderpriority").agg(
+            F.min("lag").alias("min_days"),
+            F.max("lag").alias("max_days"),
+            F.min(F.when(
+                (F.col("cum") * 2 >= F.col("n")), F.col("lag")))
+            .alias("med_lo"),
+            F.min(F.when(
+                (F.col("cum") * 2 > F.col("n")), F.col("lag")))
+            .alias("med_hi"),
+            F.min(F.when(
+                F.col("cum") * 10 >= F.col("n") * 9, F.col("lag")))
+            .alias("p90_days"),
+            F.max("n").alias("n_orders"))
+        .select("o_orderpriority", "n_orders", "min_days",
+                (F.col("med_lo") + F.col("med_hi")).alias("median_2x"),
+                "p90_days", "max_days")
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY l_orderkey),
+lags AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), first_ship) AS lag
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey),
+hist AS (
+  SELECT o_orderpriority, lag, COUNT(*) AS c
+  FROM lags GROUP BY 1, 2),
+ranked AS (
+  SELECT o_orderpriority, lag, c,
+         CAST(SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM hist)
+SELECT o_orderpriority, MAX(n) AS n_orders, MIN(lag) AS min_days,
+       MIN(CASE WHEN cum * 2 >= n THEN lag END)
+       + MIN(CASE WHEN cum * 2 > n THEN lag END) AS median_2x,
+       MIN(CASE WHEN cum * 10 >= n * 9 THEN lag END) AS p90_days,
+       MAX(lag) AS max_days
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["orders_fulfillment_lag"] = orders_fulfillment_lag
+ORACLE_SQL["orders_fulfillment_lag"] = FULFILLMENT_SQL

@@ -320,3 +320,109 @@ def test_power_analysis_formula(spark):
         assert math.isclose(r.mean_cents, mean, rel_tol=1e-12)
         assert math.isclose(r.var_cents2, var, rel_tol=1e-9)
         assert r.n_per_arm == n_arm
+
+
+def test_session_gap_sensitivity_monotone(spark):
+    from kmr_spark.plans.analytics import (GAP_SWEEP_MIN,
+                                           events_session_gap_sensitivity)
+
+    rows = {r.gap_minutes: r for r in
+            events_session_gap_sensitivity(spark, SF_SMALL).collect()}
+    assert set(rows) == set(GAP_SWEEP_MIN)
+    # larger gap can only merge sessions: counts fall, size rises
+    for a, b in zip(GAP_SWEEP_MIN, GAP_SWEEP_MIN[1:]):
+        assert rows[a].n_sessions >= rows[b].n_sessions
+        assert rows[a].n_single_event >= rows[b].n_single_event
+        assert rows[a].events_per_session <= rows[b].events_per_session
+    # 30-min row agrees with the canonical sessionizer
+    from kmr_spark.plans.analytics import events_sessionize
+    n30 = events_sessionize(spark, SF_SMALL).count()
+    assert rows[30].n_sessions == n30
+
+
+def test_bot_flags_census(spark):
+    from kmr_spark.plans.behavior import (BOT_PEAK_PER_MIN,
+                                          BOT_TOTAL_EVENTS,
+                                          events_bot_flags)
+    from kmr_spark.session import load_tables
+
+    got = {(r.rate_flag, r.volume_flag): r for r in
+           events_bot_flags(spark, SF_SMALL).collect()}
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "user_id", F.date_trunc("minute", "ts").alias("m")).collect()
+    per = {}
+    for e in ev:
+        per.setdefault(e.user_id, {}).setdefault(e.m, [0])[0] += 1
+    census = {}
+    for mins in per.values():
+        peak = max(v[0] for v in mins.values())
+        total = sum(v[0] for v in mins.values())
+        k = (peak >= BOT_PEAK_PER_MIN, total >= BOT_TOTAL_EVENTS)
+        c = census.setdefault(k, [0, 0, 0])
+        c[0] += 1
+        c[1] += total
+        c[2] = max(c[2], total)
+    assert set(got) == set(census)
+    for k, (nu, ne, mx) in census.items():
+        assert (got[k].n_users, got[k].n_events, got[k].max_events) \
+            == (nu, ne, mx)
+
+
+def test_fulfillment_lag_bruteforce(spark):
+    from kmr_spark.plans.trends import orders_fulfillment_lag
+    from kmr_spark.session import load_tables
+
+    got = {r.o_orderpriority: r for r in
+           orders_fulfillment_lag(spark, SF_SMALL).collect()}
+    t = load_tables(spark, SF_SMALL)
+    first = {}
+    for li in t["lineitem"].collect():
+        d = li.l_shipdate.date() if hasattr(li.l_shipdate, "date") \
+            else li.l_shipdate
+        k = li.l_orderkey
+        first[k] = min(first.get(k, d), d)
+    lags = {}
+    for o in t["orders"].collect():
+        if o.o_orderkey not in first:
+            continue
+        od = o.o_orderdate.date() if hasattr(o.o_orderdate, "date") \
+            else o.o_orderdate
+        lags.setdefault(o.o_orderpriority, []).append(
+            (first[o.o_orderkey] - od).days)
+    for p, xs in lags.items():
+        xs.sort()
+        n = len(xs)
+        r = got[p]
+        assert r.n_orders == n
+        assert (r.min_days, r.max_days) == (xs[0], xs[-1])
+        lo = xs[(n - 1) // 2]   # rank ceil(n/2)
+        hi = xs[n // 2]         # rank n//2 + 1
+        assert r.median_2x == lo + hi
+        # lower integer-rank convention: rank ceil(9n/10)
+        assert r.p90_days == xs[-(-9 * n // 10) - 1]
+
+
+def test_centroid_drift_bruteforce(spark):
+    from kmr_spark.plans.linalg import emb_centroid_drift
+    from kmr_spark.session import load_tables
+
+    got = {r.label: r for r in
+           emb_centroid_drift(spark, SF_SMALL).collect()}
+    rows = load_tables(spark, SF_SMALL)["embeddings"].collect()
+    per = {}
+    for r in rows:
+        half = r.vec_id % 2
+        e = per.setdefault((r.label, half), [0, None])
+        vq = [math.floor(float(v) * 1e6) for v in r.embedding]
+        e[0] += 1
+        e[1] = vq if e[1] is None else [a + b for a, b in zip(e[1], vq)]
+    for label in {l for l, _ in per}:
+        na, sa = per[(label, 0)]
+        nb, sb = per[(label, 1)]
+        s = sum(math.floor((x / na - y / nb) * (x / na - y / nb))
+                for x, y in zip(sa, sb))
+        r = got[label]
+        assert (r.n_even, r.n_odd) == (na, nb)
+        assert r.sum_gap2_q == s
+        assert math.isclose(r.l2_drift, math.sqrt(float(s)) / 1e6,
+                            rel_tol=1e-12)
