@@ -311,6 +311,8 @@ BENCH_QUERIES = [
     "events_bot_flags",
     "orders_fulfillment_lag",
     "emb_centroid_drift",
+    "basket_apriori_triples",
+    "events_encoding_advisor",
 ]
 
 

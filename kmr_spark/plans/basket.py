@@ -135,3 +135,96 @@ ORDER BY p.part_a, p.part_b
 
 QUERIES["basket_rules"] = basket_rules
 ORACLE_SQL["basket_rules"] = BASKET_RULES_SQL
+
+
+#: L3 support threshold and report size
+TRIPLE_MIN_SUPPORT = 20
+TRIPLE_TOP_K = 15
+
+
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent BRAND triples (Apriori L3) over order baskets with
+    support and lift against the independence baseline — the step
+    beyond part_cooccurrence's pair kernel that catalogs "these three
+    move together" bundles. Items are the 25 part brands, so the
+    candidate space is bounded (C(25,3) = 2300 groups) no matter how
+    large lineitem grows; the per-order triple stream is cubic only
+    in the BOUNDED per-basket distinct-brand count.
+
+    Plan: distinct (order, brand) via a broadcast join to part, two
+    ordered self-equi-joins keyed on the order (a<b<c kills
+    duplicates), one keyed count per triple, then broadcast joins to
+    the three singleton supports for the lift. Lift is ONE fixed
+    expression tree: support * n_baskets^2 / (s_a * s_b * s_c).
+    """
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"].select("l_orderkey", "l_partkey")
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    singles = baskets.groupBy("brand").agg(F.count("*").alias("s1"))
+    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
+    c = baskets.select("l_orderkey", F.col("brand").alias("brand_c"))
+    triples = (
+        a.join(b, "l_orderkey").filter(F.col("brand_a") < F.col("brand_b"))
+        .join(c, "l_orderkey").filter(F.col("brand_b") < F.col("brand_c"))
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
+    enriched = (
+        triples
+        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_a")
+                          .withColumnRenamed("s1", "sa")), "brand_a")
+        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_b")
+                          .withColumnRenamed("s1", "sb")), "brand_b")
+        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_c")
+                          .withColumnRenamed("s1", "sc")), "brand_c")
+        .selectExpr(
+            "brand_a", "brand_b", "brand_c", "support",
+            f"CAST(support AS DOUBLE) * CAST({n_baskets} AS DOUBLE)"
+            f" * CAST({n_baskets} AS DOUBLE)"
+            " / (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)"
+            " * CAST(sc AS DOUBLE)) AS lift")
+    )
+    return (
+        enriched.orderBy(F.col("support").desc(), "brand_a", "brand_b",
+                         "brand_c")
+        .limit(TRIPLE_TOP_K)
+    )
+
+
+APRIORI_TRIPLES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+singles AS (SELECT brand, COUNT(*) AS s1 FROM baskets GROUP BY brand),
+triples AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+         COUNT(*) AS support
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  JOIN baskets c ON a.l_orderkey = c.l_orderkey AND b.brand < c.brand
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT})
+SELECT brand_a, brand_b, brand_c, support,
+       CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+       * CAST(n_baskets AS DOUBLE)
+       / (CAST(sa.s1 AS DOUBLE) * CAST(sb.s1 AS DOUBLE)
+          * CAST(sc.s1 AS DOUBLE)) AS lift
+FROM triples CROSS JOIN n
+JOIN singles sa ON sa.brand = brand_a
+JOIN singles sb ON sb.brand = brand_b
+JOIN singles sc ON sc.brand = brand_c
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT {TRIPLE_TOP_K}
+"""
+
+QUERIES["basket_apriori_triples"] = basket_apriori_triples
+ORACLE_SQL["basket_apriori_triples"] = APRIORI_TRIPLES_SQL

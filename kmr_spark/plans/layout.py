@@ -138,3 +138,81 @@ ORACLE_SQL = {
     "profile_lineitem": PROFILE_LINEITEM_SQL,
     "events_compaction_plan": COMPACTION_SQL,
 }
+
+
+#: columns audited by the encoding advisor (name, typed expression)
+_ADVISOR_COLS = (
+    ("event_type", "event_type"),
+    ("user_id", "user_id"),
+    ("value_cents", "CAST(floor(value * 100) AS BIGINT)"),
+    ("props", "props"),
+)
+
+
+def events_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor for the events table: per column, the
+    cardinality ratio and the run-length structure the file format
+    actually sees (runs counted in time-ordered day partitions — the
+    layout events_zorder_layout / compaction write). Low
+    distinct_permille says dictionary-encode; long avg_run_len says
+    RLE wins; both near 1000/1.0 say plain encoding. This is the
+    report that decides parquet encodings and sort keys before a
+    100 TB rewrite, computed from the engine instead of guessed.
+
+    Plan: one per-day ordered window pass per audited column (same
+    partition spec, Catalyst reuses the sort) counting value-change
+    boundaries; day partitions bound the window (no global sort). All
+    counts are BIGINTs; ratios are single fixed expression trees.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    outs = []
+    for name, expr in _ADVISOR_COLS:
+        col = ev.select(
+            F.to_date("ts").alias("day"), F.col("ts"), F.col("event_id"),
+            F.expr(expr).alias("v"))
+        w = Window.partitionBy("day").orderBy("ts", "event_id")
+        runs = col.withColumn(
+            "chg",
+            F.when(F.lag("v").over(w).eqNullSafe(F.col("v")), 0)
+            .otherwise(1))
+        outs.append(runs.agg(
+            F.lit(name).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.sum("chg").alias("n_runs"),
+        ).selectExpr(
+            "column_name", "n_rows", "n_null", "n_distinct", "n_runs",
+            "(1000 * n_distinct) DIV n_rows AS distinct_permille",
+            "CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)"
+            " AS avg_run_len"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("column_name")
+
+
+def _advisor_sql() -> str:
+    parts = []
+    for name, expr in _ADVISOR_COLS:
+        parts.append(f"""
+SELECT '{name}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+       COUNT(DISTINCT v) AS n_distinct,
+       CAST(SUM(chg) AS BIGINT) AS n_runs,
+       (1000 * COUNT(DISTINCT v)) // COUNT(*) AS distinct_permille,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(chg) AS DOUBLE) AS avg_run_len
+FROM (
+  SELECT v, CASE WHEN v IS NOT DISTINCT FROM LAG(v) OVER (
+         PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id)
+         THEN 0 ELSE 1 END AS chg
+  FROM (SELECT ts, event_id, {expr} AS v FROM events))""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+ENCODING_ADVISOR_SQL = _advisor_sql()
+
+QUERIES["events_encoding_advisor"] = events_encoding_advisor
+ORACLE_SQL["events_encoding_advisor"] = ENCODING_ADVISOR_SQL

@@ -426,3 +426,66 @@ def test_centroid_drift_bruteforce(spark):
         assert r.sum_gap2_q == s
         assert math.isclose(r.l2_drift, math.sqrt(float(s)) / 1e6,
                             rel_tol=1e-12)
+
+
+def test_apriori_triples_bruteforce(spark):
+    from itertools import combinations
+
+    from kmr_spark.plans.basket import (TRIPLE_MIN_SUPPORT, TRIPLE_TOP_K,
+                                        basket_apriori_triples)
+    from kmr_spark.session import load_tables
+
+    got = basket_apriori_triples(spark, SF_SMALL).collect()
+    t = load_tables(spark, SF_SMALL)
+    brand = {r.p_partkey: r.p_brand for r in t["part"].collect()}
+    baskets = {}
+    for li in t["lineitem"].collect():
+        baskets.setdefault(li.l_orderkey, set()).add(brand[li.l_partkey])
+    singles, triples = {}, {}
+    for bs in baskets.values():
+        for b in bs:
+            singles[b] = singles.get(b, 0) + 1
+        for tri in combinations(sorted(bs), 3):
+            triples[tri] = triples.get(tri, 0) + 1
+    n = len(baskets)
+    keep = sorted(
+        ((s, tri) for tri, s in triples.items()
+         if s >= TRIPLE_MIN_SUPPORT),
+        key=lambda p: (-p[0], p[1]))[:TRIPLE_TOP_K]
+    assert [(r.brand_a, r.brand_b, r.brand_c, r.support) for r in got] \
+        == [(*tri, s) for s, tri in keep]
+    for r in got:
+        want = (r.support * float(n) * float(n)
+                / (singles[r.brand_a] * float(singles[r.brand_b])
+                   * singles[r.brand_c]))
+        assert math.isclose(r.lift, want, rel_tol=1e-9)
+
+
+def test_encoding_advisor_bruteforce(spark):
+    from kmr_spark.plans.layout import events_encoding_advisor
+    from kmr_spark.session import load_tables
+
+    got = {r.column_name: r for r in
+           events_encoding_advisor(spark, SF_SMALL).collect()}
+    ev = sorted(load_tables(spark, SF_SMALL)["events"].collect(),
+                key=lambda e: (e.ts, e.event_id))
+    for name, fn in (("event_type", lambda e: e.event_type),
+                     ("user_id", lambda e: e.user_id),
+                     ("value_cents", lambda e: math.floor(e.value * 100)),
+                     ("props", lambda e: e.props)):
+        per_day = {}
+        for e in ev:
+            per_day.setdefault(e.ts.date(), []).append(fn(e))
+        runs = sum(
+            1 + sum(1 for a, b in zip(vs, vs[1:]) if a != b)
+            for vs in per_day.values())
+        vals = [fn(e) for e in ev]
+        r = got[name]
+        assert r.n_rows == len(vals)
+        assert r.n_distinct == len(set(v for v in vals if v is not None))
+        assert r.n_runs == runs
+        assert r.n_null == sum(1 for v in vals if v is None)
+        assert math.isclose(r.avg_run_len, len(vals) / runs,
+                            rel_tol=1e-12)
+    # advisor sanity: 5-value event_type must look dictionary-friendly
+    assert got["event_type"].distinct_permille < 50
