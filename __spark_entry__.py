@@ -299,6 +299,19 @@ _DRIVER_CHECKED = frozenset({
 # risk — the lowest-risk names, same policy as the r5 defers) to
 # round 7 and pin the other 50. Recompute the live list with the
 # formula above.
+#
+# ROUND-5 LATE ADDS (fifth wave, registered after the r6 plan above
+# was written; every one exact-sim green via --exact at sf0.001 AND
+# sf0.01 at add time): graph_clustering_coefficient,
+# graph_reciprocity, events_spectral_daily, integrity_audit,
+# events_decision_stump, users_ols_normal_equations,
+# orders_backlog_aging, customer_snapshot_diff, emb_quantization_error,
+# privacy_generalization_ladder, events_power_analysis,
+# events_session_gap_sensitivity, events_bot_flags,
+# orders_fulfillment_lag, emb_centroid_drift, basket_apriori_triples,
+# events_encoding_advisor — 17 names. They DEFER to ROUND 7 with the
+# six names above (r7 window = those 6 + these 17 = 23 of 50 slots);
+# _R6_WINDOW stays exactly the 50 pinned by the plan above.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",
