@@ -165,38 +165,56 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    singles = baskets.groupBy("brand").agg(F.count("*").alias("s1"))
-    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
-    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
-    c = baskets.select("l_orderkey", F.col("brand").alias("brand_c"))
-    triples = (
-        a.join(b, "l_orderkey").filter(F.col("brand_a") < F.col("brand_b"))
-        .join(c, "l_orderkey").filter(F.col("brand_b") < F.col("brand_c"))
-        .groupBy("brand_a", "brand_b", "brand_c")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    arr = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("b"))
+        .persist()
     )
-    enriched = (
-        triples
-        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_a")
-                          .withColumnRenamed("s1", "sa")), "brand_a")
-        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_b")
-                          .withColumnRenamed("s1", "sb")), "brand_b")
-        .join(F.broadcast(singles.withColumnRenamed("brand", "brand_c")
-                          .withColumnRenamed("s1", "sc")), "brand_c")
-        .selectExpr(
-            "brand_a", "brand_b", "brand_c", "support",
-            f"CAST(support AS DOUBLE) * CAST({n_baskets} AS DOUBLE)"
-            f" * CAST({n_baskets} AS DOUBLE)"
-            " / (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)"
-            " * CAST(sc AS DOUBLE)) AS lift")
-    )
-    return (
-        enriched.orderBy(F.col("support").desc(), "brand_a", "brand_b",
-                         "brand_c")
-        .limit(TRIPLE_TOP_K)
-    )
+    try:
+        n_baskets = arr.count()  # materializes the persist
+        singles = (
+            arr.select(F.explode("b").alias("brand"))
+            .groupBy("brand").agg(F.count("*").alias("s1")))
+        # per-basket triple generation (i<j<k over the SORTED distinct
+        # brand array) replaces two shuffle self-joins: the combination
+        # stream is generated inside one task per basket, cubic only in
+        # the bounded per-basket brand count, then ONE keyed count.
+        triples = (
+            arr.filter(F.size("b") >= 3)
+            .select(F.explode(F.expr(
+                "flatten(flatten(transform(sequence(0, size(b)-3), i -> "
+                "transform(sequence(i+1, size(b)-2), j -> "
+                "transform(sequence(j+1, size(b)-1), k -> "
+                "struct(b[i] AS brand_a, b[j] AS brand_b, "
+                "b[k] AS brand_c))))))")).alias("t"))
+            .select("t.brand_a", "t.brand_b", "t.brand_c")
+            .groupBy("brand_a", "brand_b", "brand_c")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+        )
+        enriched = (
+            triples
+            .join(F.broadcast(singles.withColumnRenamed("brand", "brand_a")
+                              .withColumnRenamed("s1", "sa")), "brand_a")
+            .join(F.broadcast(singles.withColumnRenamed("brand", "brand_b")
+                              .withColumnRenamed("s1", "sb")), "brand_b")
+            .join(F.broadcast(singles.withColumnRenamed("brand", "brand_c")
+                              .withColumnRenamed("s1", "sc")), "brand_c")
+            .selectExpr(
+                "brand_a", "brand_b", "brand_c", "support",
+                f"CAST(support AS DOUBLE) * CAST({n_baskets} AS DOUBLE)"
+                f" * CAST({n_baskets} AS DOUBLE)"
+                " / (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)"
+                " * CAST(sc AS DOUBLE)) AS lift")
+        )
+        return (
+            enriched.orderBy(F.col("support").desc(), "brand_a", "brand_b",
+                             "brand_c")
+            .limit(TRIPLE_TOP_K)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        arr.unpersist()
 
 
 APRIORI_TRIPLES_SQL = f"""

@@ -783,20 +783,20 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "node", "degree",
                     F.coalesce(F.col("tri"), F.lit(0)).alias("tri"))
-                .select(F.expr(
-                    "(2000000 * tri) DIV (degree * (degree - 1))")
-                    .alias("cc_ppm"))
             )
-            sums = local.agg(
+            # ONE pass over the joined frame yields the local-cc fold
+            # AND the global triangle count (sum tri == 3T: each
+            # triangle is a closed wedge at each of its 3 corners) —
+            # the wedge join is planned exactly once.
+            sums = local.select(
+                F.expr("(2000000 * tri) DIV (degree * (degree - 1))")
+                .alias("cc_ppm"), "tri"
+            ).agg(
                 F.count("*").alias("n_nodes_deg2"),
-                F.sum("cc_ppm").alias("sum_cc_ppm"))
-            wedge_tri = (
-                deg.agg(F.sum(F.expr(
-                    "(degree * (degree - 1)) DIV 2")).alias("n_wedges"))
-                .crossJoin(F.broadcast(
-                    closed.agg((F.count("*") / 3).cast("long")
-                               .alias("n_triangles"))))
-            )
+                F.sum("cc_ppm").alias("sum_cc_ppm"),
+                (F.sum("tri") / 3).cast("long").alias("n_triangles"))
+            wedge_tri = deg.agg(F.sum(F.expr(
+                "(degree * (degree - 1)) DIV 2")).alias("n_wedges"))
             dd = lambda c: F.col(c).cast("double")
             return (
                 sums.crossJoin(F.broadcast(wedge_tri))
