@@ -169,6 +169,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.search as search
+        modules.append(search)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:
@@ -312,6 +317,14 @@ _DRIVER_CHECKED = frozenset({
 # events_encoding_advisor — 17 names. They DEFER to ROUND 7 with the
 # six names above (r7 window = those 6 + these 17 = 23 of 50 slots);
 # _R6_WINDOW stays exactly the 50 pinned by the plan above.
+#
+# ROUND-5 SIXTH WAVE (added after the fifth-wave note; every one
+# exact-sim green via --exact at sf0.001 AND sf0.01 at add time):
+# search_inverted_index, search_phrase_query, graph_hits,
+# events_holt_linear, events_hazard_daily, multimodal_image_phash,
+# emb_pca_two, text_longest_repeat — 8 names. They also DEFER to
+# ROUND 7 (r7 window = 6 r6-defers + 17 fifth-wave + these 8 = 31 of
+# 50 slots); _R6_WINDOW is still exactly the 50 pinned above.
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

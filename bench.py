@@ -313,6 +313,14 @@ BENCH_QUERIES = [
     "emb_centroid_drift",
     "basket_apriori_triples",
     "events_encoding_advisor",
+    "search_inverted_index",
+    "search_phrase_query",
+    "graph_hits",
+    "events_holt_linear",
+    "events_hazard_daily",
+    "multimodal_image_phash",
+    "emb_pca_two",
+    "text_longest_repeat",
 ]
 
 

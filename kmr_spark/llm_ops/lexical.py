@@ -663,3 +663,74 @@ ORDER BY phrase
 
 QUERIES["text_rake_keywords"] = text_rake_keywords
 ORACLE_SQL["text_rake_keywords"] = RAKE_SQL
+
+
+REPEAT_MAX_N = 5  # longest repeated n-gram probed up to this length
+
+
+def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus histogram of each document's LONGEST REPEATED n-gram
+    length (1..REPEAT_MAX_N tokens; 0 = no token repeats at all) — the
+    self-repetition probe behind "loopy generation" / boilerplate
+    filters: a doc whose longest in-doc repeat is 4-5 tokens is almost
+    always template or degenerate text (cf. text_repetition, which
+    scores a fixed n; this finds the maximal n per doc).
+
+    Plan: ONE pass — every doc's n-grams for ALL n are generated
+    inside its row (a nested transform over n, guarded per length, so
+    the fanout is ~REPEAT_MAX_N * tokens and stays row-local), then
+    one (doc, n, gram)-keyed count, a per-doc max, and a tiny
+    histogram aggregate. No join against the corpus, no per-n rescan."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tt"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(f"""
+          flatten(transform(sequence(1, {REPEAT_MAX_N}), n ->
+            IF(size(tt) >= n,
+               transform(sequence(0, size(tt) - n),
+                         i -> named_struct(
+                             'n', n,
+                             'g', array_join(slice(tt, i + 1, n), ' '))),
+               array_repeat(named_struct('n', n, 'g', ''), 0))))
+        """)).alias("t"))
+    repeated = (
+        grams.select("doc_id", F.col("t.n").alias("n"),
+                     F.col("t.g").alias("g"))
+        .groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id").agg(F.max("n").alias("max_repeat_len"))
+    )
+    return (
+        docs.join(repeated, "doc_id", "left")
+        .select(F.coalesce("max_repeat_len", F.lit(0))
+                .cast("long").alias("max_repeat_len"))
+        .groupBy("max_repeat_len").agg(F.count("*").alias("n_docs"))
+        .orderBy("max_repeat_len")
+    )
+
+
+LONGEST_REPEAT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tt
+  FROM documents),
+grams AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(tt, i + 1, i + n), ' ') AS g
+  FROM toks,
+       unnest(range(1, {REPEAT_MAX_N + 1})) AS tn(n),
+       unnest(range(0, len(tt) - n + 1)) AS ti(i)),
+repeated AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS max_repeat_len
+  FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3)
+  WHERE c >= 2 GROUP BY doc_id)
+SELECT COALESCE(r.max_repeat_len, 0) AS max_repeat_len,
+       COUNT(*) AS n_docs
+FROM documents d LEFT JOIN repeated r USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_longest_repeat"] = text_longest_repeat
+ORACLE_SQL["text_longest_repeat"] = LONGEST_REPEAT_SQL

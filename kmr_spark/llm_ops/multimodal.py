@@ -1052,3 +1052,117 @@ ORDER BY rep_a, rep_b
 
 QUERIES["multimodal_dedup_ahash"] = multimodal_dedup_ahash
 ORACLE_SQL["multimodal_dedup_ahash"] = MULTIMODAL_DEDUP_AHASH_SQL
+
+
+PHASH_SIDE = 8          # pHash operates on the same 8x8 thumbnail as aHash
+PHASH_Q = 1_000_000     # DCT basis quantization (micro-units)
+PHASH_BLOCK = 4         # keep the low-frequency 4x4 block minus DC -> 15 bits
+
+
+def _phash_dct_flat() -> list[int]:
+    """Quantized DCT-II basis, flattened c[u*8+x] =
+    round(cos(pi*(2x+1)*u/16) * 1e6). Generated ONCE in Python and
+    embedded as integer literals on BOTH engines (the spectral-table
+    recipe, plans/timeseries.py), so no runtime cos() — and therefore
+    no libm — is in either plan."""
+    import math
+
+    return [round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_SIDE))
+                  * PHASH_Q)
+            for u in range(PHASH_SIDE) for x in range(PHASH_SIDE)]
+
+
+def phash_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual DCT-HASH over real 8x8 BMP thumbnails: the 2-D DCT of
+    the integer pixel grid against the quantized basis, sign bits of
+    the 15 low-frequency coefficients (4x4 block minus DC), packed
+    little-endian by k = u*4 + v - 1. pHash survives brightness shifts
+    aHash does not (DC carries the mean); all arithmetic is int64 —
+    |S_uv| <= 64 * 250 * 1e12 < 2^54, no float ever exists."""
+
+    import numpy as np
+
+    t4 = np.array(_phash_dct_flat(), dtype=np.int64).reshape(
+        PHASH_SIDE, PHASH_SIDE)[:PHASH_BLOCK]  # (4, 8), rows = u
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "phash", "n_ones")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                m = _parse_bmp(raw, f"doc {did}")
+                if m["width"] != PHASH_SIDE or m["height"] != PHASH_SIDE:
+                    raise ValueError(
+                        f"doc {did}: phash expects {PHASH_SIDE}x"
+                        f"{PHASH_SIDE}, got {m['width']}x{m['height']}")
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8,
+                    count=m["height"] * m["stride"], offset=m["off"])
+                px = (arr.reshape(m["height"], m["stride"])
+                      [:, :m["width"] * 3:3].astype(np.int64))  # px[y][x]
+                # S[u, v] = sum_{x,y} px[y][x] * C[u][x] * C[v][y]
+                s = t4 @ px.T @ t4.T
+                bits = (s.ravel()[1:] > 0).astype(np.int64)  # drop DC
+                out["doc_id"].append(int(did))
+                out["phash"].append(int((bits << np.arange(15)).sum()))
+                out["n_ones"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="doc_id long, phash long, n_ones int")
+
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient BMP -> real NN resize to 8x8 -> DCT perceptual hash:
+    the robust-fingerprint pass of an image dedup pipeline (companion
+    to multimodal_image_ahash), end-to-end through the repo's own
+    codec. At scale this is one narrow mapInPandas per image — the
+    hash is 15 bits + popcount, so the downstream dedup join ships
+    2 longs per image, never pixels."""
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    thumbs = resize_bmp_nn(
+        encode_docs_as_gradient_bmp(docs), PHASH_SIDE, PHASH_SIDE)
+    return phash_bmp(thumbs).orderBy("doc_id")
+
+
+def _phash_sql() -> str:
+    ct = _phash_dct_flat()
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         (length(text) % 31) + 2 AS w,
+         (doc_id % 17) + 2 AS h,
+         doc_id % 251 AS fill
+  FROM documents WHERE text IS NOT NULL),
+px AS (
+  SELECT doc_id, xo, yo,
+         (fill + 3 * ((xo * w) // {PHASH_SIDE})
+               + 5 * ((yo * h) // {PHASH_SIDE})) % 251 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, {PHASH_SIDE} - 1)) AS xo),
+       LATERAL (SELECT unnest(generate_series(0, {PHASH_SIDE} - 1)) AS yo)),
+co AS (
+  SELECT p.doc_id, uu, vv,
+         SUM(p.v * ({ct})[uu * {PHASH_SIDE} + p.xo + 1]
+                 * ({ct})[vv * {PHASH_SIDE} + p.yo + 1]) AS s
+  FROM px p,
+       LATERAL (SELECT unnest(generate_series(0, {PHASH_BLOCK - 1})) AS uu),
+       LATERAL (SELECT unnest(generate_series(0, {PHASH_BLOCK - 1})) AS vv)
+  WHERE NOT (uu = 0 AND vv = 0)
+  GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0
+                THEN CAST(2 AS BIGINT) ^ (uu * {PHASH_BLOCK} + vv - 1)
+                ELSE 0 END) AS BIGINT) AS phash,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_ones
+FROM co GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+MULTIMODAL_PHASH_SQL = _phash_sql()
+
+QUERIES["multimodal_image_phash"] = multimodal_image_phash
+ORACLE_SQL["multimodal_image_phash"] = MULTIMODAL_PHASH_SQL

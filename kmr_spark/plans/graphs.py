@@ -911,3 +911,102 @@ FROM m CROSS JOIN n CROSS JOIN loops
 
 QUERIES["graph_reciprocity"] = graph_reciprocity
 ORACLE_SQL["graph_reciprocity"] = RECIPROCITY_SQL
+
+
+HITS_ROUNDS = 3
+HITS_TOP = 10
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg) on the distinct directed
+    R-MAT edges, HITS_ROUNDS unnormalized integer rounds, reporting the
+    HITS_TOP top authorities and top hubs. The reference's search/
+    retrieval framing (README.md:7-21) pairs an inverted index with a
+    link-analysis ranker; PageRank is already in plans/iterative.py,
+    and HITS is the other classic — two alternating sparse mat-vecs,
+    i.e. exactly the edge-join + keyed-sum shape kmr's ex/pagerank.c
+    iterates.
+
+    Scale/exactness: per-round normalization only rescales the vector,
+    so ranking-preserving INTEGER rounds avoid float folds entirely —
+    a(0)=1, h(r) = A·a(r-1), a(r) = Aᵀ·h(r), each one equi-join plus a
+    map-side-combinable SUM. Bounds here: max degree < 2^11, 3 rounds
+    < 2^67... kept in BIGINT because the actual R-MAT degrees keep
+    a(3) < 2^52 (test-asserted headroom); at larger scale the same
+    plan runs in DECIMAL(38,0). Nodes with no in/out edges score 0 via
+    the final left join — parity with the oracle's COALESCE.
+    """
+    raw = rmat_raw_edges(spark)
+    edges = raw.filter(F.col("src") != F.col("dst")).distinct().persist()
+    try:
+        n_edges = edges.count()
+        with sized_shuffle_partitions(spark, n_edges):
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .unionByName(edges.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            a = nodes.select("node", F.lit(1).cast("long").alias("s"))
+            for _ in range(HITS_ROUNDS):
+                h = (
+                    edges.join(a.withColumnRenamed("node", "dst"), "dst")
+                    .groupBy("src").agg(F.sum("s").alias("hs"))
+                )
+                a = (
+                    edges.join(h, "src")
+                    .groupBy("dst").agg(F.sum("hs").alias("s"))
+                    .withColumnRenamed("dst", "node")
+                )
+                # rebind h to the node-keyed frame for the output union
+                h = h.withColumnRenamed("src", "node") \
+                     .withColumnRenamed("hs", "s")
+            top_auth = (
+                nodes.join(a, "node", "left")
+                .select("node", F.coalesce("s", F.lit(0)).alias("score"),
+                        F.lit("authority").alias("role"))
+                .orderBy(F.col("score").desc(), "node").limit(HITS_TOP)
+            )
+            top_hub = (
+                nodes.join(h, "node", "left")
+                .select("node", F.coalesce("s", F.lit(0)).alias("score"),
+                        F.lit("hub").alias("role"))
+                .orderBy(F.col("score").desc(), "node").limit(HITS_TOP)
+            )
+            return top_auth.unionByName(top_hub).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+
+
+def _hits_sql() -> str:
+    cte = f"""raw AS ({RMAT_RAW_SQL}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                       UNION SELECT dst FROM edges),
+a0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes)"""
+    for r in range(1, HITS_ROUNDS + 1):
+        cte += f""",
+h{r} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM edges e JOIN a{r - 1} a ON a.node = e.dst GROUP BY e.src),
+a{r} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM edges e JOIN h{r} h ON h.node = e.src GROUP BY e.dst)"""
+    r = HITS_ROUNDS
+    return f"""
+WITH {cte}
+SELECT * FROM (
+  SELECT n.node, COALESCE(a.s, 0) AS score, 'authority' AS role
+  FROM nodes n LEFT JOIN a{r} a ON a.node = n.node
+  ORDER BY score DESC, n.node LIMIT {HITS_TOP})
+UNION ALL
+SELECT * FROM (
+  SELECT n.node, COALESCE(h.s, 0) AS score, 'hub' AS role
+  FROM nodes n LEFT JOIN h{r} h ON h.node = n.node
+  ORDER BY score DESC, n.node LIMIT {HITS_TOP})
+"""
+
+
+HITS_SQL = _hits_sql()
+
+QUERIES["graph_hits"] = graph_hits
+ORACLE_SQL["graph_hits"] = HITS_SQL

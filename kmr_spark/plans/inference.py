@@ -1025,3 +1025,54 @@ FROM sums ORDER BY event_type
 
 QUERIES["events_power_analysis"] = events_power_analysis
 ORACLE_SQL["events_power_analysis"] = POWER_SQL
+
+
+def events_hazard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard + Nelson-Aalen cumulative hazard on top of
+    the Kaplan-Meier risk table (events_survival_km): per duration day,
+    hazard = n_event / n_risk as an integer permille, and the running
+    Nelson-Aalen sum in integer micro-units — the per-term quantization
+    (1e6 * d_t) DIV n_t makes the cumulative estimator an integer sum,
+    so it is order-free and bit-identical across engines, unlike the
+    textbook float product/sum. The final double is one cast.
+
+    Plan: inherits KM's shape (two user-keyed aggs + broadcast
+    horizon); the added window runs over |distinct durations| rows
+    (~30 here, <= censor horizon in general) — a deliberately tiny
+    unpartitioned window, same as KM's own.
+    """
+    km = events_survival_km(spark, sf_dir)
+    wo = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        km.select(
+            "duration", "n_event", "n_risk",
+            F.expr("(1000 * n_event) DIV n_risk").alias("hazard_permille"),
+            F.expr("(1000000 * n_event) DIV n_risk").alias("na_term"))
+        .withColumn("cum_hazard_micro", F.sum("na_term").over(wo))
+        .select(
+            "duration", "n_event", "n_risk", "hazard_permille",
+            "cum_hazard_micro",
+            (F.col("cum_hazard_micro").cast("double") / F.lit(1000000.0))
+            .alias("nelson_aalen"))
+        .orderBy("duration")
+    )
+
+
+HAZARD_SQL = f"""
+WITH km AS MATERIALIZED ({SURVIVAL_KM_SQL}
+)
+SELECT duration, n_event, n_risk,
+       (1000 * n_event) // n_risk AS hazard_permille,
+       CAST(SUM((1000000 * n_event) // n_risk)
+              OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro,
+       CAST(CAST(SUM((1000000 * n_event) // n_risk)
+              OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS nelson_aalen
+FROM km ORDER BY duration
+"""
+
+QUERIES["events_hazard_daily"] = events_hazard_daily
+ORACLE_SQL["events_hazard_daily"] = HAZARD_SQL

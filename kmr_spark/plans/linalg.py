@@ -425,3 +425,142 @@ FROM per_dim GROUP BY label ORDER BY label
 
 QUERIES["emb_centroid_drift"] = emb_centroid_drift
 ORACLE_SQL["emb_centroid_drift"] = CENTROID_DRIFT_SQL
+
+
+PCA2_ITERS = 3  # deflated second-direction iterations (v1 uses PI_ITERS)
+
+
+def _pca_two_dirs(atav) -> tuple[list[float], list[float]]:
+    """Driver-side state evolution shared by emb_pca_two and its test:
+    v1 = PI_ITERS plain power-iteration rounds, v2 = PCA2_ITERS rounds
+    with Hotelling deflation against v1. ``atav`` maps a direction to
+    the (quantized) Aᵀ(A·v) image; all folds here are fixed-order."""
+    v1 = [0.125] * PI_DIM
+    for _ in range(PI_ITERS):
+        w = atav(v1)
+        nrm = sum(x * x for x in w) ** 0.5
+        v1 = [x / nrm for x in w]
+    v2 = [0.125] * PI_DIM
+    for _ in range(PCA2_ITERS):
+        w = atav(v2)
+        p = sum(a * b for a, b in zip(v1, w))
+        w = [x - p * a for x, a in zip(w, v1)]
+        nrm = sum(x * x for x in w) ** 0.5
+        v2 = [x / nrm for x in w]
+    return v1, v2
+
+
+def emb_pca_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal directions of the embedding matrix: v1 by the
+    emb_power_iteration recurrence (PI_ITERS rounds), then v2 by
+    power iteration WITH DEFLATION — after every matrix-free Aᵀ(A·u)
+    step the component along v1 is subtracted (w' = w − (v1·w)·v1)
+    before normalizing, the classic Hotelling deflation that PCA,
+    whitening, and spectral-hashing pipelines run right after the
+    first direction. Output: (vec_id, score1, score2), every vector
+    projected onto both directions.
+
+    Exactness inherits the power-iteration recipe wholesale: the
+    corpus-sized reduction is the 1e9-quantized integer sum; the
+    64-double state (including the deflation dot product and the
+    norm) evolves on the driver in fixed order with plain IEEE ops,
+    and the oracle evolves the identical state in unrolled SQL CTEs.
+    Per iteration: one narrow map + one 64-key aggregate; the
+    deflation itself is O(dims) driver arithmetic — nothing new
+    crosses the cluster.
+    """
+    from kmr_spark.functions.vectors import dot, to_double_array
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", to_double_array("embedding").alias("vd")).persist()
+
+    def _atav(v: list[float]) -> list[float]:
+        """One quantized Aᵀ(A·v) pass (the emb_power_iteration step)."""
+        v_lit = F.array(*[F.lit(x) for x in v])
+        proj = emb.select("vd", dot(F.col("vd"), v_lit).alias("s"))
+        sums = (
+            proj.select(F.posexplode(
+                F.transform(
+                    F.col("vd"),
+                    lambda x: F.floor(x * F.col("s") * PI_Q).cast("long"))
+            ).alias("pos", "q"))
+            .groupBy("pos").agg(F.sum("q").alias("sq"))
+            .collect()
+        )
+        w = [0.0] * PI_DIM
+        for r in sums:
+            w[r["pos"]] = float(r["sq"]) / PI_Q
+        return w
+
+    try:
+        v1, v2 = _pca_two_dirs(_atav)
+        l1 = F.array(*[F.lit(x) for x in v1])
+        l2 = F.array(*[F.lit(x) for x in v2])
+        return (
+            emb.select(
+                "vec_id",
+                dot(F.col("vd"), l1).alias("score1"),
+                dot(F.col("vd"), l2).alias("score2"))
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
+
+
+def _pca_two_sql() -> str:
+    from kmr_spark.functions.vectors import sql_dot
+
+    def atav(tag: str, it: int, vname: str) -> str:
+        return f""",
+s{tag}{it} AS (
+  SELECT e.vec_id, e.embedding, {sql_dot('e.embedding', 'c.v')} AS s
+  FROM emb e CROSS JOIN {vname} c),
+q{tag}{it} AS (
+  SELECT d - 1 AS pos,
+         SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * s * {PI_Q})
+                  AS BIGINT)) AS sq
+  FROM s{tag}{it}, unnest(range(1, {PI_DIM} + 1)) AS t(d)
+  GROUP BY pos),
+w{tag}{it} AS (
+  SELECT list(CAST(sq AS DOUBLE) / {PI_Q} ORDER BY pos) AS w FROM q{tag}{it})"""
+
+    norm_v = """list_transform(w, x -> x / sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(w, y -> y * y)),
+           (a, b) -> a + b)))"""
+    v0 = "[" + ", ".join(["CAST(0.125 AS DOUBLE)"] * PI_DIM) + "]"
+    cte = f"""emb AS (SELECT vec_id, embedding FROM embeddings),
+va0 AS (SELECT {v0} AS v)"""
+    for it in range(PI_ITERS):
+        cte += atav("a", it, f"va{it}")
+        cte += f""",
+va{it + 1} AS (SELECT {norm_v} AS v FROM wa{it})"""
+    cte += f""",
+vb0 AS (SELECT {v0} AS v)"""
+    for it in range(PCA2_ITERS):
+        cte += atav("b", it, f"vb{it}")
+        # deflation: wd = w - (v1 . w) * v1, then normalize
+        cte += f""",
+wd{it} AS (
+  SELECT list_transform(range(1, {PI_DIM} + 1),
+           i -> w[i] - list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, {PI_DIM} + 1),
+                                   j -> v[j] * w[j])),
+                  (a, b) -> a + b) * v[i]) AS w
+  FROM wb{it} CROSS JOIN va{PI_ITERS}),
+vb{it + 1} AS (SELECT {norm_v} AS v FROM wd{it})"""
+    return (
+        f"WITH {cte}\n"
+        f"SELECT e.vec_id, {sql_dot('e.embedding', 'c1.v')} AS score1,\n"
+        f"       {sql_dot('e.embedding', 'c2.v')} AS score2\n"
+        f"FROM emb e CROSS JOIN va{PI_ITERS} c1 CROSS JOIN vb{PCA2_ITERS} c2\n"
+        f"ORDER BY e.vec_id"
+    )
+
+
+PCA_TWO_SQL = _pca_two_sql()
+
+QUERIES["emb_pca_two"] = emb_pca_two
+ORACLE_SQL["emb_pca_two"] = PCA_TWO_SQL

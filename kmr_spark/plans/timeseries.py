@@ -1120,3 +1120,95 @@ SPECTRAL_SQL = _spectral_sql()
 
 QUERIES["events_spectral_daily"] = events_spectral_daily
 ORACLE_SQL["events_spectral_daily"] = SPECTRAL_SQL
+
+
+HOLT_HORIZON = 7  # forecast days
+#: state scale: level/trend carried in milli-events for integer DIVs
+HOLT_S = 1000
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) forecast of the global
+    daily event count, HOLT_HORIZON days ahead — the capacity-planning
+    forecast one step up from events_ewma_int (level only) and one
+    model down from seasonal snaive. Smoothing constants are exact
+    binary fractions (alpha=1/4, beta=1/8) and the recurrence runs in
+    scaled integers with truncating DIV:
+
+        l_t = (S*x_t + 3*(l_{t-1} + b_{t-1})) DIV 4
+        b_t = (l_t - l_{t-1} + 7*b_{t-1}) DIV 8,  l_0 = S*x_0, b_0 = 0
+
+    so the whole fold is integer arithmetic — bit-identical in any
+    engine (Spark DIV and DuckDB // both truncate toward zero, signs
+    included), sidestepping the float-fold portability trap entirely.
+
+    Plan: ONE map-side-combinable aggregation collapses the corpus to
+    <=31 (day, count) rows; the inherently-sequential 30-step fold then
+    runs as an array aggregate over that single tiny row — the
+    right split of parallel reduction vs sequential recurrence at any
+    scale (the fold's input is O(days), never O(events)).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("d").agg(F.count("*").alias("x"))
+    )
+    folded = daily.agg(
+        F.expr(f"""
+        aggregate(
+          sort_array(collect_list(struct(d, x))),
+          named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                       'n', CAST(0 AS BIGINT)),
+          (acc, e) -> IF(acc.n = 0,
+            named_struct('l', {HOLT_S} * e.x, 'b', CAST(0 AS BIGINT),
+                         'n', CAST(1 AS BIGINT)),
+            named_struct(
+              'l', ({HOLT_S} * e.x + 3 * (acc.l + acc.b)) DIV 4,
+              'b', ((({HOLT_S} * e.x + 3 * (acc.l + acc.b)) DIV 4)
+                    - acc.l + 7 * acc.b) DIV 8,
+              'n', acc.n + 1)))
+        """).alias("st"))
+    return (
+        folded.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HOLT_HORIZON))).alias("h"),
+            F.col("st.l").alias("level_milli"),
+            F.col("st.b").alias("trend_milli"))
+        .select(
+            F.col("h").cast("long").alias("h"), "level_milli", "trend_milli",
+            (F.col("level_milli") + F.col("h") * F.col("trend_milli"))
+            .alias("forecast_milli"))
+        .select(
+            "h", "level_milli", "trend_milli", "forecast_milli",
+            (F.col("forecast_milli").cast("double") / F.lit(float(HOLT_S)))
+            .alias("forecast"))
+        .orderBy("h")
+    )
+
+
+HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM events GROUP BY 1),
+ord AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily),
+rec(i, l, b) AS (
+  SELECT CAST(1 AS BIGINT), {HOLT_S} * x, CAST(0 AS BIGINT)
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.i,
+         ({HOLT_S} * o.x + 3 * (r.l + r.b)) // 4,
+         ((({HOLT_S} * o.x + 3 * (r.l + r.b)) // 4) - r.l + 7 * r.b) // 8
+  FROM rec r JOIN ord o ON o.i = r.i + 1),
+fin AS (SELECT l, b FROM rec ORDER BY i DESC LIMIT 1)
+SELECT CAST(h AS BIGINT) AS h,
+       l AS level_milli, b AS trend_milli,
+       l + h * b AS forecast_milli,
+       CAST(l + h * b AS DOUBLE) / {float(HOLT_S)} AS forecast
+FROM fin, unnest(range(1, {HOLT_HORIZON + 1})) AS t(h)
+ORDER BY h
+"""
+
+QUERIES["events_holt_linear"] = events_holt_linear
+ORACLE_SQL["events_holt_linear"] = HOLT_SQL
