@@ -368,3 +368,21 @@ def test_audience_overlap_no_cartesian(spark):
     plan = _plan(events_audience_overlap(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_take_ordered(spark):
+    from kmr_spark.plans.search import search_inverted_index
+
+    plan = _plan(search_inverted_index(spark, SF))
+    # top-N posting stats must cut with TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_query_broadcasts_phrase(spark):
+    from kmr_spark.plans.search import search_phrase_query
+
+    plan = _plan(search_phrase_query(spark, SF))
+    # the resolved 1-row phrase joins by broadcast; the doc cut is top-N
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
