@@ -325,6 +325,12 @@ _DRIVER_CHECKED = frozenset({
 # emb_pca_two, text_longest_repeat — 8 names. They also DEFER to
 # ROUND 7 (r7 window = 6 r6-defers + 17 fifth-wave + these 8 = 31 of
 # 50 slots); _R6_WINDOW is still exactly the 50 pinned above.
+#
+# ROUND-5 SEVENTH WAVE (same policy, every one exact-sim green at
+# sf0.001 AND sf0.01 at add time): search_bm25_topk,
+# events_attribution_full_streamed, train_curriculum_order,
+# privacy_t_closeness — 4 names, deferring to ROUND 7 (35 of 50
+# slots now spoken for).
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

@@ -321,6 +321,10 @@ BENCH_QUERIES = [
     "multimodal_image_phash",
     "emb_pca_two",
     "text_longest_repeat",
+    "search_bm25_topk",
+    "events_attribution_full_streamed",
+    "train_curriculum_order",
+    "privacy_t_closeness",
 ]
 
 

@@ -1269,3 +1269,81 @@ GAP_SWEEP_SQL = _gap_sweep_sql()
 
 QUERIES["events_session_gap_sensitivity"] = events_session_gap_sensitivity
 ORACLE_SQL["events_session_gap_sensitivity"] = GAP_SWEEP_SQL
+
+
+def events_attribution_full_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream attribution: matched (purchase, click)
+    pairs + organic purchases (NULL click) + unconverted clicks (NULL
+    purchase) — the complete ledger both finance sides reconcile
+    against. The oracle replays the watermark flush rule exactly: a
+    batch full join keeps matched pairs, unmatched purchases with
+    p_ts < wm, and unmatched clicks with c_ts < wm - horizon (a click
+    only becomes provably unconverted once the watermark clears its
+    whole forward join window), wm = min(max p_ts, max c_ts) - 1h."""
+    import shutil
+    import tempfile
+
+    from kmr_spark.streaming.windows import (attribution_full_stream,
+                                             run_available_now,
+                                             sized_state_partitions,
+                                             stream_events)
+
+    ev = stream_events(spark, sf_dir)
+    pairs = attribution_full_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"))
+    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    try:
+        out = run_available_now(
+            pairs, "events_attribution_full_sink", ck,
+            output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        out.groupBy(F.coalesce("p_user", "c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("purchase_id").alias("n_purchases"),
+             F.sum(F.when(F.col("purchase_id").isNotNull()
+                          & F.col("click_id").isNull(), 1).otherwise(0))
+             .alias("n_unattributed"),
+             F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+             .alias("n_unconverted_clicks"),
+             F.sum("click_id").alias("click_id_sum"),
+             F.sum("purchase_id").alias("purchase_id_sum"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ATTRIBUTION_FULL_SQL = """
+WITH wm AS (
+  SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(CASE WHEN event_type = 'click' THEN ts END))
+         - INTERVAL 1 HOUR AS w
+  FROM events),
+pairs AS (
+  SELECT p.user_id AS p_user, p.event_id AS purchase_id, p.ts AS p_ts,
+         c.user_id AS c_user, c.event_id AS click_id, c.ts AS c_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id
+   AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL 1 HOUR)
+SELECT COALESCE(p_user, c_user) AS user_id,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(SUM(CASE WHEN purchase_id IS NOT NULL AND click_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unattributed,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted_clicks,
+       CAST(SUM(click_id) AS BIGINT) AS click_id_sum,
+       CAST(SUM(purchase_id) AS BIGINT) AS purchase_id_sum
+FROM pairs, wm
+WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+   OR (purchase_id IS NOT NULL AND click_id IS NULL AND p_ts < wm.w)
+   OR (purchase_id IS NULL AND c_ts < wm.w - INTERVAL 1 HOUR)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_attribution_full_streamed"] = events_attribution_full_streamed
+ORACLE_SQL["events_attribution_full_streamed"] = EVENTS_ATTRIBUTION_FULL_SQL

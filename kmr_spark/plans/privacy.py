@@ -160,3 +160,94 @@ LADDER_SQL = _ladder_sql()
 
 QUERIES["privacy_generalization_ladder"] = privacy_generalization_ladder
 ORACLE_SQL["privacy_generalization_ladder"] = LADDER_SQL
+
+
+T_LEVELS_PERMILLE = (200, 300, 500)  # t = 0.2 / 0.3 / 0.5
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit over the same QI scheme as the k-anonymity
+    query ((mktsegment, nationkey), sensitive = acctbal band): per QI
+    group the total-variation distance between the group's sensitive
+    distribution and the global one, reported as one summary row —
+    max/avg TV (integer permille) and group counts above each t in
+    T_LEVELS_PERMILLE. l-diversity (privacy_k_anonymity) only counts
+    distinct sensitive values; t-closeness catches the skew attack
+    where a group technically has l values but 99% of its mass sits
+    on one of them.
+
+    Exactness: TV over a common denominator — sum_s |cnt_gs*n -
+    cnt_s*g| is an integer, tv_permille = (1000*sum) DIV (2*g*n).
+    Scale: the sensitive-band dimension is BOUNDED (|bands| ~ 12), so
+    the groups x bands grid rides a broadcast; everything upstream is
+    two map-side-combinable aggregations of the corpus."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band")
+    gs = cust.groupBy("c_mktsegment", "c_nationkey", band) \
+        .agg(F.count("*").alias("cnt_gs"))
+    glob = cust.groupBy(band).agg(F.count("*").alias("cnt_s"))
+    totals = cust.agg(F.count("*").alias("n"))
+    groups = gs.groupBy("c_mktsegment", "c_nationkey") \
+        .agg(F.sum("cnt_gs").alias("g_size"))
+    grid = groups.crossJoin(F.broadcast(glob))
+    tv = (
+        grid.join(
+            gs, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "c_mktsegment", "c_nationkey", "g_size",
+            F.abs(F.coalesce("cnt_gs", F.lit(0)) * F.col("n")
+                  - F.col("cnt_s") * F.col("g_size")).alias("d"),
+            "n")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.max("g_size").alias("g_size"), F.max("n").alias("n"),
+             F.sum("d").alias("sum_d"))
+        .select(F.expr("(1000 * sum_d) DIV (2 * g_size * n)")
+                .alias("tv_permille"))
+    )
+    agg = [F.count("*").alias("n_groups"),
+           F.max("tv_permille").alias("max_tv_permille"),
+           F.expr("SUM(tv_permille) DIV COUNT(*)").alias("avg_tv_permille")]
+    for t in T_LEVELS_PERMILLE:
+        agg.append(F.count(F.when(F.col("tv_permille") > t, 1))
+                   .alias(f"groups_above_t{t}"))
+    return tv.groupBy().agg(*agg)
+
+
+_T_COLS = ",\n".join(
+    f"       COUNT(CASE WHEN tv_permille > {t} THEN 1 END)"
+    f" AS groups_above_t{t}" for t in T_LEVELS_PERMILLE)
+
+T_CLOSENESS_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer),
+gs AS (
+  SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS cnt_gs
+  FROM base GROUP BY 1, 2, 3),
+gdist AS (SELECT band, COUNT(*) AS cnt_s FROM base GROUP BY band),
+totals AS (SELECT COUNT(*) AS n FROM base),
+groups AS (
+  SELECT c_mktsegment, c_nationkey, CAST(SUM(cnt_gs) AS BIGINT) AS g_size
+  FROM gs GROUP BY 1, 2),
+tv AS (
+  SELECT g.c_mktsegment, g.c_nationkey,
+         (1000 * CAST(SUM(abs(COALESCE(s.cnt_gs, 0) * t.n
+                               - gl.cnt_s * g.g_size)) AS BIGINT))
+           // (2 * MAX(g.g_size) * MAX(t.n)) AS tv_permille
+  FROM groups g
+  CROSS JOIN gdist gl
+  CROSS JOIN totals t
+  LEFT JOIN gs s ON s.c_mktsegment = g.c_mktsegment
+                AND s.c_nationkey = g.c_nationkey AND s.band = gl.band
+  GROUP BY 1, 2)
+SELECT COUNT(*) AS n_groups,
+       MAX(tv_permille) AS max_tv_permille,
+       CAST(SUM(tv_permille) AS BIGINT) // COUNT(*) AS avg_tv_permille,
+{_T_COLS}
+FROM tv
+"""
+
+QUERIES["privacy_t_closeness"] = privacy_t_closeness
+ORACLE_SQL["privacy_t_closeness"] = T_CLOSENESS_SQL

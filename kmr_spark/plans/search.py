@@ -40,7 +40,14 @@ _PACK = 1 << 40
 QUERIES = {}
 ORACLE_SQL = {}
 
-_TOKS = F.filter(F.split("text", " "), lambda x: x != "")
+def _toks():
+    """Token-array Column, built lazily: constructing Columns needs an
+    active SparkContext, and this module must stay importable without
+    one (the registry is imported before the driver's session in some
+    paths)."""
+    return F.filter(F.split("text", " "), lambda x: x != "")
+
+
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
@@ -53,7 +60,7 @@ def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing| — already sublinear in corpus bytes."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     tf = (
-        docs.select("doc_id", F.explode(_TOKS).alias("token"))
+        docs.select("doc_id", F.explode(_toks()).alias("token"))
         .groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     )
     packed = F.col("tf") * F.lit(_PACK) + (F.lit(_PACK - 1) - F.col("doc_id"))
@@ -104,7 +111,7 @@ def search_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency test never leaves the row: a document's positions are
     an array local to its task."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    toks = docs.select("doc_id", _TOKS.alias("tt"))
+    toks = docs.select("doc_id", _toks().alias("tt"))
     grams = toks.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -151,3 +158,114 @@ FROM hits ORDER BY n_occ DESC, doc_id LIMIT {TOP_DOCS}
 
 QUERIES["search_phrase_query"] = search_phrase_query
 ORACLE_SQL["search_phrase_query"] = PHRASE_QUERY_SQL
+
+
+BM25_TERMS = 3   # query = the corpus's top-BM25_TERMS tokens by cf
+BM25_TOP = 10
+# k1 = 6/5, b = 3/4 as exact rationals: clearing denominators by 20*S
+# turns the tf saturation into integers (num = 44*tf*S,
+# den = 20*tf*S + 6*S + 18*dl*N)
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: BM25 top-BM25_TOP documents for a derived
+    query (the corpus's BM25_TERMS most frequent tokens, ties
+    lexicographic) — the scoring half of the search/retrieval story
+    (inverted index -> phrase match -> ranked retrieval;
+    /root/reference/README.md:7-21). Okapi BM25 with k1=1.2, b=0.75.
+
+    Exactness: k1/b are exact rationals cleared to integers against
+    20*S (S = total corpus tokens), so each term's saturation is an
+    integer ratio; idf uses the common-denominator quantized-log
+    recipe, idf_micro = q(2N+2) - q(2*df+1) with q(x) =
+    floor(ln(x)*1e6) on an INTEGER argument (both engines take ln of
+    the same exact double). A doc's score sums its <=3 term scores in
+    fixed term order (pivoted columns), so every output double is one
+    fixed expression tree and ORDER BY score is hash-safe.
+
+    Scale: tf/df/dl are the inverted-index aggregates (map-side
+    combined); the 3-term query and the (N, S) totals ride a
+    broadcast; the final cut is TakeOrdered. Nothing joins on raw
+    text; the integer numerators stay under 2^63 for corpora to ~1e14
+    total tokens — past that, the same plan runs in DECIMAL(38,0).
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = dl.agg(F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("s_tokens"))
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+    top_terms = (
+        tf.groupBy("token").agg(F.sum("tf").alias("cf"),
+                                F.count("*").alias("df"))
+        .orderBy(F.col("cf").desc(), "token").limit(BM25_TERMS)
+        # window over the BM25_TERMS-row frame only (post-limit)
+        .withColumn("term_rank", F.row_number().over(
+            Window.orderBy(F.col("cf").desc(), "token")))
+    )
+    q = F.lit(1000000.0)
+    idf_micro = (F.floor(F.log(2 * F.col("n_docs") + 2) * q)
+                 - F.floor(F.log(2 * F.col("df") + 1) * q))
+    scored = (
+        tf.join(F.broadcast(top_terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id", "dl", "term_rank",
+            (idf_micro.cast("double")
+             * (44 * F.col("tf") * F.col("s_tokens")).cast("double")
+             / (20 * F.col("tf") * F.col("s_tokens") + 6 * F.col("s_tokens")
+                + 18 * F.col("dl") * F.col("n_docs")).cast("double"))
+            .alias("ts"))
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[F.coalesce(F.max(F.when(F.col("term_rank") == r, F.col("ts"))),
+                     F.lit(0.0)).alias(f"s{r}")
+          for r in range(1, BM25_TERMS + 1)])
+    score = F.col("s1")
+    for r in range(2, BM25_TERMS + 1):
+        score = score + F.col(f"s{r}")
+    return (
+        pivoted.select("doc_id", "dl", score.alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id").limit(BM25_TOP)
+    )
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+totals AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens FROM dl),
+tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+top_terms AS (
+  SELECT token, df,
+         row_number() OVER (ORDER BY cf DESC, token) AS term_rank
+  FROM (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf, COUNT(*) AS df
+        FROM tf GROUP BY token)
+  ORDER BY cf DESC, token LIMIT {BM25_TERMS}),
+scored AS (
+  SELECT tf.doc_id, dl.dl, tt.term_rank,
+         CAST(floor(ln(2 * t.n_docs + 2) * 1000000.0)
+              - floor(ln(2 * tt.df + 1) * 1000000.0) AS DOUBLE)
+         * CAST(44 * tf.tf * t.s_tokens AS DOUBLE)
+         / CAST(20 * tf.tf * t.s_tokens + 6 * t.s_tokens
+                + 18 * dl.dl * t.n_docs AS DOUBLE) AS ts
+  FROM tf JOIN top_terms tt USING (token)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN totals t),
+pivoted AS (
+  SELECT doc_id, MAX(dl) AS dl,
+         {", ".join(
+             f"COALESCE(MAX(CASE WHEN term_rank = {r} THEN ts END), 0.0)"
+             f" AS s{r}" for r in range(1, BM25_TERMS + 1))}
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, dl, {" + ".join(f"s{r}" for r in range(1, BM25_TERMS + 1))}
+         AS score_micro
+FROM pivoted ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+QUERIES["search_bm25_topk"] = search_bm25_topk
+ORACLE_SQL["search_bm25_topk"] = BM25_SQL

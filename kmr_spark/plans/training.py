@@ -450,3 +450,61 @@ EXPORT_SHARDS_SQL = _export_shards_sql()
 
 QUERIES["train_export_shards"] = train_export_shards
 ORACLE_SQL["train_export_shards"] = EXPORT_SHARDS_SQL
+
+
+CURRICULUM_TOP = 24
+
+
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for a training run: within each source,
+    documents ranked easy-to-hard (token count, then doc_id), and the
+    global feed interleaves sources ROUND-ROBIN at equal per-source
+    rank — epoch position = (src_rank, source) — so early training
+    sees short docs from every source instead of draining one source
+    first. Returns the first CURRICULUM_TOP feed rows.
+
+    Scale shape: the per-source rank comes from the distributed
+    exscan ranking (operators/sort.ranking_per_group) — no
+    Window.partitionBy(source) funneling a whole source through one
+    task — and the final cut is a top-N on (src_rank, source), which
+    TakeOrdered handles without a global sort."""
+    from kmr_spark.operators.sort import ranking_per_group
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text")
+    sized = docs.select(
+        "doc_id", "source",
+        F.coalesce(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+            F.lit(0)).cast("long").alias("n_tokens"))  # NULL text -> 0:
+        # Spark sorts NULL first, DuckDB last — coalesce removes the
+        # cross-engine NULL-ordering hazard from the rank order
+    ranked = ranking_per_group(
+        sized, ["source"], [F.col("n_tokens"), F.col("doc_id")],
+        materialize=True)
+    return (
+        ranked.select("doc_id", "source", "n_tokens",
+                      F.col("rank").cast("long").alias("src_rank"))
+        .orderBy("src_rank", "source").limit(CURRICULUM_TOP)
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '),
+                               x -> x <> '')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tokens, doc_id) - 1
+              AS BIGINT) AS src_rank
+  FROM sized)
+SELECT doc_id, source, n_tokens, src_rank
+FROM ranked ORDER BY src_rank, source LIMIT {CURRICULUM_TOP}
+"""
+
+QUERIES["train_curriculum_order"] = train_curriculum_order
+ORACLE_SQL["train_curriculum_order"] = CURRICULUM_SQL

@@ -155,6 +155,35 @@ def attribution_outer_stream(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def attribution_full_stream(purchases: DataFrame, clicks: DataFrame,
+                            horizon: str = "1 hour") -> DataFrame:
+    """FULL OUTER stream-stream join: matched (purchase, click) pairs,
+    plus NULL-click rows for purchases no click preceded (organic
+    conversions), plus NULL-purchase rows for clicks no purchase
+    followed within the horizon (unconverted ad spend) — the complete
+    attribution ledger. State eviction is watermark-exact on both
+    sides: an unmatched purchase flushes when the watermark passes
+    p_ts (no earlier click can still arrive); an unmatched click
+    flushes when it passes c_ts + horizon (no qualifying purchase can
+    still arrive). In a bounded replay both tails are deterministic:
+    p_ts < wm and c_ts < wm - horizon for the final watermark
+    wm = min(max p_ts, max c_ts) - horizon."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value")).withWatermark("p_ts", horizon)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id")).withWatermark("c_ts", horizon)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    )
+
+
 def versioned_merge_stream(events: DataFrame, state_dir: str,
                            checkpoint_dir: str, delta_fn, merge_fn) -> DataFrame:
     """Generic incremental-state maintenance runner: for every
