@@ -331,6 +331,10 @@ _DRIVER_CHECKED = frozenset({
 # events_attribution_full_streamed, train_curriculum_order,
 # privacy_t_closeness — 4 names, deferring to ROUND 7 (35 of 50
 # slots now spoken for).
+#
+# ROUND-5 EIGHTH WAVE (same policy, exact-sim green at sf0.001 AND
+# sf0.01 at add time): events_holt_winters, events_ks_test,
+# graph_ktruss — 3 names, deferring to ROUND 7 (38 of 50 slots).
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

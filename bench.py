@@ -325,6 +325,9 @@ BENCH_QUERIES = [
     "events_attribution_full_streamed",
     "train_curriculum_order",
     "privacy_t_closeness",
+    "events_holt_winters",
+    "events_ks_test",
+    "graph_ktruss",
 ]
 
 

@@ -1010,3 +1010,113 @@ HITS_SQL = _hits_sql()
 
 QUERIES["graph_hits"] = graph_hits
 ORACLE_SQL["graph_hits"] = HITS_SQL
+
+
+TRUSS_K = 4        # keep edges in >= (K-2) triangles among kept edges
+TRUSS_ROUNDS = 3   # FIXED peel rounds (both engines run exactly these)
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-TRUSS peeling trace on the canonical undirected R-MAT graph:
+    TRUSS_ROUNDS fixed rounds of "count per-edge triangle support,
+    drop edges with support < K-2", reporting per round the surviving
+    edge count, the triangle count, and an edge checksum — the
+    community-core extractor one step stronger than k-core (k-core
+    bounds degree; k-truss demands the degree be REALIZED as
+    triangles). Fixed-round semantics (the graph_label_propagation
+    convention): both engines run exactly TRUSS_ROUNDS peels, so the
+    comparison never depends on convergence detection; on this graph
+    the trace also shows how close the peel is to its fixpoint.
+
+    Plan per round: one triple equi-join enumerates surviving
+    triangles (each exactly once via u<v<w), one explode + keyed count
+    yields per-edge support, one semi-join drops light edges —
+    everything shuffle-keyed by edge endpoints, localCheckpoint
+    truncating lineage between rounds (the kcore/CC loop discipline).
+    The DuckDB oracle unrolls the same rounds as MATERIALIZED CTEs.
+    """
+    edges = canonicalize_edges(rmat_raw_edges(spark)).persist()
+    caches = [edges]
+    try:
+        n_edges = edges.count()
+        rows = []
+        with sized_shuffle_partitions(spark, n_edges):
+            cur = edges
+            for rnd in range(1, TRUSS_ROUNDS + 1):
+                e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                e2 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+                e3 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+                tris = (
+                    e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+                    .join(e3, ["b", "c"])
+                )
+                support = (
+                    tris.select(
+                        F.explode(F.array(
+                            F.struct(F.col("a").alias("u"),
+                                     F.col("b").alias("v")),
+                            F.struct(F.col("a").alias("u"),
+                                     F.col("c").alias("v")),
+                            F.struct(F.col("b").alias("u"),
+                                     F.col("c").alias("v")))).alias("e"))
+                    .select("e.u", "e.v")
+                    .groupBy("u", "v").agg(F.count("*").alias("sup"))
+                )
+                nxt = (
+                    cur.join(support.filter(F.col("sup") >= TRUSS_K - 2),
+                             ["u", "v"], "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+                stat = (
+                    nxt.agg(
+                        F.count("*").alias("n_edges"),
+                        F.coalesce(F.sum(F.col("u") * 1048576 + F.col("v")),
+                                   F.lit(0)).alias("edge_checksum"))
+                    .select(F.lit(rnd).cast("long").alias("round"),
+                            "n_edges", "edge_checksum")
+                )
+                rows.append(stat)
+                cur = nxt
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("round")
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _ktruss_sql() -> str:
+    cte = f"""raw AS ({RMAT_RAW_SQL}),
+keep0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst)"""
+    for r in range(1, TRUSS_ROUNDS + 1):
+        cte += f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM keep{r - 1} e1
+  JOIN keep{r - 1} e2 ON e2.u = e1.u AND e1.v < e2.v
+  JOIN keep{r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+sup{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r})
+  GROUP BY u, v),
+keep{r} AS MATERIALIZED (
+  SELECT k.u, k.v FROM keep{r - 1} k
+  JOIN sup{r} s ON s.u = k.u AND s.v = k.v
+  WHERE s.sup >= {TRUSS_K - 2})"""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, COUNT(*) AS n_edges,\n"
+        f"       CAST(COALESCE(SUM(u * 1048576 + v), 0) AS BIGINT)"
+        f" AS edge_checksum FROM keep{r}"
+        for r in range(1, TRUSS_ROUNDS + 1))
+    return f"WITH {cte}\n{selects}\nORDER BY round"
+
+
+KTRUSS_SQL = _ktruss_sql()
+
+QUERIES["graph_ktruss"] = graph_ktruss
+ORACLE_SQL["graph_ktruss"] = KTRUSS_SQL

@@ -1076,3 +1076,99 @@ FROM km ORDER BY duration
 
 QUERIES["events_hazard_daily"] = events_hazard_daily
 ORACLE_SQL["events_hazard_daily"] = HAZARD_SQL
+
+
+KS_ALPHA_C = 1.3581015157406195  # c(0.05) for the two-sample KS bound
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test on purchase values between
+    experiment arms (arm = user_id % 2, the events_ab_test split): the
+    KS statistic D = max |ECDF_a - ECDF_b|, the 5% critical value, and
+    the reject flag. KS catches distribution-shape changes a mean test
+    (ab_test) and a rank test (mann_whitney) both miss.
+
+    Exactness: ECDFs on the common denominator — at each distinct
+    cent value, |cum_a * n_b - cum_b * n_a| is an INTEGER, so D's
+    argmax is an integer MAX; D itself and the critical value
+    c * sqrt((na+nb)/(na*nb)) are each one fixed tree (sqrt is
+    correctly rounded, hence portable).
+
+    Scale: the cumulative counts come from the distributed two-phase
+    exscan (operators/reduce.scan_distributed — KMR's MPI_Exscan
+    shape), NOT a single-partition window: the per-value count table
+    is range-partitioned and each partition adds a driver-exscanned
+    offset, so the ECDF sweep survives a value domain of any size.
+    """
+    from kmr_spark.operators.reduce import scan_distributed
+
+    ev = load_tables(spark, sf_dir)["events"]
+    per_val = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.floor(F.col("value") * 100).cast("long").alias("c"),
+                (F.col("user_id") % 2).alias("arm"))
+        .groupBy("c")
+        .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+             F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"))
+    )
+    scanned = scan_distributed(per_val, ["ca", "cb"], [F.col("c")])
+    totals = per_val.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d_scaled = (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(F.abs((F.col("scan_ca") + F.col("ca")) * F.col("nb")
+                      - (F.col("scan_cb") + F.col("cb")) * F.col("na"))
+                .alias("diff"))
+        .agg(F.max("diff").alias("d_scaled"))
+    )
+    dd = lambda c: F.col(c).cast("double")
+    return (
+        d_scaled.crossJoin(F.broadcast(totals))
+        .select(
+            "na", "nb", "d_scaled",
+            (dd("d_scaled") / (dd("na") * dd("nb"))).alias("d"),
+            (F.lit(KS_ALPHA_C)
+             * F.sqrt((dd("na") + dd("nb")) / (dd("na") * dd("nb"))))
+            .alias("crit_05"))
+        .select(
+            "*",
+            (F.col("d") > F.col("crit_05")).alias("reject_05"))
+    )
+
+
+KS_SQL = f"""
+WITH per_val AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+cum AS (
+  SELECT c, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_b
+  FROM per_val),
+totals AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM per_val),
+d AS (
+  SELECT MAX(abs(cum_a * t.nb - cum_b * t.na)) AS d_scaled
+  FROM cum CROSS JOIN totals t)
+SELECT na, nb, d_scaled,
+       CAST(d_scaled AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
+       {KS_ALPHA_C} * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         AS crit_05,
+       CAST(d_scaled AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         > {KS_ALPHA_C} * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         AS reject_05
+FROM d CROSS JOIN totals
+"""
+
+QUERIES["events_ks_test"] = events_ks_test
+ORACLE_SQL["events_ks_test"] = KS_SQL

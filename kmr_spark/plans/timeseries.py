@@ -1212,3 +1212,114 @@ ORDER BY h
 
 QUERIES["events_holt_linear"] = events_holt_linear
 ORACLE_SQL["events_holt_linear"] = HOLT_SQL
+
+
+HW_PERIOD = 7  # weekly seasonality on the daily series
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS (level + trend + weekly seasonal) forecast
+    of the global daily event count, HOLT_HORIZON days ahead — the
+    model events_forecast_snaive benchmarks against and
+    events_holt_linear lacks the seasonal term for. Same integer
+    discipline as the Holt fold (alpha=1/4, beta=1/8, gamma=1/4,
+    truncating DIV, milli-scaled):
+
+        l_t = (S*x_t - s_head + 3*(l+b)) DIV 4
+        b_t = (l_t - l + 7*b) DIV 8
+        s_t = (S*x_t - l_t + 3*s_head) DIV 4     (s seeded to 0 x 7)
+
+    with the seasonal ring carried as a 7-long array (head = s_{t-7},
+    rotated each step). The whole fold is integers, so Spark's array
+    aggregate and DuckDB's recursive CTE (list column state) agree
+    bit-for-bit; forecasts add the matching ring slot.
+
+    Plan: identical scale shape to events_holt_linear — one map-side
+    combinable daily aggregation, then an O(days) sequential fold over
+    a single row.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("d").agg(F.count("*").alias("x"))
+    )
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * HW_PERIOD)
+    folded = daily.agg(
+        F.expr(f"""
+        aggregate(
+          sort_array(collect_list(struct(d, x))),
+          named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                       's', array({zeros}), 'n', CAST(0 AS BIGINT)),
+          (acc, e) -> IF(acc.n = 0,
+            named_struct('l', {HOLT_S} * e.x, 'b', CAST(0 AS BIGINT),
+                         's', acc.s, 'n', CAST(1 AS BIGINT)),
+            named_struct(
+              'l', ({HOLT_S} * e.x - acc.s[0] + 3 * (acc.l + acc.b)) DIV 4,
+              'b', (((({HOLT_S} * e.x - acc.s[0] + 3 * (acc.l + acc.b))
+                      DIV 4)) - acc.l + 7 * acc.b) DIV 8,
+              's', concat(
+                     slice(acc.s, 2, {HW_PERIOD - 1}),
+                     array(({HOLT_S} * e.x
+                            - (({HOLT_S} * e.x - acc.s[0]
+                                + 3 * (acc.l + acc.b)) DIV 4)
+                            + 3 * acc.s[0]) DIV 4)),
+              'n', acc.n + 1)))
+        """).alias("st"))
+    return (
+        folded.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HOLT_HORIZON))).alias("h"),
+            F.col("st.l").alias("level_milli"),
+            F.col("st.b").alias("trend_milli"),
+            F.col("st.s").alias("ring"))
+        .select(
+            F.col("h").cast("long").alias("h"), "level_milli", "trend_milli",
+            F.expr(f"ring[CAST((h - 1) % {HW_PERIOD} AS INT)]")
+            .alias("seasonal_milli"))
+        .select(
+            "h", "level_milli", "trend_milli", "seasonal_milli",
+            (F.col("level_milli") + F.col("h") * F.col("trend_milli")
+             + F.col("seasonal_milli")).alias("forecast_milli"))
+        .select(
+            "*",
+            (F.col("forecast_milli").cast("double") / F.lit(float(HOLT_S)))
+            .alias("forecast"))
+        .orderBy("h")
+    )
+
+
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM events GROUP BY 1),
+ord AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily),
+rec(i, l, b, s) AS (
+  SELECT CAST(1 AS BIGINT), {HOLT_S} * x, CAST(0 AS BIGINT),
+         [{", ".join(["CAST(0 AS BIGINT)"] * HW_PERIOD)}]
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.i,
+         ({HOLT_S} * o.x - r.s[1] + 3 * (r.l + r.b)) // 4,
+         (((({HOLT_S} * o.x - r.s[1] + 3 * (r.l + r.b)) // 4))
+            - r.l + 7 * r.b) // 8,
+         list_append(r.s[2:{HW_PERIOD}],
+                     ({HOLT_S} * o.x
+                      - (({HOLT_S} * o.x - r.s[1] + 3 * (r.l + r.b)) // 4)
+                      + 3 * r.s[1]) // 4)
+  FROM rec r JOIN ord o ON o.i = r.i + 1),
+fin AS (SELECT l, b, s FROM rec ORDER BY i DESC LIMIT 1)
+SELECT CAST(h AS BIGINT) AS h,
+       l AS level_milli, b AS trend_milli,
+       s[CAST((h - 1) % {HW_PERIOD} AS INTEGER) + 1] AS seasonal_milli,
+       l + h * b + s[CAST((h - 1) % {HW_PERIOD} AS INTEGER) + 1]
+         AS forecast_milli,
+       CAST(l + h * b + s[CAST((h - 1) % {HW_PERIOD} AS INTEGER) + 1]
+            AS DOUBLE) / {float(HOLT_S)} AS forecast
+FROM fin, unnest(range(1, {HOLT_HORIZON + 1})) AS t(h)
+ORDER BY h
+"""
+
+QUERIES["events_holt_winters"] = events_holt_winters
+ORACLE_SQL["events_holt_winters"] = HOLT_WINTERS_SQL
