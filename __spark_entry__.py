@@ -335,6 +335,11 @@ _DRIVER_CHECKED = frozenset({
 # ROUND-5 EIGHTH WAVE (same policy, exact-sim green at sf0.001 AND
 # sf0.01 at add time): events_holt_winters, events_ks_test,
 # graph_ktruss — 3 names, deferring to ROUND 7 (38 of 50 slots).
+#
+# ROUND-5 NINTH WAVE (same policy, exact-sim green at sf0.001 AND
+# sf0.01 at add time): events_shapley_attribution,
+# events_peak_prominence — 2 names, deferring to ROUND 7 (40 of 50
+# slots).
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

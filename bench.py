@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "events_holt_winters",
     "events_ks_test",
     "graph_ktruss",
+    "events_shapley_attribution",
+    "events_peak_prominence",
 ]
 
 

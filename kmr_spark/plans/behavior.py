@@ -1126,3 +1126,128 @@ FROM users GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["events_bot_flags"] = events_bot_flags
 ORACLE_SQL["events_bot_flags"] = BOT_FLAGS_SQL
+
+
+#: bit per channel (alphabetical): every non-purchase event type
+SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+_SHAPLEY_N = len(SHAPLEY_CHANNELS)
+#: |S|! * (n-1-|S|)! for n=4, indexed by |S| — x24 integer weights
+_SHAPLEY_W = (6, 2, 2, 6)
+
+
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: each converting user
+    contributes their PRE-first-purchase touchset (the distinct
+    non-purchase event types seen before their first purchase, as a
+    4-bit mask), the coalition value v(S) counts users whose nonempty
+    touchset fits inside S, and each channel's Shapley value is the
+    classic marginal-contribution average — computed EXACTLY because
+    n=4 makes the 2^4 subset lattice enumerable and the |S|!(n-1-|S|)!
+    weights integral after scaling by n!=24. phi_x24 is therefore an
+    integer (hash-exact); sum(phi_x24) = 24 * v(full) is test-pinned.
+
+    Scale: everything after the two user-keyed aggregations (first
+    purchase, bit_or of touch bits) is arithmetic on a <=15-row mask
+    census — the subset lattice and the marginal sums are broadcast
+    joins of 16-row frames regardless of input size. The multitouch /
+    markov attribution queries split credit by position/transition;
+    Shapley is the order-free, incrementality-flavored split.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("fp_ts"))
+    )
+    bit_expr = "CASE " + " ".join(
+        f"WHEN event_type = '{n}' THEN {b}"
+        for n, b in SHAPLEY_CHANNELS) + " ELSE 0 END"
+    masks = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fp_ts"))
+        .select("user_id", F.expr(bit_expr).alias("b"))
+        .groupBy("user_id").agg(F.expr("bit_or(b)").alias("mask"))
+        .filter(F.col("mask") > 0)
+        .groupBy("mask").agg(F.count("*").alias("cnt"))
+    )
+    full = (1 << _SHAPLEY_N) - 1
+    subsets = spark.range(full + 1).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(F.broadcast(masks),
+                     F.expr("CAST(mask & s AS INT) = CAST(mask AS INT)"),
+                     "left")
+        .groupBy("s").agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    chan = spark.createDataFrame(
+        list(SHAPLEY_CHANNELS), "channel string, bit int")
+    w_case0 = "CASE " + " ".join(
+        f"WHEN bit_count(CAST(s0 AS BIGINT)) = {k} THEN {w}"
+        for k, w in enumerate(_SHAPLEY_W)) + " END"
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vc = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    phi = (
+        chan.crossJoin(F.broadcast(vs))
+        .filter(F.expr("CAST(s0 & bit AS INT) = 0"))
+        .join(F.broadcast(vc), F.expr("CAST(s1 AS INT) = CAST(s0 | bit AS INT)"))
+        .select("channel", "bit",
+                (F.expr(f"CAST(({w_case0}) AS BIGINT)")
+                 * (F.col("v1") - F.col("v0"))).alias("term"))
+        .groupBy("channel", "bit").agg(F.sum("term").alias("phi_x24"))
+    )
+    totals = v.filter(F.col("s") == full).select(
+        F.col("v").alias("n_attributable"))
+    return (
+        phi.crossJoin(F.broadcast(totals))
+        .select(
+            "channel", "phi_x24",
+            (F.col("phi_x24").cast("double") / F.lit(24.0)).alias("phi"),
+            "n_attributable")
+        .orderBy("channel")
+    )
+
+
+def _shapley_sql() -> str:
+    bit_case = "CASE " + " ".join(
+        f"WHEN event_type = '{n}' THEN {b}"
+        for n, b in SHAPLEY_CHANNELS) + " ELSE 0 END"
+    w_case = "CASE " + " ".join(
+        f"WHEN bit_count(CAST(s.s AS BIGINT)) = {k} THEN {w}"
+        for k, w in enumerate(_SHAPLEY_W)) + " END"
+    chans = ", ".join(f"('{n}', {b})" for n, b in SHAPLEY_CHANNELS)
+    full = (1 << _SHAPLEY_N) - 1
+    return f"""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS fp_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+masks AS (
+  SELECT mask, COUNT(*) AS cnt FROM (
+    SELECT e.user_id, bit_or({bit_case}) AS mask
+    FROM events e JOIN fp ON fp.user_id = e.user_id
+    WHERE e.event_type <> 'purchase' AND e.ts < fp.fp_ts
+    GROUP BY e.user_id)
+  WHERE mask > 0 GROUP BY mask),
+subsets AS (SELECT CAST(i AS INTEGER) AS s FROM range(0, {full + 1}) t(i)),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS v
+  FROM subsets s LEFT JOIN masks m ON (m.mask & s.s) = m.mask
+  GROUP BY s.s),
+chan(channel, bit) AS (VALUES {chans}),
+phi AS (
+  SELECT c.channel, CAST(SUM(
+           CAST({w_case} AS BIGINT) * (v1.v - s.v)) AS BIGINT) AS phi_x24
+  FROM chan c
+  JOIN v s ON (s.s & c.bit) = 0
+  JOIN v v1 ON v1.s = (s.s | c.bit)
+  GROUP BY c.channel)
+SELECT p.channel, p.phi_x24,
+       CAST(p.phi_x24 AS DOUBLE) / 24.0 AS phi,
+       t.v AS n_attributable
+FROM phi p CROSS JOIN (SELECT v FROM v WHERE s = {full}) t
+ORDER BY p.channel
+"""
+
+
+SHAPLEY_SQL = _shapley_sql()
+
+QUERIES["events_shapley_attribution"] = events_shapley_attribution
+ORACLE_SQL["events_shapley_attribution"] = SHAPLEY_SQL

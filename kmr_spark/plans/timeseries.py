@@ -1323,3 +1323,90 @@ ORDER BY h
 
 QUERIES["events_holt_winters"] = events_holt_winters
 ORACLE_SQL["events_holt_winters"] = HOLT_WINTERS_SQL
+
+
+PEAK_TOP = 10
+PEAK_NEIGHBORHOOD = 2  # strict local max over +-2 hours
+
+
+def events_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local PEAKS of the hourly event-count series: hours strictly
+    greater than every neighbor within +-PEAK_NEIGHBORHOOD (interior
+    hours only — boundary hours with a missing neighbor can't qualify),
+    with prominence = x - max(neighbors); top PEAK_TOP by count then
+    hour. The alert-worthy-spike detector that anomaly z-score/MAD
+    complement: those flag distribution outliers, this finds SHAPE
+    (a spike between quieter hours, whatever the absolute level).
+
+    Plan: one map-side-combinable hourly aggregation (<=720 rows for
+    the 30-day window at ANY input size), then lag/lead windows over
+    that tiny densified series — the documented post-aggregation
+    window pattern. All integers.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', "
+            "date_trunc('hour', ts))").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("t")
+    nbrs = [F.lag("x", k).over(w) for k in range(1, PEAK_NEIGHBORHOOD + 1)] \
+        + [F.lead("x", k).over(w) for k in range(1, PEAK_NEIGHBORHOOD + 1)]
+    # the hourly domain is dense here; require ALL +-k neighbors to be
+    # adjacent hours too, so gaps (possible at tiny sf) disqualify
+    tnbrs = [F.lag("t", k).over(w) for k in range(1, PEAK_NEIGHBORHOOD + 1)] \
+        + [F.lead("t", k).over(w) for k in range(1, PEAK_NEIGHBORHOOD + 1)]
+    # aligned with nbrs/tnbrs: lag(k) sits at offset -k, lead(k) at +k
+    offs = [-k for k in range(1, PEAK_NEIGHBORHOOD + 1)] \
+        + list(range(1, PEAK_NEIGHBORHOOD + 1))
+    cond = F.lit(True)
+    base = None
+    for nx, nt, off in zip(nbrs, tnbrs, offs):
+        cond = cond & nx.isNotNull() & (nt == F.col("t") + off) \
+            & (F.col("x") > nx)
+        base = nx if base is None else F.greatest(base, nx)
+    peaks = (
+        hourly.select("t", "x", cond.alias("is_peak"), base.alias("base"))
+        .filter("is_peak")
+        .select("t", "x", "base", (F.col("x") - F.col("base"))
+                .alias("prominence"))
+    )
+    return peaks.orderBy(F.col("x").desc(), "t").limit(PEAK_TOP)
+
+
+def _peak_sql() -> str:
+    k = PEAK_NEIGHBORHOOD
+    nbr_cols = []
+    conds = []
+    for i in range(1, k + 1):
+        nbr_cols.append(f"lag(x, {i}) OVER w AS xm{i}")
+        nbr_cols.append(f"lead(x, {i}) OVER w AS xp{i}")
+        nbr_cols.append(f"lag(t, {i}) OVER w AS tm{i}")
+        nbr_cols.append(f"lead(t, {i}) OVER w AS tp{i}")
+        conds.append(f"xm{i} IS NOT NULL AND tm{i} = t - {i} AND x > xm{i}")
+        conds.append(f"xp{i} IS NOT NULL AND tp{i} = t + {i} AND x > xp{i}")
+    base = "greatest(" + ", ".join(
+        [f"xm{i}" for i in range(1, k + 1)]
+        + [f"xp{i}" for i in range(1, k + 1)]) + ")"
+    return f"""
+WITH hourly AS (
+  SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS t,
+         COUNT(*) AS x
+  FROM events GROUP BY 1),
+nb AS (
+  SELECT t, x, {", ".join(nbr_cols)}
+  FROM hourly WINDOW w AS (ORDER BY t)),
+peaks AS (
+  SELECT t, x, {base} AS base
+  FROM nb WHERE {" AND ".join(conds)})
+SELECT t, x, base, x - base AS prominence
+FROM peaks ORDER BY x DESC, t LIMIT {PEAK_TOP}
+"""
+
+
+PEAK_SQL = _peak_sql()
+
+QUERIES["events_peak_prominence"] = events_peak_prominence
+ORACLE_SQL["events_peak_prominence"] = PEAK_SQL
