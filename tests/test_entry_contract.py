@@ -35,9 +35,10 @@ def test_no_duplicate_names_across_modules():
                                  corpusstats, diagnostics, generate, graphs,
                                  graysort, incremental, inference, iterative,
                                  layout, linalg, privacy, quality, rfm,
-                                 robust, sampling, semistruct, sketches,
-                                 timeseries, tpch, tpch_extra, training,
-                                 trends, valuation, winfuncs, wordcount)
+                                 robust, sampling, search, semistruct,
+                                 sketches, timeseries, tpch, tpch_extra,
+                                 training, trends, valuation, winfuncs,
+                                 wordcount)
 
     parts = [tpch.QUERIES, tpch_extra.QUERIES, wordcount.QUERIES,
              graysort.QUERIES, analytics.QUERIES, iterative.QUERIES,
@@ -48,7 +49,8 @@ def test_no_duplicate_names_across_modules():
              training.QUERIES, bloomjoin.QUERIES, behavior.QUERIES,
              diagnostics.QUERIES, valuation.QUERIES, robust.QUERIES,
              corpusstats.QUERIES, trends.QUERIES, inference.QUERIES,
-             privacy.QUERIES, winfuncs.QUERIES, registry.QUERIES]
+             privacy.QUERIES, winfuncs.QUERIES, search.QUERIES,
+             registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
