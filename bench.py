@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "graph_ktruss",
     "events_shapley_attribution",
     "events_peak_prominence",
+    "sim_ivf_recall",
 ]
 
 

@@ -1182,3 +1182,116 @@ FROM err GROUP BY dim ORDER BY dim
 
 QUERIES["emb_quantization_error"] = emb_quantization_error
 ORACLE_SQL["emb_quantization_error"] = QUANT_ERROR_SQL
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CALIBRATION for the IVF index: for each probe budget
+    p = 1..N_PROBES, what fraction of the brute-force top-TOP_K
+    neighbors would IVF's candidate generation even SEE (the neighbor's
+    cell is among the query's p nearest cells)? The "measure, don't
+    guess" companion to dedup_minhash_calibration: pick n_probes from
+    this curve, not folklore. Recall here scores candidate GENERATION
+    (pre-rescoring), the quantity cell probing actually controls.
+
+    Exactness: hits/possible are integers; recall_permille by DIV and
+    one fixed-tree double. Scale: ground truth is the (bounded) query
+    set x corpus scoring the brute-force baseline already pays; the
+    calibration joins are Q*K-row frames against the cell assignment.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _collect_centroids(emb)
+    assigned = (
+        assign_cells(emb, cents, 1)
+        .select("vec_id", F.col("cells")[0].alias("cell"))
+        .persist()
+    )
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    probes = (
+        assign_cells(emb.filter(F.col("vec_id") < N_QUERIES), cents,
+                     N_PROBES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.posexplode("cells").alias("probe_idx", "cell"))
+        .select("query_id", "cell",
+                (F.col("probe_idx") + 1).alias("probe_rank"))
+    )
+    hit_rank = (
+        truth
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
+              "neighbor_id")
+        .join(F.broadcast(probes), ["query_id", "cell"], "left")
+        .groupBy().agg(
+            F.count("*").alias("possible"),
+            *[F.count(F.when(F.col("probe_rank") <= p, 1))
+              .alias(f"h{p}") for p in range(1, N_PROBES + 1)])
+    )
+    rows = []
+    for p in range(1, N_PROBES + 1):
+        rows.append(hit_rank.select(
+            F.lit(p).cast("long").alias("probes"),
+            F.col(f"h{p}").alias("hits"),
+            "possible",
+            F.expr(f"(1000 * h{p}) DIV possible").alias("recall_permille"),
+            (F.col(f"h{p}").cast("double") / F.col("possible").cast("double"))
+            .alias("recall")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return materialize_release(out.orderBy("probes"), assigned)
+
+
+def _ivf_recall_sql() -> str:
+    h_cols = ",\n         ".join(
+        f"COUNT(CASE WHEN probe_rank <= {p} THEN 1 END) AS h{p}"
+        for p in range(1, N_PROBES + 1))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS BIGINT) AS probes, h{p} AS hits, possible,\n"
+        f"       (1000 * h{p}) // possible AS recall_permille,\n"
+        f"       CAST(h{p} AS DOUBLE) / CAST(possible AS DOUBLE) AS recall\n"
+        f"FROM agg" for p in range(1, N_PROBES + 1))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {V.sql_cosine('e.embedding', 'c.cv')} AS csim
+  FROM emb e CROSS JOIN cents c),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, cent_id ASC) AS rn
+  FROM assign0),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell, CAST(rn AS BIGINT)
+           AS probe_rank
+  FROM ranked WHERE rn <= {N_PROBES} AND vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {V.sql_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM pairs) WHERE rn <= {TOP_K}),
+joined AS (
+  SELECT t.query_id, p.probe_rank
+  FROM truth t
+  JOIN assigned a ON a.vec_id = t.neighbor_id
+  LEFT JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell),
+agg AS (
+  SELECT COUNT(*) AS possible,
+         {h_cols}
+  FROM joined)
+{selects}
+ORDER BY probes
+"""
+
+
+IVF_RECALL_SQL = _ivf_recall_sql()
+
+QUERIES["sim_ivf_recall"] = sim_ivf_recall
+ORACLE_SQL["sim_ivf_recall"] = IVF_RECALL_SQL
