@@ -386,3 +386,32 @@ def test_phrase_query_broadcasts_phrase(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_take_ordered_and_broadcast(spark):
+    from kmr_spark.plans.search import search_bm25_topk
+
+    plan = _plan(search_bm25_topk(spark, SF))
+    # the 3-term query and the (N, S) totals ride broadcasts; the
+    # final doc cut is top-N, never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_no_cartesian_on_corpus(spark):
+    from kmr_spark.plans.behavior import events_shapley_attribution
+
+    plan = _plan(events_shapley_attribution(spark, SF))
+    # the subset lattice / marginal joins are 16-row broadcast
+    # nested-loops — fine; what must NOT appear is a cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_no_global_window(spark):
+    from kmr_spark.plans.inference import events_ks_test
+
+    plan = _plan(events_ks_test(spark, SF))
+    # the ECDF cumulative comes from the distributed exscan, not an
+    # unpartitioned running-sum window
+    assert "Window" not in plan
