@@ -344,6 +344,11 @@ _DRIVER_CHECKED = frozenset({
 # ROUND-5 TENTH WAVE (same policy, exact-sim green at sf0.001 AND
 # sf0.01 at add time): sim_ivf_recall — 1 name, deferring to ROUND 7
 # (41 of 50 slots).
+#
+# ROUND-5 ELEVENTH WAVE (same policy, exact-sim green at sf0.001 AND
+# sf0.01 at add time): lineitem_zonemap_prune,
+# events_forecast_reconciled — 2 names, deferring to ROUND 7 (43 of
+# 50 slots).
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

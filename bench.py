@@ -331,6 +331,8 @@ BENCH_QUERIES = [
     "events_shapley_attribution",
     "events_peak_prominence",
     "sim_ivf_recall",
+    "lineitem_zonemap_prune",
+    "events_forecast_reconciled",
 ]
 
 

@@ -216,3 +216,113 @@ ENCODING_ADVISOR_SQL = _advisor_sql()
 
 QUERIES["events_encoding_advisor"] = events_encoding_advisor
 ORACLE_SQL["events_encoding_advisor"] = ENCODING_ADVISOR_SQL
+
+
+#: simulated row-group size (rows) for the zone-map study
+ZONEMAP_GROUP_ROWS = 4096
+#: probe predicates: l_shipdate BETWEEN lo AND hi, expressed as days
+#: from 1992-01-01 (the lineitem epoch); three selectivity tiers
+ZONEMAP_PROBES = (
+    ("week", 1460, 1466),      # ~1 week in 1996
+    ("month", 1460, 1489),     # ~1 month
+    ("year", 1460, 1824),      # ~1 year
+)
+
+
+def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP pruning simulator: how many row groups would a
+    min/max-statistics reader (parquet row groups, ORC stripes) skip
+    for a ship-date range predicate, under TWO physical layouts —
+    arrival order (orderkey) vs shipdate-sorted? The number that
+    justifies a sort-on-write pipeline stage BEFORE anyone runs it at
+    100 TB: groups_scanned(sorted) / groups_scanned(arrival) is the
+    I/O multiplier the layout buys, measured from the engine itself
+    (companion to events_zorder_layout, which buys the same effect in
+    two dimensions, and events_compaction_plan / encoding advisor).
+
+    Row groups are simulated as ZONEMAP_GROUP_ROWS-row slices of each
+    layout's global order (rank DIV group_rows); per group the
+    min/max shipdate-day is the zone map; a probe skips the group when
+    [lo, hi] misses [min, max]. All integers.
+
+    Scale: the global ranks come from the distributed exscan ranking
+    (no single-partition window); the zone-map census is |groups|
+    rows, and the probe evaluation is a literal comparison per group.
+    """
+    from kmr_spark.operators.sort import ranking
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"),
+                   F.lit("1992-01-01").cast("date")).alias("sday"))
+    layouts = {
+        "arrival": [F.col("l_orderkey"), F.col("l_linenumber")],
+        "shipdate_sorted": [F.col("sday"), F.col("l_orderkey"),
+                            F.col("l_linenumber")],
+    }
+    outs = []
+    for name, order in layouts.items():
+        ranked = ranking(li, order, materialize=True)
+        zones = (
+            ranked.select(
+                F.expr(f"rank DIV {ZONEMAP_GROUP_ROWS}").alias("grp"),
+                "sday")
+            .groupBy("grp")
+            .agg(F.min("sday").alias("lo_day"), F.max("sday").alias("hi_day"))
+        )
+        for probe, lo, hi in ZONEMAP_PROBES:
+            outs.append(zones.agg(
+                F.lit(name).alias("layout"),
+                F.lit(probe).alias("probe"),
+                F.count("*").alias("n_groups"),
+                F.count(F.when((F.col("hi_day") >= lo)
+                               & (F.col("lo_day") <= hi), 1))
+                .alias("groups_scanned")).select(
+                    "layout", "probe", "n_groups", "groups_scanned",
+                    F.expr("(1000 * groups_scanned) DIV n_groups")
+                    .alias("scan_permille")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("layout", "probe")
+
+
+def _zonemap_sql() -> str:
+    zone_ctes = []
+    for name, order in (("arrival", "l_orderkey, l_linenumber"),
+                        ("shipdate_sorted",
+                         "sday, l_orderkey, l_linenumber")):
+        zone_ctes.append(f"""
+zones_{name} AS (
+  SELECT grp, MIN(sday) AS lo_day, MAX(sday) AS hi_day
+  FROM (SELECT sday,
+               (row_number() OVER (ORDER BY {order}) - 1)
+                 // {ZONEMAP_GROUP_ROWS} AS grp
+        FROM base)
+  GROUP BY grp)""")
+    parts = []
+    for name in ("arrival", "shipdate_sorted"):
+        for probe, lo, hi in ZONEMAP_PROBES:
+            hit = f"CASE WHEN hi_day >= {lo} AND lo_day <= {hi} THEN 1 END"
+            parts.append(f"""
+SELECT '{name}' AS layout, '{probe}' AS probe,
+       COUNT(*) AS n_groups,
+       COUNT({hit}) AS groups_scanned,
+       (1000 * COUNT({hit})) // COUNT(*) AS scan_permille
+FROM zones_{name}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+           AS sday
+  FROM lineitem),{",".join(zone_ctes)}
+{body}
+ORDER BY layout, probe
+"""
+
+
+ZONEMAP_SQL = _zonemap_sql()
+
+QUERIES["lineitem_zonemap_prune"] = lineitem_zonemap_prune
+ORACLE_SQL["lineitem_zonemap_prune"] = ZONEMAP_SQL

@@ -1410,3 +1410,98 @@ PEAK_SQL = _peak_sql()
 
 QUERIES["events_peak_prominence"] = events_peak_prominence
 ORACLE_SQL["events_peak_prominence"] = PEAK_SQL
+
+
+RECON_HORIZON = 7
+
+
+def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL forecast reconciliation (top-down proportional):
+    the per-type seasonal-naive forecasts and the total-series
+    seasonal-naive forecast disagree (forecasts don't add up — the
+    classic hierarchy problem); reconcile by distributing the TOTAL
+    forecast over types by their trailing 28-day volume shares. One
+    row per (h, event_type): the base snaive forecast, the reconciled
+    value in integer milli-units ((1000 * total_fc * cnt_type) DIV
+    cnt_all — exact), and the double. The coherence property
+    |sum_types(reconciled) - 1000*total| < |types| (pure DIV
+    truncation slack) is test-pinned.
+
+    Plan: two tiny post-aggregation frames (per-type daily counts,
+    <=|types|x31 rows) + broadcast share totals; the corpus is
+    touched by ONE map-side-combinable aggregation.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("event_type", "d").agg(F.count("*").alias("x"))
+    )
+    last = daily.agg(F.max("d").alias("dmax"))
+    base = (
+        daily.crossJoin(F.broadcast(last))
+        # snaive: forecast for dmax + h repeats the value at
+        # dmax + h - 7 (same weekday last observed week)
+        .filter(F.col("d") > F.col("dmax") - 7)
+        .select("event_type",
+                (F.col("d") - (F.col("dmax") - 7)).cast("long").alias("h"),
+                F.col("x").alias("base_fc"))
+        .filter(F.col("h") <= RECON_HORIZON)
+    )
+    total_fc = base.groupBy("h").agg(F.sum("base_fc").alias("naive_total"))
+    shares = (
+        daily.crossJoin(F.broadcast(last))
+        .filter(F.col("d") > F.col("dmax") - 28)
+        .groupBy("event_type").agg(F.sum("x").alias("cnt_type"))
+    )
+    share_tot = shares.agg(F.sum("cnt_type").alias("cnt_all"))
+    return (
+        base.join(total_fc, "h")
+        .join(F.broadcast(shares), "event_type")
+        .crossJoin(F.broadcast(share_tot))
+        .select(
+            "h", "event_type", "base_fc",
+            F.expr("(1000 * naive_total * cnt_type) DIV cnt_all")
+            .alias("reconciled_milli"))
+        .select(
+            "*",
+            (F.col("reconciled_milli").cast("double") / F.lit(1000.0))
+            .alias("reconciled"))
+        .orderBy("h", "event_type")
+    )
+
+
+RECONCILED_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+last AS (SELECT MAX(d) AS dmax FROM daily),
+base AS (
+  SELECT event_type, CAST(d - (dmax - 7) AS BIGINT) AS h, x AS base_fc
+  FROM daily CROSS JOIN last
+  WHERE d > dmax - 7 AND d - (dmax - 7) <= {RECON_HORIZON}),
+total_fc AS (
+  SELECT h, CAST(SUM(base_fc) AS BIGINT) AS naive_total
+  FROM base GROUP BY h),
+shares AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS cnt_type
+  FROM daily CROSS JOIN last WHERE d > dmax - 28 GROUP BY 1),
+share_tot AS (SELECT CAST(SUM(cnt_type) AS BIGINT) AS cnt_all FROM shares)
+SELECT b.h, b.event_type, b.base_fc,
+       (1000 * t.naive_total * s.cnt_type) // st.cnt_all
+         AS reconciled_milli,
+       CAST((1000 * t.naive_total * s.cnt_type) // st.cnt_all AS DOUBLE)
+         / 1000.0 AS reconciled
+FROM base b
+JOIN total_fc t USING (h)
+JOIN shares s USING (event_type)
+CROSS JOIN share_tot st
+ORDER BY b.h, b.event_type
+"""
+
+QUERIES["events_forecast_reconciled"] = events_forecast_reconciled
+ORACLE_SQL["events_forecast_reconciled"] = RECONCILED_SQL

@@ -1,0 +1,77 @@
+"""Semantic tests for the round-5 eleventh-wave operators: the
+zone-map pruning simulator vs a brute slice scan, and hierarchical
+forecast reconciliation coherence.  (Value parity vs DuckDB is the
+oracle gate's job; these pin the MATH.)
+"""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_zonemap_bruteforce(spark):
+    from kmr_spark.plans.layout import (ZONEMAP_GROUP_ROWS, ZONEMAP_PROBES,
+                                        lineitem_zonemap_prune)
+    from kmr_spark.session import load_tables
+
+    rows = load_tables(spark, SF_SMALL)["lineitem"] \
+        .select("l_orderkey", "l_linenumber",
+                F.datediff(F.to_date("l_shipdate"),
+                           F.lit("1992-01-01").cast("date")).alias("sday")) \
+        .collect()
+    recs = [(r.l_orderkey, r.l_linenumber, r.sday) for r in rows]
+    want = {}
+    for name, keyf in (("arrival", lambda r: (r[0], r[1])),
+                       ("shipdate_sorted", lambda r: (r[2], r[0], r[1]))):
+        ordered = [r[2] for r in sorted(recs, key=keyf)]
+        groups = [ordered[i:i + ZONEMAP_GROUP_ROWS]
+                  for i in range(0, len(ordered), ZONEMAP_GROUP_ROWS)]
+        zones = [(min(g), max(g)) for g in groups]
+        for probe, lo, hi in ZONEMAP_PROBES:
+            scanned = sum(1 for zlo, zhi in zones
+                          if zhi >= lo and zlo <= hi)
+            want[(name, probe)] = (len(zones), scanned)
+    got = lineitem_zonemap_prune(spark, SF_SMALL).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, s = want[(r.layout, r.probe)]
+        assert (r.n_groups, r.groups_scanned) == (n, s)
+        assert r.scan_permille == (1000 * s) // n
+    # the layout story itself: sorted layout never scans more groups
+    by = {(r.layout, r.probe): r.groups_scanned for r in got}
+    for probe, _, _ in ZONEMAP_PROBES:
+        assert by[("shipdate_sorted", probe)] <= by[("arrival", probe)]
+
+
+def test_forecast_reconciled_coherent(spark):
+    from kmr_spark.plans.timeseries import (RECON_HORIZON,
+                                            events_forecast_reconciled)
+    from kmr_spark.session import load_tables
+
+    got = events_forecast_reconciled(spark, SF_SMALL).collect()
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter((r.event_type, r.day) for r in ev)
+    dmax = max(d for _, d in daily)
+    types = sorted({t for t, _ in daily})
+    # base forecasts are the last observed week's values
+    base = {}
+    from datetime import timedelta
+    for (t, d), x in daily.items():
+        h = (d - (dmax - timedelta(days=7))).days
+        if 1 <= h <= RECON_HORIZON:
+            base[(h, t)] = x
+    assert {(r.h, r.event_type) for r in got} == set(base)
+    for r in got:
+        assert r.base_fc == base[(r.h, r.event_type)]
+    # coherence: per-h reconciled sums match the total forecast up to
+    # one DIV truncation per type
+    per_h = defaultdict(list)
+    for r in got:
+        per_h[r.h].append(r)
+    for h, rs in per_h.items():
+        total = sum(base[(h, t)] for t in types if (h, t) in base)
+        s = sum(r.reconciled_milli for r in rs)
+        assert 0 <= 1000 * total - s < len(rs)
