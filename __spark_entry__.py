@@ -349,6 +349,12 @@ _DRIVER_CHECKED = frozenset({
 # sf0.01 at add time): lineitem_zonemap_prune,
 # events_forecast_reconciled — 2 names, deferring to ROUND 7 (43 of
 # 50 slots).
+#
+# ROUND-5 TWELFTH WAVE (same policy, exact-sim green at sf0.001 AND
+# sf0.01 at add time): events_psi_drift — 1 name, deferring to
+# ROUND 7 (44 of 50 slots). Full-registry --exact sweep at sf0.01
+# late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
+# sweep launch were each exact-checked individually at both sf).
 _R5_WINDOW = (
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",

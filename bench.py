@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "sim_ivf_recall",
     "lineitem_zonemap_prune",
     "events_forecast_reconciled",
+    "events_psi_drift",
 ]
 
 

@@ -532,3 +532,113 @@ INTEGRITY_SQL = _integrity_sql()
 
 QUERIES["integrity_audit"] = integrity_audit
 ORACLE_SQL["integrity_audit"] = INTEGRITY_SQL
+
+
+PSI_BIN_W = 25      # value-bin width
+PSI_BINS = 20       # bins 0..19, last catches the tail
+PSI_SPLIT_DAY = 15  # reference = days 0-14, current = days 15+
+PSI_Q = 1_000_000
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX per event_type between the first and
+    second half of the month (days 0-14 vs 15+), over fixed
+    value bins — the industry-standard "did my feature distribution
+    move" gate for model retraining, complementing the TV-based
+    events_type_share_drift and docs JS divergence. PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 act.
+
+    Exactness: the common denominator collapses inside the log —
+    (pa-pb)·ln(pa/pb) = ((ca·nb - cb·na)/(na·nb)) · (ln(ca·nb) -
+    ln(cb·na)) — so each bin's numerator is the INTEGER
+    (ca·nb - cb·na)·(q(ca·nb) - q(cb·na)) with q(x)=floor(ln(x)·1e6)
+    (the entropy/PMI quantized-log recipe on integer args), summed as
+    BIGINT; psi is one final cast. Bins empty on either side are
+    excluded (reported as n_bins_degenerate) — the standard
+    epsilon-free convention, deterministic on both engines. BIGINT
+    holds ca·nb to ~1e18; past that the same plan runs in
+    DECIMAL(38,0).
+
+    Scale: ONE aggregation of events to (type, half, bin) counts
+    (map-side combinable); everything after is arithmetic on
+    |types|·|bins| rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    binned = (
+        ev.select(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             >= PSI_SPLIT_DAY).alias("cur"),
+            F.least(F.floor(F.col("value") / PSI_BIN_W),
+                    F.lit(PSI_BINS - 1)).cast("long").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("ca"),
+             F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("cb"))
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    q = lambda c: F.floor(F.log(c) * PSI_Q).cast("long")
+    terms = (
+        binned.join(totals, "event_type")
+        .withColumn("ok", (F.col("ca") > 0) & (F.col("cb") > 0))
+        .withColumn(
+            "t",
+            F.when(F.col("ok"),
+                   (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                   * (q(F.col("ca") * F.col("nb"))
+                      - q(F.col("cb") * F.col("na"))))
+            .otherwise(F.lit(0)))
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.max("na").alias("na"), F.max("nb").alias("nb"),
+             F.count(F.when(F.col("ok"), 1)).alias("n_bins_used"),
+             F.count(F.when(~F.col("ok"), 1)).alias("n_bins_degenerate"),
+             F.sum("t").alias("psi_scaled"))
+        .select(
+            "event_type", "na", "nb", "n_bins_used", "n_bins_degenerate",
+            "psi_scaled",
+            (F.col("psi_scaled").cast("double")
+             / (F.lit(float(PSI_Q)) * F.col("na").cast("double")
+                * F.col("nb").cast("double"))).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+PSI_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM (
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             >= {PSI_SPLIT_DAY} AS cur,
+           least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                 {PSI_BINS - 1}) AS bin
+    FROM events)
+  GROUP BY event_type, bin),
+totals AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM binned GROUP BY event_type),
+terms AS (
+  SELECT b.event_type, t.na, t.nb, b.ca > 0 AND b.cb > 0 AS ok,
+         CASE WHEN b.ca > 0 AND b.cb > 0 THEN
+           (b.ca * t.nb - b.cb * t.na)
+           * (CAST(floor(ln(b.ca * t.nb) * {PSI_Q}) AS BIGINT)
+              - CAST(floor(ln(b.cb * t.na) * {PSI_Q}) AS BIGINT))
+         ELSE 0 END AS t
+  FROM binned b JOIN totals t USING (event_type))
+SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+       COUNT(CASE WHEN ok THEN 1 END) AS n_bins_used,
+       COUNT(CASE WHEN NOT ok THEN 1 END) AS n_bins_degenerate,
+       CAST(SUM(t) AS BIGINT) AS psi_scaled,
+       CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+         / ({float(PSI_Q)} * CAST(MAX(na) AS DOUBLE)
+            * CAST(MAX(nb) AS DOUBLE)) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_psi_drift"] = events_psi_drift
+ORACLE_SQL["events_psi_drift"] = PSI_SQL

@@ -75,3 +75,45 @@ def test_forecast_reconciled_coherent(spark):
         total = sum(base[(h, t)] for t in types if (h, t) in base)
         s = sum(r.reconciled_milli for r in rs)
         assert 0 <= 1000 * total - s < len(rs)
+
+
+def test_psi_drift_bruteforce(spark):
+    import math
+
+    from kmr_spark.plans.quality import (PSI_BIN_W, PSI_BINS, PSI_Q,
+                                         PSI_SPLIT_DAY, events_psi_drift)
+    from kmr_spark.session import load_tables
+
+    from datetime import date
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("event_type", F.to_date("ts").alias("day"), "value") \
+        .collect()
+    epoch = date(2024, 1, 1)
+    cnt = defaultdict(lambda: [0, 0])
+    for r in ev:
+        b = min(math.floor(r.value / PSI_BIN_W), PSI_BINS - 1)
+        cur = (r.day - epoch).days >= PSI_SPLIT_DAY
+        cnt[(r.event_type, b)][1 if cur else 0] += 1
+    types = sorted({t for t, _ in cnt})
+    got = {r.event_type: r for r in
+           events_psi_drift(spark, SF_SMALL).collect()}
+    assert sorted(got) == types
+    for t in types:
+        na = sum(v[0] for (tt, _), v in cnt.items() if tt == t)
+        nb = sum(v[1] for (tt, _), v in cnt.items() if tt == t)
+        s = used = degen = 0
+        for (tt, _), (ca, cb) in cnt.items():
+            if tt != t:
+                continue
+            if ca > 0 and cb > 0:
+                used += 1
+                s += (ca * nb - cb * na) * (
+                    math.floor(math.log(ca * nb) * PSI_Q)
+                    - math.floor(math.log(cb * na) * PSI_Q))
+            else:
+                degen += 1
+        r = got[t]
+        assert (r.na, r.nb, r.n_bins_used, r.n_bins_degenerate,
+                r.psi_scaled) == (na, nb, used, degen, s)
+        assert r.psi == float(s) / (float(PSI_Q) * float(na) * float(nb))
+        assert r.psi >= 0.0  # PSI is a (scaled) symmetrized KL — nonneg
