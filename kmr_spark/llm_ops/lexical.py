@@ -676,37 +676,38 @@ def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     always template or degenerate text (cf. text_repetition, which
     scores a fixed n; this finds the maximal n per doc).
 
-    Plan: ONE pass — every doc's n-grams for ALL n are generated
-    inside its row (a nested transform over n, guarded per length, so
-    the fanout is ~REPEAT_MAX_N * tokens and stays row-local), then
-    one (doc, n, gram)-keyed count, a per-doc max, and a tiny
-    histogram aggregate. No join against the corpus, no per-n rescan."""
+    Plan: the repeat test never leaves the ROW — per n, the doc's
+    n-grams are sorted in-array and scanned for an adjacent duplicate
+    (repeat-sets are downward-closed: a repeated n-gram implies
+    repeated sub-grams, so folding n ascending yields the max) — so
+    the ONLY exchange in the whole query is the final |n|-row
+    histogram. The first cut exploded a (doc, n, gram) stream into a
+    corpus-sized shuffle; at 100 TB that shuffle IS the query, and it
+    buys nothing a per-row sort doesn't."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
+    # the testdata table is one parquet split; the per-row sort work
+    # must run wide (the llm_ops/similarity._emb rationale) — at real
+    # scale the scan has many splits and this collapses into them
+    n = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(n, "doc_id").select(
         F.filter(F.split("text", " "), lambda x: x != "").alias("tt"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.expr(f"""
-          flatten(transform(sequence(1, {REPEAT_MAX_N}), n ->
-            IF(size(tt) >= n,
-               transform(sequence(0, size(tt) - n),
-                         i -> named_struct(
-                             'n', n,
-                             'g', array_join(slice(tt, i + 1, n), ' '))),
-               array_repeat(named_struct('n', n, 'g', ''), 0))))
-        """)).alias("t"))
-    repeated = (
-        grams.select("doc_id", F.col("t.n").alias("n"),
-                     F.col("t.g").alias("g"))
-        .groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .groupBy("doc_id").agg(F.max("n").alias("max_repeat_len"))
-    )
+    # the 1-element transform binds the sorted gram array once per
+    # (row, n) — a let-expression equivalent, so the sort runs once,
+    # not once per adjacency probe
+    max_rep = F.expr(f"""
+      aggregate(sequence(1, {REPEAT_MAX_N}), 0, (acc, n) ->
+        IF(size(tt) > n AND (
+             aggregate(transform(
+                 array(array_sort(transform(sequence(0, size(tt) - n),
+                     i -> array_join(slice(tt, i + 1, n), ' ')))),
+                 srt -> exists(sequence(1, size(srt) - 1),
+                               j -> srt[j] = srt[j - 1])),
+               false, (a, x) -> a OR x)),
+           n, acc))
+    """)
     return (
-        docs.join(repeated, "doc_id", "left")
-        .select(F.coalesce("max_repeat_len", F.lit(0))
-                .cast("long").alias("max_repeat_len"))
+        toks.select(F.coalesce(max_rep, F.lit(0)).cast("long")
+                    .alias("max_repeat_len"))
         .groupBy("max_repeat_len").agg(F.count("*").alias("n_docs"))
         .orderBy("max_repeat_len")
     )
@@ -714,23 +715,23 @@ def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LONGEST_REPEAT_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tt
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tt
   FROM documents),
-grams AS (
-  SELECT doc_id, n,
-         array_to_string(list_slice(tt, i + 1, i + n), ' ') AS g
-  FROM toks,
-       unnest(range(1, {REPEAT_MAX_N + 1})) AS tn(n),
-       unnest(range(0, len(tt) - n + 1)) AS ti(i)),
-repeated AS (
-  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS max_repeat_len
-  FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3)
-  WHERE c >= 2 GROUP BY doc_id)
-SELECT COALESCE(r.max_repeat_len, 0) AS max_repeat_len,
+per_doc AS (
+  SELECT COALESCE(list_max(list_filter(range(1, {REPEAT_MAX_N + 1}),
+    n -> len(tt) > n AND len(list_filter(
+           list_transform([list_sort(list_transform(
+               range(0, len(tt) - n + 1),
+               i -> array_to_string(list_slice(tt, i + 1, i + n), ' ')))],
+             srt -> len(list_filter(range(2, len(srt) + 1),
+                                    j -> srt[j] = srt[j - 1])) > 0),
+           x -> x)) > 0)), 0) AS max_repeat_len
+  FROM toks)
+SELECT CAST(max_repeat_len AS BIGINT) AS max_repeat_len,
        COUNT(*) AS n_docs
-FROM documents d LEFT JOIN repeated r USING (doc_id)
-GROUP BY 1 ORDER BY 1
+FROM per_doc GROUP BY 1 ORDER BY 1
 """
+
 
 QUERIES["text_longest_repeat"] = text_longest_repeat
 ORACLE_SQL["text_longest_repeat"] = LONGEST_REPEAT_SQL
