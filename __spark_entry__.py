@@ -174,6 +174,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.linkage as linkage
+        modules.append(linkage)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:
@@ -352,7 +357,9 @@ _DRIVER_CHECKED = frozenset({
 #
 # ROUND-5 TWELFTH WAVE (same policy, exact-sim green at sf0.001 AND
 # sf0.01 at add time): events_psi_drift — 1 name, deferring to
-# ROUND 7 (44 of 50 slots). Full-registry --exact sweep at sf0.01
+# ROUND 7 (44 of 50 slots), plus customer_record_linkage (45 of 50;
+# fuzzy record linkage with blocking, exact-sim green at both sf at
+# add time). Full-registry --exact sweep at sf0.01
 # late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
 # sweep launch were each exact-checked individually at both sf).
 _R5_WINDOW = (

@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "lineitem_zonemap_prune",
     "events_forecast_reconciled",
     "events_psi_drift",
+    "customer_record_linkage",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Record linkage / entity resolution: match records that denote the
+same entity across two tables WITHOUT a shared key — the cross-table
+cousin of the documents near-dup family (llm_ops/dedup.py), and the
+classic blocking + bounded-similarity + verify pipeline (Fellegi-
+Sunter lineage). The reference's key-value matching layer
+(`kmr_match`, /root/reference/src/kmrmoreops.c) gives exact-key joins;
+linkage is what a data platform layers on top when keys are dirty.
+
+The "dirty" side is DERIVED deterministically from customer (name-tail
+perturbations keyed by custkey mod 3, plus dropped custkey), so ground
+truth is known and the query reports match QUALITY (true/false
+positives, recall) — an entity-resolution evaluation harness, not just
+a matcher.
+
+Scale shape: candidates come from equi-join BLOCKING on
+(nationkey, mktsegment) — never an all-pairs product; the verifier is
+a per-pair Levenshtein on short strings (both engines ship the
+standard DP, integer-equal); match selection packs (distance, custkey)
+into one BIGINT so "min distance, then min custkey" is a plain MIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmr_spark.session import load_tables
+
+LINK_MAX_DIST = 2      # accept a candidate pair at edit distance <= 2
+_PACK = 1 << 40
+
+
+def _dirty_customers(cust: DataFrame) -> DataFrame:
+    """Deterministic corruption: custkey%3==0 drops the name's last 2
+    chars, ==1 replaces the last char with 'X', ==2 keeps it intact."""
+    name = F.col("c_name")
+    dirty = (
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.expr("substring(c_name, 1, length(c_name) - 2)"))
+        .when(F.col("c_custkey") % 3 == 1,
+              F.concat(F.expr("substring(c_name, 1, length(c_name) - 1)"),
+                       F.lit("X")))
+        .otherwise(name)
+    )
+    return cust.select(
+        F.col("c_custkey").alias("true_key"),
+        dirty.alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.col("c_mktsegment").alias("d_segment"))
+
+
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link the derived dirty records back to clean customer rows:
+    block on (nationkey, mktsegment), verify with Levenshtein <=
+    LINK_MAX_DIST, pick each dirty record's best match (min distance,
+    then min custkey), and score against the known truth. One summary
+    row: dirty/candidate/matched counts, true & false positives,
+    recall and precision in exact permille."""
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    dirty = _dirty_customers(cust)
+    cand = (
+        dirty.join(
+            cust,
+            (F.col("d_nation") == F.col("c_nationkey"))
+            & (F.col("d_segment") == F.col("c_mktsegment")))
+        .select(
+            "true_key",
+            F.col("c_custkey").alias("cand_key"),
+            F.levenshtein("d_name", "c_name").alias("dist"))
+        .filter(F.col("dist") <= LINK_MAX_DIST)
+    )
+    best = (
+        cand.groupBy("true_key")
+        .agg(F.count("*").alias("n_cand"),
+             F.min(F.col("dist") * _PACK + F.col("cand_key")).alias("pk"))
+        .select("true_key", "n_cand",
+                (F.col("pk") % _PACK).alias("match_key"))
+    )
+    n_dirty = dirty.agg(F.count("*").alias("n_dirty"))
+    return (
+        best.agg(
+            F.count("*").alias("n_matched"),
+            F.sum("n_cand").alias("n_candidates"),
+            F.count(F.when(F.col("match_key") == F.col("true_key"), 1))
+            .alias("n_true_pos"))
+        .crossJoin(F.broadcast(n_dirty))
+        .select(
+            "n_dirty", "n_candidates", "n_matched", "n_true_pos",
+            (F.col("n_matched") - F.col("n_true_pos")).alias("n_false_pos"),
+            F.expr("(1000 * n_true_pos) DIV n_dirty")
+            .alias("recall_permille"),
+            F.expr("(1000 * n_true_pos) DIV n_matched")
+            .alias("precision_permille"))
+    )
+
+
+LINKAGE_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS true_key,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substring(c_name, 1, length(c_name) - 2)
+              WHEN c_custkey % 3 = 1
+              THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS d_name,
+         c_nationkey AS d_nation, c_mktsegment AS d_segment
+  FROM customer),
+cand AS (
+  SELECT d.true_key, c.c_custkey AS cand_key,
+         levenshtein(d.d_name, c.c_name) AS dist
+  FROM dirty d JOIN customer c
+    ON c.c_nationkey = d.d_nation AND c.c_mktsegment = d.d_segment
+  WHERE levenshtein(d.d_name, c.c_name) <= {LINK_MAX_DIST}),
+best AS (
+  SELECT true_key, COUNT(*) AS n_cand,
+         MIN(dist * {_PACK} + cand_key) % {_PACK} AS match_key
+  FROM cand GROUP BY true_key),
+nd AS (SELECT COUNT(*) AS n_dirty FROM dirty)
+SELECT nd.n_dirty,
+       CAST(SUM(b.n_cand) AS BIGINT) AS n_candidates,
+       COUNT(*) AS n_matched,
+       COUNT(CASE WHEN b.match_key = b.true_key THEN 1 END) AS n_true_pos,
+       COUNT(*) - COUNT(CASE WHEN b.match_key = b.true_key THEN 1 END)
+         AS n_false_pos,
+       (1000 * COUNT(CASE WHEN b.match_key = b.true_key THEN 1 END))
+         // nd.n_dirty AS recall_permille,
+       (1000 * COUNT(CASE WHEN b.match_key = b.true_key THEN 1 END))
+         // COUNT(*) AS precision_permille
+FROM best b CROSS JOIN nd
+GROUP BY nd.n_dirty
+"""
+
+QUERIES = {"customer_record_linkage": customer_record_linkage}
+ORACLE_SQL = {"customer_record_linkage": LINKAGE_SQL}

@@ -34,7 +34,8 @@ def test_no_duplicate_names_across_modules():
     from kmr_spark.plans import (analytics, basket, behavior, bloomjoin,
                                  corpusstats, diagnostics, generate, graphs,
                                  graysort, incremental, inference, iterative,
-                                 layout, linalg, privacy, quality, rfm,
+                                 layout, linalg, linkage, privacy,
+                                 quality, rfm,
                                  robust, sampling, search, semistruct,
                                  sketches, timeseries, tpch, tpch_extra,
                                  training, trends, valuation, winfuncs,
@@ -50,7 +51,7 @@ def test_no_duplicate_names_across_modules():
              diagnostics.QUERIES, valuation.QUERIES, robust.QUERIES,
              corpusstats.QUERIES, trends.QUERIES, inference.QUERIES,
              privacy.QUERIES, winfuncs.QUERIES, search.QUERIES,
-             registry.QUERIES]
+             linkage.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:

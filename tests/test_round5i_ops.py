@@ -117,3 +117,54 @@ def test_psi_drift_bruteforce(spark):
                 r.psi_scaled) == (na, nb, used, degen, s)
         assert r.psi == float(s) / (float(PSI_Q) * float(na) * float(nb))
         assert r.psi >= 0.0  # PSI is a (scaled) symmetrized KL — nonneg
+
+
+def test_record_linkage_truth(spark):
+    from kmr_spark.plans.linkage import (LINK_MAX_DIST,
+                                         customer_record_linkage)
+    from kmr_spark.session import load_tables
+
+    cust = load_tables(spark, SF_SMALL)["customer"] \
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment") \
+        .collect()
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    def dirt(r):
+        if r.c_custkey % 3 == 0:
+            return r.c_name[:-2]
+        if r.c_custkey % 3 == 1:
+            return r.c_name[:-1] + "X"
+        return r.c_name
+
+    by_block = defaultdict(list)
+    for r in cust:
+        by_block[(r.c_nationkey, r.c_mktsegment)].append(r)
+    n_cand = n_matched = n_tp = 0
+    for r in cust:
+        dn = dirt(r)
+        cands = [(lev(dn, c.c_name), c.c_custkey)
+                 for c in by_block[(r.c_nationkey, r.c_mktsegment)]]
+        cands = [c for c in cands if c[0] <= LINK_MAX_DIST]
+        n_cand += len(cands)
+        if cands:
+            n_matched += 1
+            if min(cands)[1] == r.c_custkey:
+                n_tp += 1
+    row = customer_record_linkage(spark, SF_SMALL).collect()[0]
+    assert (row.n_dirty, row.n_candidates, row.n_matched,
+            row.n_true_pos) == (len(cust), n_cand, n_matched, n_tp)
+    assert row.n_false_pos == n_matched - n_tp
+    assert row.recall_permille == (1000 * n_tp) // len(cust)
+    assert row.precision_permille == (1000 * n_tp) // n_matched
+    # the matcher must actually work on this corruption model
+    assert row.recall_permille >= 900
