@@ -359,7 +359,9 @@ _DRIVER_CHECKED = frozenset({
 # sf0.01 at add time): events_psi_drift — 1 name, deferring to
 # ROUND 7 (44 of 50 slots), plus customer_record_linkage (45 of 50;
 # fuzzy record linkage with blocking, exact-sim green at both sf at
-# add time). Full-registry --exact sweep at sf0.01
+# add time), plus graph_random_walks (46 of 50; deterministic
+# hash-chosen node2vec-style walks, exact-sim green at both sf at add
+# time). Full-registry --exact sweep at sf0.01
 # late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
 # sweep launch were each exact-checked individually at both sf).
 _R5_WINDOW = (

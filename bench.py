@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "events_forecast_reconciled",
     "events_psi_drift",
     "customer_record_linkage",
+    "graph_random_walks",
 ]
 
 

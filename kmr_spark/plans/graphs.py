@@ -1120,3 +1120,92 @@ KTRUSS_SQL = _ktruss_sql()
 
 QUERIES["graph_ktruss"] = graph_ktruss
 ORACLE_SQL["graph_ktruss"] = KTRUSS_SQL
+
+
+WALK_STARTS = 16  # walks start at the top out-degree nodes
+WALK_STEPS = 4
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random walks over the distinct directed R-MAT
+    edges — the corpus-generation step of node2vec/DeepWalk-style
+    graph embeddings: from each of the WALK_STARTS highest-out-degree
+    nodes, take WALK_STEPS steps, choosing at node u the out-neighbor
+    v minimizing the repo's portable hash of (walk, step, u, v) —
+    "random" enough to spread, yet replayable on any engine and under
+    any retry (the property trainers need for reproducible corpora;
+    true RNG walks can't be oracle-checked at all). Walks stop early
+    at dead ends. Output: (walk_id, step, node), step 0 = the start.
+
+    Scale: each step is one equi-join frontier->edges plus a keyed MIN
+    (the choice packs (hash, v) into one BIGINT, so argmin is a plain
+    MIN — no window); the frontier never exceeds WALK_STARTS rows
+    while the edge side stays partitioned — at 100 TB this walks with
+    a broadcast frontier against the edge table's own partitioning.
+    """
+    from kmr_spark.operators.sample import hash_bucket
+
+    raw = rmat_raw_edges(spark)
+    edges = raw.filter(F.col("src") != F.col("dst")).distinct().persist()
+    try:
+        edges.count()
+        deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+        starts = (
+            deg.orderBy(F.col("odeg").desc(), "src").limit(WALK_STARTS)
+            .select(F.col("src").alias("walk_id"),
+                    F.col("src").alias("node"))
+        )
+        frontier = starts
+        outs = [starts.select("walk_id", F.lit(0).cast("long").alias("step"),
+                              "node")]
+        for t in range(1, WALK_STEPS + 1):
+            key = ((F.col("walk_id") * 1024 + F.col("node")) * 1024
+                   + F.col("dst")) * 8 + t
+            nxt = (
+                F.broadcast(frontier)
+                .join(edges, F.col("node") == F.col("src"))
+                .select("walk_id",
+                        (hash_bucket(key) * 1024 + F.col("dst")).alias("pk"))
+                .groupBy("walk_id").agg(F.min("pk").alias("pk"))
+                .select("walk_id", (F.col("pk") % 1024).alias("node"))
+            )
+            outs.append(nxt.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), "node"))
+            frontier = nxt
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.orderBy("walk_id", "step").localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+
+
+def _walks_sql() -> str:
+    from kmr_spark.operators.sample import sql_bucket
+
+    cte = f"""raw AS ({RMAT_RAW_SQL}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+starts AS MATERIALIZED (
+  SELECT src AS walk_id, src AS node
+  FROM (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src)
+  ORDER BY odeg DESC, src LIMIT {WALK_STARTS}),
+f0 AS MATERIALIZED (SELECT walk_id, node FROM starts)"""
+    for t in range(1, WALK_STEPS + 1):
+        key = f"((f.walk_id * 1024 + f.node) * 1024 + e.dst) * 8 + {t}"
+        cte += f""",
+f{t} AS MATERIALIZED (
+  SELECT walk_id, pk % 1024 AS node FROM (
+    SELECT f.walk_id,
+           MIN(({sql_bucket(key)}) * 1024 + e.dst) AS pk
+    FROM f{t - 1} f JOIN edges e ON e.src = f.node
+    GROUP BY f.walk_id))"""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM f{t}"
+        for t in range(0, WALK_STEPS + 1))
+    return f"WITH {cte}\n{selects}\nORDER BY walk_id, step"
+
+
+WALKS_SQL = _walks_sql()
+
+QUERIES["graph_random_walks"] = graph_random_walks
+ORACLE_SQL["graph_random_walks"] = WALKS_SQL

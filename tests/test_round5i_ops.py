@@ -168,3 +168,44 @@ def test_record_linkage_truth(spark):
     assert row.precision_permille == (1000 * n_tp) // n_matched
     # the matcher must actually work on this corruption model
     assert row.recall_permille >= 900
+
+
+def test_random_walks_deterministic_steps(spark):
+    from kmr_spark.plans.generate import rmat_raw_edges
+    from kmr_spark.plans.graphs import (WALK_STARTS, WALK_STEPS,
+                                        graph_random_walks)
+
+    edges = {(r.src, r.dst) for r in rmat_raw_edges(spark).collect()
+             if r.src != r.dst}
+    adj = defaultdict(list)
+    odeg = Counter()
+    for u, v in edges:
+        adj[u].append(v)
+        odeg[u] += 1
+    starts = sorted(odeg, key=lambda n: (-odeg[n], n))[:WALK_STARTS]
+
+    from kmr_spark.operators.sample import _A as A
+    from kmr_spark.operators.sample import _P_MOD as P_MOD
+    from kmr_spark.operators.sample import _P_PRE as P_PRE
+
+    def h(k):
+        return ((k % P_PRE + P_PRE) % P_PRE) * A % P_MOD
+
+    want = []
+    for s in starts:
+        cur = s
+        want.append((s, 0, s))
+        for t in range(1, WALK_STEPS + 1):
+            outs = adj.get(cur)
+            if not outs:
+                break
+            cur = min(outs, key=lambda v: (
+                h(((s * 1024 + cur) * 1024 + v) * 8 + t), v))
+            want.append((s, t, cur))
+    got = [(r.walk_id, r.step, r.node)
+           for r in graph_random_walks(spark, SF_SMALL).collect()]
+    assert got == sorted(want)
+    # replayability: a second run is bit-identical
+    got2 = [(r.walk_id, r.step, r.node)
+            for r in graph_random_walks(spark, SF_SMALL).collect()]
+    assert got2 == got
