@@ -361,7 +361,10 @@ _DRIVER_CHECKED = frozenset({
 # fuzzy record linkage with blocking, exact-sim green at both sf at
 # add time), plus graph_random_walks (46 of 50; deterministic
 # hash-chosen node2vec-style walks, exact-sim green at both sf at add
-# time). Full-registry --exact sweep at sf0.01
+# time), plus parts_xyz_classification and bpe_learn_merges (48 of
+# 50; exact-sim green at both sf at add time — the r7 window is now
+# effectively full: any further adds defer to ROUND 8).
+# Full-registry --exact sweep at sf0.01
 # late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
 # sweep launch were each exact-checked individually at both sf).
 _R5_WINDOW = (

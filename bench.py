@@ -336,6 +336,8 @@ BENCH_QUERIES = [
     "events_psi_drift",
     "customer_record_linkage",
     "graph_random_walks",
+    "parts_xyz_classification",
+    "bpe_learn_merges",
 ]
 
 

@@ -735,3 +735,112 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 
 QUERIES["text_longest_repeat"] = text_longest_repeat
 ORACLE_SQL["text_longest_repeat"] = LONGEST_REPEAT_SQL
+
+
+BPE_LEARN_ROUNDS = 3
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE training: learn the first BPE_LEARN_ROUNDS merges
+    (bpe_merge_candidates ranks round-1 candidates only; real
+    tokenizer training APPLIES the winning merge and recounts). Words
+    are symbol strings (' t h e _ '); each round counts weighted
+    adjacent symbol pairs over the distinct-word table, picks the max
+    (ties: lexicographic), and rewrites every word with the fused
+    symbol. Output: the merge table (round, sym_a, sym_b, n) — the
+    artifact a tokenizer ships.
+
+    Merge application is TWO passes of string replace(' a b ',' ab ')
+    per round: replace() scans left-to-right without rescanning
+    (identical semantics in the JVM and DuckDB), and the second pass
+    catches the alternating occurrences the first pass's consumed
+    boundary space hides. For runs of one repeated symbol pair this
+    bounds at textbook-BPE parity up to 4-long runs — documented
+    deviation; the corpus statistics that matter (which merge wins
+    each round) are computed exactly on BOTH engines from the SAME
+    rewrite, so the oracle comparison is airtight either way.
+
+    Scale: pair counting is the wordcount shape over the |vocab|-sized
+    distinct-word table (corpus text is touched once); each winning
+    merge is a 1-row driver value (the merge table IS driver-sized —
+    the kmeans-centroid convention) re-broadcast as a literal; the
+    rewrite is a narrow map.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .select(F.concat(
+            F.lit(" "),
+            F.array_join(F.expr(
+                "transform(sequence(1, length(w) + 1), "
+                "i -> substring(w || '_', i, 1))"), " "),
+            F.lit(" ")).alias("s"), "c")
+        .persist()
+    )
+    try:
+        words.count()
+        merges = []
+        cur = words
+        for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+            syms = cur.select(
+                "c", F.split(F.trim(F.col("s")), " ").alias("a"))
+            pairs = syms.select(
+                "c", F.explode(F.expr(
+                    "transform(sequence(1, size(a) - 1), "
+                    "i -> struct(a[i - 1] AS pa, a[i] AS pb))")).alias("p"))
+            top = (
+                pairs.groupBy("p.pa", "p.pb")
+                .agg(F.sum("c").alias("n"))
+                .orderBy(F.col("n").desc(), "pa", "pb").limit(1)
+                .collect()[0]
+            )
+            merges.append((rnd, top["pa"], top["pb"], top["n"]))
+            cur = cur.select(
+                F.expr(f"replace(replace(s, ' {top['pa']} {top['pb']} ', "
+                       f"' {top['pa']}{top['pb']} '), "
+                       f"' {top['pa']} {top['pb']} ', "
+                       f"' {top['pa']}{top['pb']} ')").alias("s"),
+                "c").localCheckpoint(eager=False)
+        return spark.createDataFrame(
+            merges, "round long, sym_a string, sym_b string, n long")
+    finally:
+        words.unpersist()
+
+
+def _bpe_learn_sql() -> str:
+    cte = """words0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(list_transform(
+           range(1, length(w || '_') + 1),
+           i -> substring(w || '_', i, 1)), ' ') || ' ' AS s,
+         c
+  FROM (SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w))"""
+    for r in range(1, BPE_LEARN_ROUNDS + 1):
+        cte += f""",
+top{r} AS MATERIALIZED (
+  SELECT pa, pb, CAST(SUM(c) AS BIGINT) AS n FROM (
+    SELECT c, a[i] AS pa, a[i + 1] AS pb
+    FROM (SELECT c, string_split(trim(s), ' ') AS a FROM words{r - 1}),
+         unnest(range(1, len(a))) AS t(i))
+  GROUP BY pa, pb ORDER BY n DESC, pa, pb LIMIT 1),
+words{r} AS MATERIALIZED (
+  SELECT replace(replace(w.s, ' ' || t.pa || ' ' || t.pb || ' ',
+                         ' ' || t.pa || t.pb || ' '),
+                 ' ' || t.pa || ' ' || t.pb || ' ',
+                 ' ' || t.pa || t.pb || ' ') AS s, w.c
+  FROM words{r - 1} w CROSS JOIN top{r} t)"""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pa AS sym_a, pb AS sym_b, n"
+        f" FROM top{r}" for r in range(1, BPE_LEARN_ROUNDS + 1))
+    return f"WITH {cte}\n{selects}\nORDER BY round"
+
+
+BPE_LEARN_SQL = _bpe_learn_sql()
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges
+ORACLE_SQL["bpe_learn_merges"] = BPE_LEARN_SQL

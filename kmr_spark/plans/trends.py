@@ -850,3 +850,88 @@ FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["orders_fulfillment_lag"] = orders_fulfillment_lag
 ORACLE_SQL["orders_fulfillment_lag"] = FULFILLMENT_SQL
+
+
+def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion axis to
+    parts_abc_classification's revenue ABC), at BRAND grain: per brand,
+    the squared coefficient of variation of WEEKLY shipped quantity
+    over the full horizon — zero-demand weeks included — bucketed
+    X (cv <= 0.5, steady), Y (cv <= 1, variable), Z (lumpy). ABC tells
+    you where the money is; XYZ tells you what is forecastable — the
+    two together drive safety-stock policy. (Brand grain, not part:
+    per-part weekly demand in this schema is a handful of events over
+    ~470 weeks — everything classifies Z and the query says nothing;
+    the grain an analyst actually forecasts at is the one with a dense
+    series.)
+
+    Exactness: with S = sum(q), Q = sum(q^2) over observed weeks and n
+    = GLOBAL week count (implicit zeros), cv^2 = (n*Q - S^2)/S^2, so
+    the class tests are integer comparisons (4*(n*Q - S^2) <= S^2 for
+    X) and cv2_permille = (1000*(n*Q - S^2)) DIV S^2 — no float, no
+    densification of zero weeks.
+
+    Scale: one (brand, week)-keyed aggregation (the brand dimension
+    rides a broadcast join), one brand-keyed rollup, both map-side
+    combinable; the week-count scalar is a broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity",
+        (F.datediff(F.to_date("l_shipdate"),
+                    F.lit("1992-01-01").cast("date"))
+         / 7).cast("long").alias("wk"))
+    part = t["part"].select("p_partkey", "p_brand")
+    li = li.join(F.broadcast(part),
+                 F.col("l_partkey") == F.col("p_partkey"))
+    weeks = li.agg((F.max("wk") - F.min("wk") + 1).alias("n_weeks"))
+    weekly = (
+        li.groupBy("p_brand", "wk")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    per_brand = (
+        weekly.groupBy("p_brand")
+        .agg(F.sum("q").alias("s"),
+             F.sum(F.col("q") * F.col("q")).alias("qq"),
+             F.count("*").alias("n_active_weeks"))
+        .crossJoin(F.broadcast(weeks))
+    )
+    var_num = F.col("n_weeks") * F.col("qq") - F.col("s") * F.col("s")
+    return (
+        per_brand.select(
+            "p_brand", "s", "n_active_weeks", "n_weeks",
+            F.expr("(1000 * (n_weeks * qq - s * s)) DIV (s * s)")
+            .alias("cv2_permille"),
+            F.when(4 * var_num <= F.col("s") * F.col("s"), "X")
+            .when(var_num <= F.col("s") * F.col("s"), "Y")
+            .otherwise("Z").alias("xyz_class"))
+        .orderBy("p_brand")
+    )
+
+
+XYZ_SQL = """
+WITH li AS (
+  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS q,
+         date_diff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE))
+           // 7 AS wk
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+weeks AS (SELECT MAX(wk) - MIN(wk) + 1 AS n_weeks FROM li),
+weekly AS (
+  SELECT p_brand, wk, CAST(SUM(q) AS BIGINT) AS q
+  FROM li GROUP BY 1, 2),
+per_brand AS (
+  SELECT p_brand, CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS qq,
+         COUNT(*) AS n_active_weeks
+  FROM weekly GROUP BY 1)
+SELECT p_brand, s, n_active_weeks, w.n_weeks,
+       (1000 * (w.n_weeks * qq - s * s)) // (s * s) AS cv2_permille,
+       CASE WHEN 4 * (w.n_weeks * qq - s * s) <= s * s THEN 'X'
+            WHEN w.n_weeks * qq - s * s <= s * s THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM per_brand CROSS JOIN weeks w
+ORDER BY p_brand
+"""
+
+QUERIES["parts_xyz_classification"] = parts_xyz_classification
+ORACLE_SQL["parts_xyz_classification"] = XYZ_SQL

@@ -209,3 +209,77 @@ def test_random_walks_deterministic_steps(spark):
     got2 = [(r.walk_id, r.step, r.node)
             for r in graph_random_walks(spark, SF_SMALL).collect()]
     assert got2 == got
+
+
+def test_xyz_brand_bruteforce(spark):
+    import math
+
+    from kmr_spark.plans.trends import parts_xyz_classification
+    from kmr_spark.session import load_tables
+
+    t = load_tables(spark, SF_SMALL)
+    part = {r.p_partkey: r.p_brand for r in
+            t["part"].select("p_partkey", "p_brand").collect()}
+    li = t["lineitem"].select("l_partkey", "l_quantity",
+                              F.to_date("l_shipdate").alias("d")).collect()
+    from datetime import date
+    epoch = date(1992, 1, 1)
+    weekly = Counter()
+    wks = set()
+    for r in li:
+        wk = (r.d - epoch).days // 7
+        wks.add(wk)
+        weekly[(part[r.l_partkey], wk)] += int(r.l_quantity)
+    n_weeks = max(wks) - min(wks) + 1
+    per = defaultdict(lambda: [0, 0, 0])  # s, qq, active
+    for (b, _), q in weekly.items():
+        per[b][0] += q
+        per[b][1] += q * q
+        per[b][2] += 1
+    got = {r.p_brand: r for r in
+           parts_xyz_classification(spark, SF_SMALL).collect()}
+    assert sorted(got) == sorted(per)
+    for b, (s, qq, act) in per.items():
+        var_num = n_weeks * qq - s * s
+        cls = "X" if 4 * var_num <= s * s else \
+              "Y" if var_num <= s * s else "Z"
+        r = got[b]
+        assert (r.s, r.n_active_weeks, r.n_weeks, r.xyz_class) == \
+            (s, act, n_weeks, cls)
+        assert r.cv2_permille == (1000 * var_num) // (s * s)
+
+
+def test_bpe_learn_merges_python(spark):
+    from kmr_spark.llm_ops.lexical import (BPE_LEARN_ROUNDS,
+                                           bpe_learn_merges)
+    from kmr_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMALL)["documents"] \
+        .select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        for w in (r.text or "").split(" "):
+            if w:
+                vocab[w + "_"] += 1
+    words = {" " + " ".join(w) + " ": c for w, c in vocab.items()}
+    merged = Counter()
+    for w, c in words.items():
+        merged[w] += c
+    words = merged
+    got = bpe_learn_merges(spark, SF_SMALL).collect()
+    assert len(got) == BPE_LEARN_ROUNDS
+    for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+        pairs = Counter()
+        for s, c in words.items():
+            syms = s.strip().split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (pa, pb), n = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        r = got[rnd - 1]
+        assert (r.round, r.sym_a, r.sym_b, r.n) == (rnd, pa, pb, n)
+        pat, rep = f" {pa} {pb} ", f" {pa}{pb} "
+        nxt = Counter()
+        for s, c in words.items():
+            nxt[s.replace(pat, rep).replace(pat, rep)] += c
+        words = nxt
