@@ -338,6 +338,9 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "parts_xyz_classification",
     "bpe_learn_merges",
+    "events_ab_srm_check",
+    "events_factorial_interaction",
+    "lineitem_returns_wilson",
 ]
 
 

@@ -1172,3 +1172,149 @@ FROM d CROSS JOIN totals
 
 QUERIES["events_ks_test"] = events_ks_test
 ORACLE_SQL["events_ks_test"] = KS_SQL
+
+
+SRM_CHI2_CRIT_MILLI = 3841  # chi-square(1df) 5% critical value x1000
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check for the 50/50 arm split every A/B
+    query in this repo assumes (arm = user_id % 2): per event_type and
+    overall, the chi-square statistic for a 50/50 user split —
+    chi2 = (na-nb)^2/(na+nb) — with the 5% flag. SRM is the first
+    trust gate an experimentation platform runs: a significant
+    mismatch means assignment (or logging) is broken and every
+    downstream test (ab_test, CUPED, sequential, KS, Mann-Whitney) is
+    invalid. USERS are counted, not events (events per user vary
+    legitimately).
+
+    Exactness: na/nb are BIGINT distinct-user counts; chi2_milli =
+    (1000*(na-nb)^2) DIV (na+nb) is an integer and the flag compares
+    integers. One distinct-user aggregation, then |types|+1 rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.select("event_type", "user_id",
+                      (F.col("user_id") % 2).alias("arm")).distinct()
+    per_type = users.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("nb"))
+    overall = (
+        users.select("user_id", "arm").distinct()
+        .groupBy()
+        .agg(F.count(F.when(F.col("arm") == 0, 1)).alias("na"),
+             F.count(F.when(F.col("arm") == 1, 1)).alias("nb"))
+        .select(F.lit("__all__").alias("event_type"), "na", "nb")
+    )
+    chi = F.expr("(1000 * (na - nb) * (na - nb)) DIV (na + nb)")
+    return (
+        per_type.unionByName(overall)
+        .select("event_type", "na", "nb", chi.alias("chi2_milli"),
+                (chi > SRM_CHI2_CRIT_MILLI).alias("srm_flag"))
+        .orderBy("event_type")
+    )
+
+
+SRM_SQL = f"""
+WITH users AS (
+  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events),
+per_type AS (
+  SELECT event_type,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS na,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS nb
+  FROM users GROUP BY event_type
+  UNION ALL
+  SELECT '__all__',
+         COUNT(CASE WHEN arm = 0 THEN 1 END),
+         COUNT(CASE WHEN arm = 1 THEN 1 END)
+  FROM (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events))
+SELECT event_type, na, nb,
+       (1000 * (na - nb) * (na - nb)) // (na + nb) AS chi2_milli,
+       (1000 * (na - nb) * (na - nb)) // (na + nb) > {SRM_CHI2_CRIT_MILLI}
+         AS srm_flag
+FROM per_type ORDER BY event_type
+"""
+
+QUERIES["events_ab_srm_check"] = events_ab_srm_check
+ORACLE_SQL["events_ab_srm_check"] = SRM_SQL
+
+
+def events_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 FACTORIAL experiment readout: factors A = user_id % 2 and
+    B = (user_id DIV 2) % 2 (two independent deterministic
+    assignments), outcome = event value in cents. Reports the four
+    cell means, both main effects, and the INTERACTION term
+    (m11 - m10) - (m01 - m00) — the quantity a one-factor A/B test
+    cannot see (does feature A help only when B is on?). Completes the
+    causal family next to DiD / CUPED / power / SRM.
+
+    Exactness: four (cent-sum, count) BIGINT pairs; every output
+    double is one fixed tree over them (the DiD recipe).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = (
+        ev.select(
+            (F.col("user_id") % 2 == 1).alias("a"),
+            (F.expr("(user_id DIV 2) % 2") == 1).alias("b"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy()
+        .agg(*[F.sum(F.when(cond, F.col("cents"))).alias(f"s{tag}")
+               for tag, cond in _fact_cells()],
+             *[F.count(F.when(cond, F.lit(1))).alias(f"n{tag}")
+               for tag, cond in _fact_cells()])
+    )
+    m = lambda t: (F.col(f"s{t}").cast("double")
+                   / F.col(f"n{t}").cast("double"))
+    return cells.select(
+        *[F.col(f"n{t}") for t, _ in _fact_cells()],
+        m("00").alias("mean00"), m("01").alias("mean01"),
+        m("10").alias("mean10"), m("11").alias("mean11"),
+        ((m("10") + m("11")) / F.lit(2.0)
+         - (m("00") + m("01")) / F.lit(2.0)).alias("effect_a"),
+        ((m("01") + m("11")) / F.lit(2.0)
+         - (m("00") + m("10")) / F.lit(2.0)).alias("effect_b"),
+        ((m("11") - m("10")) - (m("01") - m("00"))).alias("interaction"))
+
+
+def _fact_cells():
+    a, b = F.col("a"), F.col("b")
+    return [("00", ~a & ~b), ("01", ~a & b), ("10", a & ~b), ("11", a & b)]
+
+
+FACTORIAL_SQL = """
+WITH base AS (
+  SELECT (user_id % 2) = 1 AS a, ((user_id // 2) % 2) = 1 AS b,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN cents END) AS BIGINT) AS s00,
+    CAST(SUM(CASE WHEN NOT a AND b THEN cents END) AS BIGINT) AS s01,
+    CAST(SUM(CASE WHEN a AND NOT b THEN cents END) AS BIGINT) AS s10,
+    CAST(SUM(CASE WHEN a AND b THEN cents END) AS BIGINT) AS s11,
+    COUNT(CASE WHEN NOT a AND NOT b THEN 1 END) AS n00,
+    COUNT(CASE WHEN NOT a AND b THEN 1 END) AS n01,
+    COUNT(CASE WHEN a AND NOT b THEN 1 END) AS n10,
+    COUNT(CASE WHEN a AND b THEN 1 END) AS n11
+  FROM base)
+SELECT n00, n01, n10, n11,
+  CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS mean00,
+  CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS mean01,
+  CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS mean10,
+  CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS mean11,
+  (CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)
+   + CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / 2.0
+  - (CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)
+     + CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / 2.0 AS effect_a,
+  (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+   + CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / 2.0
+  - (CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)
+     + CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / 2.0 AS effect_b,
+  (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+   - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+  - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+     - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS interaction
+FROM g
+"""
+
+QUERIES["events_factorial_interaction"] = events_factorial_interaction
+ORACLE_SQL["events_factorial_interaction"] = FACTORIAL_SQL

@@ -935,3 +935,72 @@ ORDER BY p_brand
 
 QUERIES["parts_xyz_classification"] = parts_xyz_classification
 ORACLE_SQL["parts_xyz_classification"] = XYZ_SQL
+
+
+WILSON_Z = 1.959963984540054  # two-sided 95% normal quantile
+
+
+def lineitem_returns_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand with a WILSON 95% score interval — the
+    binomial CI that behaves at small n and extreme rates (a plain
+    normal interval goes negative); the ranked-list-with-uncertainty
+    readout a quality team actually publishes, where a brand is only
+    flagged when its LOWER bound clears the overall rate.
+
+    Exactness: returns/total are BIGINT counts; rate_permille is an
+    integer DIV; the Wilson bounds are each one fixed expression tree
+    over (r, n) with z embedded as a shared literal (sqrt is correctly
+    rounded, hence portable). One broadcast-dim join + one
+    map-side-combinable aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey", "l_returnflag")
+    part = t["part"].select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"),
+             F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"))
+    )
+    z2 = WILSON_Z * WILSON_Z
+    dd = lambda c: F.col(c).cast("double")
+    center = (dd("r") + F.lit(z2 / 2.0)) / (dd("n") + F.lit(z2))
+    half = (F.lit(WILSON_Z)
+            * F.sqrt(dd("r") * (dd("n") - dd("r")) / dd("n")
+                     + F.lit(z2 / 4.0))
+            / (dd("n") + F.lit(z2)))
+    return (
+        per.select(
+            "p_brand", "n", "r",
+            F.expr("(1000 * r) DIV n").alias("rate_permille"),
+            (center - half).alias("wilson_lo"),
+            (center + half).alias("wilson_hi"))
+        .orderBy("p_brand")
+    )
+
+
+def _wilson_sql() -> str:
+    z = repr(WILSON_Z)
+    z2 = f"(CAST('{z}' AS DOUBLE) * CAST('{z}' AS DOUBLE))"
+    rd, nd = "CAST(r AS DOUBLE)", "CAST(n AS DOUBLE)"
+    center = f"({rd} + {z2} / 2.0) / ({nd} + {z2})"
+    half = (f"CAST('{z}' AS DOUBLE) * sqrt({rd} * ({nd} - {rd}) / {nd}"
+            f" + {z2} / 4.0) / ({nd} + {z2})")
+    return f"""
+WITH per AS (
+  SELECT p.p_brand, COUNT(*) AS n,
+         COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand)
+SELECT p_brand, n, r,
+       (1000 * r) // n AS rate_permille,
+       {center} - {half} AS wilson_lo,
+       {center} + {half} AS wilson_hi
+FROM per ORDER BY p_brand
+"""
+
+
+WILSON_SQL = _wilson_sql()
+
+QUERIES["lineitem_returns_wilson"] = lineitem_returns_wilson
+ORACLE_SQL["lineitem_returns_wilson"] = WILSON_SQL

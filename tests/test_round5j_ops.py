@@ -1,0 +1,95 @@
+"""Semantic tests for the round-5 fourteenth-wave operators: SRM
+chi-square vs direct counts, factorial interaction vs cell means, and
+Wilson intervals vs the closed form.  (Value parity vs DuckDB is the
+oracle gate's job; these pin the MATH.)
+"""
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_srm_check_counts(spark):
+    from kmr_spark.plans.inference import (SRM_CHI2_CRIT_MILLI,
+                                           events_ab_srm_check)
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("event_type", "user_id").collect()
+    per = defaultdict(set)
+    allu = set()
+    for r in ev:
+        per[r.event_type].add(r.user_id)
+        allu.add(r.user_id)
+    per["__all__"] = allu
+    got = {r.event_type: r for r in
+           events_ab_srm_check(spark, SF_SMALL).collect()}
+    assert set(got) == set(per)
+    for t, users in per.items():
+        na = sum(1 for u in users if u % 2 == 0)
+        nb = len(users) - na
+        chi = (1000 * (na - nb) * (na - nb)) // (na + nb)
+        r = got[t]
+        assert (r.na, r.nb, r.chi2_milli) == (na, nb, chi)
+        assert r.srm_flag == (chi > SRM_CHI2_CRIT_MILLI)
+    # the deterministic %2 split must NOT trip SRM on healthy data
+    assert not got["__all__"].srm_flag
+
+
+def test_factorial_interaction_cells(spark):
+    from kmr_spark.plans.inference import events_factorial_interaction
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("user_id", "value").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for r in ev:
+        a, b = r.user_id % 2, (r.user_id // 2) % 2
+        c = cells[(a, b)]
+        c[0] += math.floor(r.value * 100)
+        c[1] += 1
+    m = {k: v[0] / v[1] for k, v in cells.items()}
+    row = events_factorial_interaction(spark, SF_SMALL).collect()[0]
+    assert (row.n00, row.n01, row.n10, row.n11) == (
+        cells[(0, 0)][1], cells[(0, 1)][1],
+        cells[(1, 0)][1], cells[(1, 1)][1])
+    assert row.mean00 == m[(0, 0)] and row.mean11 == m[(1, 1)]
+    assert row.interaction == \
+        (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert row.effect_a == \
+        (m[(1, 0)] + m[(1, 1)]) / 2.0 - (m[(0, 0)] + m[(0, 1)]) / 2.0
+
+
+def test_wilson_interval_closed_form(spark):
+    from kmr_spark.plans.trends import WILSON_Z, lineitem_returns_wilson
+    from kmr_spark.session import load_tables
+
+    t = load_tables(spark, SF_SMALL)
+    brand = {r.p_partkey: r.p_brand for r in
+             t["part"].select("p_partkey", "p_brand").collect()}
+    cnt = Counter()
+    ret = Counter()
+    for r in t["lineitem"].select("l_partkey", "l_returnflag").collect():
+        b = brand[r.l_partkey]
+        cnt[b] += 1
+        if r.l_returnflag == "R":
+            ret[b] += 1
+    got = {r.p_brand: r for r in
+           lineitem_returns_wilson(spark, SF_SMALL).collect()}
+    assert set(got) == set(cnt)
+    z2 = WILSON_Z * WILSON_Z
+    for b in cnt:
+        n, r_ = float(cnt[b]), float(ret[b])
+        center = (r_ + z2 / 2.0) / (n + z2)
+        half = (WILSON_Z * math.sqrt(r_ * (n - r_) / n + z2 / 4.0)
+                / (n + z2))
+        row = got[b]
+        assert (row.n, row.r) == (cnt[b], ret[b])
+        assert row.rate_permille == (1000 * ret[b]) // cnt[b]
+        assert row.wilson_lo == center - half
+        assert row.wilson_hi == center + half
+        # interval sanity: contains the point rate, inside [0, 1]
+        assert 0.0 <= row.wilson_lo <= ret[b] / cnt[b] <= row.wilson_hi <= 1.0
