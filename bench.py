@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "events_ab_srm_check",
     "events_factorial_interaction",
     "lineitem_returns_wilson",
+    "orders_dormancy_reactivation",
 ]
 
 

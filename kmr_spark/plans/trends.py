@@ -1004,3 +1004,70 @@ WILSON_SQL = _wilson_sql()
 
 QUERIES["lineitem_returns_wilson"] = lineitem_returns_wilson
 ORACLE_SQL["lineitem_returns_wilson"] = WILSON_SQL
+
+
+DORMANT_DAYS = 180
+
+
+def orders_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer WIN-BACK census: per order month, how many orders were
+    placed by a customer whose PREVIOUS order was >= DORMANT_DAYS
+    older (a reactivation), vs continuing (< DORMANT_DAYS) vs
+    first-ever — the lifecycle flow behind churn/win-back programs
+    (events_user_lifecycle's monthly cousin on the orders fact).
+    reactivation share in exact permille of the month's orders.
+
+    Scale: ONE window pass partitioned by o_custkey (high-cardinality
+    key — each customer's orders are a handful of rows, so the
+    partitioned sort is embarrassingly parallel, nothing funnels), one
+    month-keyed rollup. All integers.
+    """
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_custkey")
+    lagd = F.lag("d").over(w)
+    classed = o.select(
+        F.date_format("d", "yyyy-MM").alias("month"),
+        F.when(lagd.isNull(), "first")
+        .when(F.datediff(F.col("d"), lagd) >= DORMANT_DAYS, "reactivated")
+        .otherwise("continuing").alias("kind"))
+    return (
+        classed.groupBy("month")
+        .agg(F.count("*").alias("n_orders"),
+             F.count(F.when(F.col("kind") == "first", 1)).alias("n_first"),
+             F.count(F.when(F.col("kind") == "reactivated", 1))
+             .alias("n_reactivated"),
+             F.count(F.when(F.col("kind") == "continuing", 1))
+             .alias("n_continuing"))
+        .select("month", "n_orders", "n_first", "n_reactivated",
+                "n_continuing",
+                F.expr("(1000 * n_reactivated) DIV n_orders")
+                .alias("reactivation_permille"))
+        .orderBy("month")
+    )
+
+
+DORMANCY_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+classed AS (
+  SELECT strftime(d, '%Y-%m') AS month,
+         CASE WHEN lag(d) OVER (PARTITION BY o_custkey
+                                ORDER BY d, o_custkey) IS NULL
+              THEN 'first'
+              WHEN date_diff('day', lag(d) OVER (PARTITION BY o_custkey
+                                                 ORDER BY d, o_custkey), d)
+                   >= {DORMANT_DAYS}
+              THEN 'reactivated' ELSE 'continuing' END AS kind
+  FROM o)
+SELECT month, COUNT(*) AS n_orders,
+       COUNT(CASE WHEN kind = 'first' THEN 1 END) AS n_first,
+       COUNT(CASE WHEN kind = 'reactivated' THEN 1 END) AS n_reactivated,
+       COUNT(CASE WHEN kind = 'continuing' THEN 1 END) AS n_continuing,
+       (1000 * COUNT(CASE WHEN kind = 'reactivated' THEN 1 END))
+         // COUNT(*) AS reactivation_permille
+FROM classed GROUP BY month ORDER BY month
+"""
+
+QUERIES["orders_dormancy_reactivation"] = orders_dormancy_reactivation
+ORACLE_SQL["orders_dormancy_reactivation"] = DORMANCY_SQL

@@ -93,3 +93,36 @@ def test_wilson_interval_closed_form(spark):
         assert row.wilson_hi == center + half
         # interval sanity: contains the point rate, inside [0, 1]
         assert 0.0 <= row.wilson_lo <= ret[b] / cnt[b] <= row.wilson_hi <= 1.0
+
+
+def test_dormancy_reactivation_bruteforce(spark):
+    from kmr_spark.plans.trends import (DORMANT_DAYS,
+                                        orders_dormancy_reactivation)
+    from kmr_spark.session import load_tables
+
+    rows = load_tables(spark, SF_SMALL)["orders"] \
+        .select("o_custkey", F.to_date("o_orderdate").alias("d")).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.o_custkey].append(r.d)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # orders, first, react, cont
+    for ds in per.values():
+        prev = None
+        for d in sorted(ds):
+            m = d.strftime("%Y-%m")
+            a = agg[m]
+            a[0] += 1
+            if prev is None:
+                a[1] += 1
+            elif (d - prev).days >= DORMANT_DAYS:
+                a[2] += 1
+            else:
+                a[3] += 1
+            prev = d
+    got = orders_dormancy_reactivation(spark, SF_SMALL).collect()
+    assert [r.month for r in got] == sorted(agg)
+    for r in got:
+        n, f, re_, c = agg[r.month]
+        assert (r.n_orders, r.n_first, r.n_reactivated,
+                r.n_continuing) == (n, f, re_, c)
+        assert r.reactivation_permille == (1000 * re_) // n
