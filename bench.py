@@ -342,6 +342,8 @@ BENCH_QUERIES = [
     "events_factorial_interaction",
     "lineitem_returns_wilson",
     "orders_dormancy_reactivation",
+    "events_mde_curve",
+    "events_attrib_window_sweep",
 ]
 
 

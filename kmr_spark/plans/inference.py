@@ -1318,3 +1318,73 @@ FROM g
 
 QUERIES["events_factorial_interaction"] = events_factorial_interaction
 ORACLE_SQL["events_factorial_interaction"] = FACTORIAL_SQL
+
+
+MDE_ARM_SIZES = (1_000, 10_000, 100_000, 1_000_000)
+
+
+def events_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE of events_power_analysis: instead of "how many users
+    for a 5% effect", the minimum detectable effect (as a fraction of
+    the purchase-value mean, 80% power / 5% two-sided) achievable at
+    each candidate arm size — the planning curve a team reads BEFORE
+    committing to an experiment duration. mde = (z_a+z_b) *
+    sqrt(2*var/n) / mean, per n in MDE_ARM_SIZES.
+
+    Exactness: var and mean come from the same BIGINT cent moments the
+    power query uses; each mde is one fixed expression tree (one per
+    n, sharing the z literals). One aggregation, 4 output rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    sums = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .agg(F.count("*").alias("n_obs"),
+             F.sum("c").alias("s"),
+             F.sum(F.col("c") * F.col("c")).alias("q"))
+    )
+    dd = lambda c: F.col(c).cast("double")
+    var = ((dd("n_obs") * dd("q") - dd("s") * dd("s"))
+           / (dd("n_obs") * (dd("n_obs") - F.lit(1.0))))
+    mean = dd("s") / dd("n_obs")
+    z = F.lit(Z_ALPHA) + F.lit(Z_BETA)
+    rows = []
+    for n in MDE_ARM_SIZES:
+        rows.append(sums.select(
+            F.lit(n).cast("long").alias("n_per_arm"),
+            "n_obs",
+            (z * F.sqrt(F.lit(2.0) * var / F.lit(float(n))) / mean)
+            .alias("mde_fraction")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("n_per_arm")
+
+
+def _mde_sql() -> str:
+    za, zb = repr(Z_ALPHA), repr(Z_BETA)
+    var = ("(CAST(n_obs AS DOUBLE) * CAST(q AS DOUBLE)"
+           " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+           " / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0))")
+    mean = "CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE)"
+    parts = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS n_per_arm, n_obs,\n"
+        f"  (CAST('{za}' AS DOUBLE) + CAST('{zb}' AS DOUBLE))\n"
+        f"  * sqrt(2.0 * ({var}) / CAST({float(n)} AS DOUBLE)) / ({mean})\n"
+        f"  AS mde_fraction FROM sums" for n in MDE_ARM_SIZES)
+    return f"""
+WITH sums AS (
+  SELECT COUNT(*) AS n_obs,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'))
+{parts}
+ORDER BY n_per_arm
+"""
+
+
+MDE_SQL = _mde_sql()
+
+QUERIES["events_mde_curve"] = events_mde_curve
+ORACLE_SQL["events_mde_curve"] = MDE_SQL

@@ -1071,3 +1071,83 @@ FROM classed GROUP BY month ORDER BY month
 
 QUERIES["orders_dormancy_reactivation"] = orders_dormancy_reactivation
 ORACLE_SQL["orders_dormancy_reactivation"] = DORMANCY_SQL
+
+
+ATTRIB_WINDOWS_S = (900, 3600, 21600, 86400)  # 15m / 1h / 6h / 24h
+
+
+def events_attrib_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window SENSITIVITY sweep: what fraction of purchases
+    gets click-attributed at each candidate window (15m/1h/6h/24h)?
+    The tuning companion to events_asof_click_attrib's fixed 1h, the
+    same discipline as events_session_gap_sensitivity: the expensive
+    part — the as-of join to the most recent prior click — runs ONCE,
+    and every window is a comparison against the same lag column, so
+    sweeping 4 windows costs one aggregate more than sweeping none.
+
+    Output per window: attributed count + exact permille share. The
+    curve's elbow is the defensible window choice; a share still
+    climbing at 24h means click attribution is mostly coincidence.
+    """
+    from kmr_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "us", F.col("us").alias("c_us"))
+    joined = asof_join(purchases, clicks, on="us", by="user_id",
+                       right_cols=["c_us"], left_key="event_id")
+    gap = F.when(F.col("asof_c_us").isNotNull(),
+                 F.col("us") - F.col("asof_c_us"))
+    agg = joined.select(gap.alias("gap_us")).agg(
+        F.count("*").alias("n_purchases"),
+        *[F.count(F.when(F.col("gap_us") <= w * 1_000_000, 1))
+          .alias(f"a{w}") for w in ATTRIB_WINDOWS_S])
+    rows = []
+    for w in ATTRIB_WINDOWS_S:
+        rows.append(agg.select(
+            F.lit(w).cast("long").alias("window_s"),
+            "n_purchases",
+            F.col(f"a{w}").alias("n_attributed"),
+            F.expr(f"(1000 * a{w}) DIV n_purchases")
+            .alias("attributed_permille")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("window_s")
+
+
+def _attrib_sweep_sql() -> str:
+    a_cols = ",\n         ".join(
+        f"COUNT(CASE WHEN gap_us <= {w * 1_000_000} THEN 1 END) AS a{w}"
+        for w in ATTRIB_WINDOWS_S)
+    parts = "\nUNION ALL\n".join(
+        f"SELECT CAST({w} AS BIGINT) AS window_s, n_purchases,\n"
+        f"       a{w} AS n_attributed,\n"
+        f"       (1000 * a{w}) // n_purchases AS attributed_permille\n"
+        f"FROM agg" for w in ATTRIB_WINDOWS_S)
+    return f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'),
+joined AS (
+  SELECT p.event_id, CASE WHEN c.c_us IS NOT NULL
+                          THEN p.us - c.c_us END AS gap_us
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.c_us),
+agg AS (
+  SELECT COUNT(*) AS n_purchases,
+         {a_cols}
+  FROM joined)
+{parts}
+ORDER BY window_s
+"""
+
+
+ATTRIB_SWEEP_SQL = _attrib_sweep_sql()
+
+QUERIES["events_attrib_window_sweep"] = events_attrib_window_sweep
+ORACLE_SQL["events_attrib_window_sweep"] = ATTRIB_SWEEP_SQL

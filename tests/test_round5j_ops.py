@@ -126,3 +126,58 @@ def test_dormancy_reactivation_bruteforce(spark):
         assert (r.n_orders, r.n_first, r.n_reactivated,
                 r.n_continuing) == (n, f, re_, c)
         assert r.reactivation_permille == (1000 * re_) // n
+
+
+def test_mde_curve_closed_form(spark):
+    from kmr_spark.plans.inference import (MDE_ARM_SIZES, Z_ALPHA, Z_BETA,
+                                           events_mde_curve)
+    from kmr_spark.session import load_tables
+
+    vals = [math.floor(r.value * 100) for r in
+            load_tables(spark, SF_SMALL)["events"]
+            .filter("event_type = 'purchase'").select("value").collect()]
+    n, s, q = len(vals), sum(vals), sum(v * v for v in vals)
+    var = (float(n) * float(q) - float(s) * float(s)) \
+        / (float(n) * (float(n) - 1.0))
+    mean = float(s) / float(n)
+    got = {r.n_per_arm: r for r in events_mde_curve(spark, SF_SMALL).collect()}
+    assert sorted(got) == sorted(MDE_ARM_SIZES)
+    prev = float("inf")
+    for arm in MDE_ARM_SIZES:
+        r = got[arm]
+        assert r.n_obs == n
+        want = (Z_ALPHA + Z_BETA) * math.sqrt(2.0 * var / float(arm)) / mean
+        assert r.mde_fraction == want
+        assert r.mde_fraction < prev  # more users -> smaller MDE
+        prev = r.mde_fraction
+
+
+def test_attrib_window_sweep_bruteforce(spark):
+    from kmr_spark.plans.trends import (ATTRIB_WINDOWS_S,
+                                        events_attrib_window_sweep)
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us")) \
+        .collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r.us)
+    gaps = []
+    for r in ev:
+        if r.event_type == "purchase":
+            prior = [c for c in clicks.get(r.user_id, []) if c <= r.us]
+            gaps.append(r.us - max(prior) if prior else None)
+    got = {r.window_s: r for r in
+           events_attrib_window_sweep(spark, SF_SMALL).collect()}
+    assert sorted(got) == sorted(ATTRIB_WINDOWS_S)
+    prev = -1
+    for w in ATTRIB_WINDOWS_S:
+        n_attr = sum(1 for g in gaps if g is not None
+                     and g <= w * 1_000_000)
+        r = got[w]
+        assert (r.n_purchases, r.n_attributed) == (len(gaps), n_attr)
+        assert r.attributed_permille == (1000 * n_attr) // len(gaps)
+        assert r.n_attributed >= prev  # monotone in window length
+        prev = r.n_attributed
