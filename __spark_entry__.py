@@ -369,7 +369,8 @@ _DRIVER_CHECKED = frozenset({
 # green at both sf at add time): events_ab_srm_check,
 # events_factorial_interaction, lineitem_returns_wilson,
 # orders_dormancy_reactivation, events_mde_curve,
-# events_attrib_window_sweep — first 6 of the r8 window.
+# events_attrib_window_sweep, events_ratio_metric_delta — first 7 of
+# the r8 window.
 # Full-registry --exact sweep at sf0.01
 # late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
 # sweep launch were each exact-checked individually at both sf).

@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "orders_dormancy_reactivation",
     "events_mde_curve",
     "events_attrib_window_sweep",
+    "events_ratio_metric_delta",
 ]
 
 

@@ -1388,3 +1388,107 @@ MDE_SQL = _mde_sql()
 
 QUERIES["events_mde_curve"] = events_mde_curve
 ORACLE_SQL["events_mde_curve"] = MDE_SQL
+
+
+def events_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-METRIC experiment readout with the DELTA METHOD: revenue
+    per event, by arm (user_id % 2) — the metric class where naive
+    per-event variance is WRONG because the randomization unit is the
+    USER: both numerator and denominator are user-level sums, so the
+    ratio's variance needs var(x), var(y), cov(x,y) of per-user
+    totals (the delta method), not per-event moments. Reports per arm
+    the ratio and its delta-method standard error, plus the
+    difference z-statistic — the cluster-robust version of
+    events_ab_test.
+
+    Exactness: per-user totals are BIGINT cents/counts; the five
+    per-arm moments (Sx, Sy, Sxx, Syy, Sxy) are BIGINT sums; every
+    double (ratio, se, z) is one fixed expression tree over them.
+    Plan: one user-keyed aggregation, one arm rollup — map-side
+    combinable end to end.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.select("user_id",
+                  F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("x"), F.count("*").alias("y"))
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    dd = lambda c: F.col(c).cast("double")
+    n = dd("n_users")
+    mx, my = dd("sx") / n, dd("sy") / n
+    vx = (dd("sxx") - n * mx * mx) / (n - F.lit(1.0))
+    vy = (dd("syy") - n * my * my) / (n - F.lit(1.0))
+    cxy = (dd("sxy") - n * mx * my) / (n - F.lit(1.0))
+    r = dd("sx") / dd("sy")
+    se = F.sqrt((vx - F.lit(2.0) * r * cxy + r * r * vy) / n) / my
+    out = arms.select("arm", "n_users", "sx", "sy",
+                      r.alias("ratio_cents"), se.alias("se"))
+    a0 = out.filter("arm = 0").select(
+        F.col("ratio_cents").alias("r0"), F.col("se").alias("se0"))
+    a1 = out.filter("arm = 1").select(
+        F.col("ratio_cents").alias("r1"), F.col("se").alias("se1"))
+    diff = a0.crossJoin(F.broadcast(a1)).select(
+        F.lit(-1).cast("long").alias("arm"),
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(None).cast("long").alias("sx"),
+        F.lit(None).cast("long").alias("sy"),
+        (F.col("r1") - F.col("r0")).alias("ratio_cents"),
+        F.sqrt(F.col("se0") * F.col("se0")
+               + F.col("se1") * F.col("se1")).alias("se"))
+    return out.unionByName(diff).orderBy("arm")
+
+
+RATIO_DELTA_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user GROUP BY arm),
+scored AS (
+  SELECT arm, n_users, sx, sy,
+         CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio_cents,
+         sqrt(((CAST(sxx AS DOUBLE) - CAST(n_users AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                 / (CAST(n_users AS DOUBLE) - 1.0)
+               - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                 * ((CAST(sxy AS DOUBLE) - CAST(n_users AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                    / (CAST(n_users AS DOUBLE) - 1.0))
+               + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                 * ((CAST(syy AS DOUBLE) - CAST(n_users AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                    / (CAST(n_users AS DOUBLE) - 1.0)))
+              / CAST(n_users AS DOUBLE))
+           / (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)) AS se
+  FROM arms)
+SELECT arm, n_users, sx, sy, ratio_cents, se FROM scored
+UNION ALL
+SELECT CAST(-1 AS BIGINT), NULL, NULL, NULL,
+       a1.ratio_cents - a0.ratio_cents,
+       sqrt(a0.se * a0.se + a1.se * a1.se)
+FROM (SELECT * FROM scored WHERE arm = 0) a0
+CROSS JOIN (SELECT * FROM scored WHERE arm = 1) a1
+ORDER BY arm
+"""
+
+QUERIES["events_ratio_metric_delta"] = events_ratio_metric_delta
+ORACLE_SQL["events_ratio_metric_delta"] = RATIO_DELTA_SQL

@@ -181,3 +181,46 @@ def test_attrib_window_sweep_bruteforce(spark):
         assert r.attributed_permille == (1000 * n_attr) // len(gaps)
         assert r.n_attributed >= prev  # monotone in window length
         prev = r.n_attributed
+
+
+def test_ratio_metric_delta_reference(spark):
+    from kmr_spark.plans.inference import events_ratio_metric_delta
+    from kmr_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"] \
+        .select("user_id", "value").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        u = per[r.user_id]
+        u[0] += math.floor(r.value * 100)
+        u[1] += 1
+    arms = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n,sx,sy,sxx,syy,sxy
+    for uid, (x, y) in per.items():
+        a = arms[uid % 2]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += y * y
+        a[5] += x * y
+    got = {r.arm: r for r in
+           events_ratio_metric_delta(spark, SF_SMALL).collect()}
+    assert sorted(got) == [-1, 0, 1]
+    ses = {}
+    for arm in (0, 1):
+        n, sx, sy, sxx, syy, sxy = arms[arm]
+        nf = float(n)
+        mx, my = float(sx) / nf, float(sy) / nf
+        vx = (float(sxx) - nf * mx * mx) / (nf - 1.0)
+        vy = (float(syy) - nf * my * my) / (nf - 1.0)
+        cxy = (float(sxy) - nf * mx * my) / (nf - 1.0)
+        ratio = float(sx) / float(sy)
+        se = math.sqrt(
+            (vx - 2.0 * ratio * cxy + ratio * ratio * vy) / nf) / my
+        ses[arm] = (ratio, se)
+        r = got[arm]
+        assert (r.n_users, r.sx, r.sy) == (n, sx, sy)
+        assert r.ratio_cents == ratio and r.se == se
+    d = got[-1]
+    assert d.ratio_cents == ses[1][0] - ses[0][0]
+    assert d.se == math.sqrt(ses[0][1] ** 2 + ses[1][1] ** 2)
