@@ -259,122 +259,11 @@ _DRIVER_CHECKED = frozenset({
     "text_pmi_pairs", "text_pii_redact",
     "bpe_merge_candidates", "events_value_deciles",
     "events_value_minmax_norm",
-})
-
-
-# The 50 queries targeted at the round-5 gate window (exactly fills
-# the driver's 50-entry check): the two exact-float entropy retries
-# first (r3+r4 hash-fails — raw double Σ c·ln(c) fold + 1-ulp JVM/libm
-# ln() divergence, both fixed in r5 by integer-quantized log terms:
-# floor(ln(x)*1e6) as BIGINT on both sides, verified bit-exact with
-# scripts/check_queries.py --exact at sf0.001/0.01/0.1), then 48 of
-# the 50 never-driver-checked round-4 additions. Pinning them
-# explicitly keeps queries added later in the round from displacing
-# them; new queries slot in right after and rotate forward next round.
-#
-# ROUND-6 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
-# green), then pin _R6_WINDOW = the 2 fresh names deferred this round
-# to make room for the entropy retries — events_dow_hour_heatmap and
-# text_length_histogram (both pure integer-count outputs, judge-sim
-# green, zero float-hash risk — the lowest-risk defers) — plus every
-# round-5 addition (they sit right after this window, never inside
-# it), listed with
-#   [n for n in queries() if n not in _DRIVER_CHECKED | set(_R5_WINDOW)]
-# At round-5 end that is 22 names: the 2 defers + 20 new (each
-# exact-sim green via --exact mode): events_asof_forward_sla,
-# events_salted_user_join, text_readability, emb_random_projection,
-# emb_srp_candidates, basket_rules, events_sliding_streamed,
-# multimodal_dedup_ahash, graph_assortativity, events_cohort_ltv_curve,
-# events_watermark_late_census, events_duplicate_purchases,
-# parts_supplier_hhi, events_hll_sliding, events_bootstrap_ci,
-# docs_tfidf_cosine_pairs, events_quantile_sliding, iter_logreg,
-# graph_link_prediction, events_jsonl_roundtrip, users_feature_matrix,
-# train_export_shards — plus the round-5 second wave (all exact-sim
-# green at sf0.001+sf0.01 at add time): events_linreg_trend,
-# events_diff_in_diff, events_changepoint_mean, events_survival_km,
-# orders_gini_revenue, privacy_k_anonymity, events_compaction_plan,
-# dedup_minhash_calibration, text_lm_perplexity, docs_naive_bayes_lang,
-# graph_degree_distribution, graph_kcore, events_window_parity,
-# emb_silhouette, text_rake_keywords, graph_label_propagation,
-# orders_mix_shift, events_schema_drift, events_acf_daily,
-# orders_lines_histogram, events_audience_overlap,
-# text_token_burstiness, events_slo_burn, emb_gram_matrix,
-# graph_modularity, events_forecast_snaive, text_simpson_diversity,
-# events_mann_whitney, events_qte_deciles, text_heaps_curve,
-# docs_source_divergence_js, events_rolling_corr. That's 56 total
-# with the 2 defers — SIX over the 50-slot window: defer
-# orders_lines_histogram, graph_degree_distribution, text_heaps_curve,
-# events_slo_burn, events_compaction_plan, events_audience_overlap
-# (all pure integer-count outputs, judge-sim green, zero float-hash
-# risk — the lowest-risk names, same policy as the r5 defers) to
-# round 7 and pin the other 50. Recompute the live list with the
-# formula above.
-#
-# ROUND-5 LATE ADDS (fifth wave, registered after the r6 plan above
-# was written; every one exact-sim green via --exact at sf0.001 AND
-# sf0.01 at add time): graph_clustering_coefficient,
-# graph_reciprocity, events_spectral_daily, integrity_audit,
-# events_decision_stump, users_ols_normal_equations,
-# orders_backlog_aging, customer_snapshot_diff, emb_quantization_error,
-# privacy_generalization_ladder, events_power_analysis,
-# events_session_gap_sensitivity, events_bot_flags,
-# orders_fulfillment_lag, emb_centroid_drift, basket_apriori_triples,
-# events_encoding_advisor — 17 names. They DEFER to ROUND 7 with the
-# six names above (r7 window = those 6 + these 17 = 23 of 50 slots);
-# _R6_WINDOW stays exactly the 50 pinned by the plan above.
-#
-# ROUND-5 SIXTH WAVE (added after the fifth-wave note; every one
-# exact-sim green via --exact at sf0.001 AND sf0.01 at add time):
-# search_inverted_index, search_phrase_query, graph_hits,
-# events_holt_linear, events_hazard_daily, multimodal_image_phash,
-# emb_pca_two, text_longest_repeat — 8 names. They also DEFER to
-# ROUND 7 (r7 window = 6 r6-defers + 17 fifth-wave + these 8 = 31 of
-# 50 slots); _R6_WINDOW is still exactly the 50 pinned above.
-#
-# ROUND-5 SEVENTH WAVE (same policy, every one exact-sim green at
-# sf0.001 AND sf0.01 at add time): search_bm25_topk,
-# events_attribution_full_streamed, train_curriculum_order,
-# privacy_t_closeness — 4 names, deferring to ROUND 7 (35 of 50
-# slots now spoken for).
-#
-# ROUND-5 EIGHTH WAVE (same policy, exact-sim green at sf0.001 AND
-# sf0.01 at add time): events_holt_winters, events_ks_test,
-# graph_ktruss — 3 names, deferring to ROUND 7 (38 of 50 slots).
-#
-# ROUND-5 NINTH WAVE (same policy, exact-sim green at sf0.001 AND
-# sf0.01 at add time): events_shapley_attribution,
-# events_peak_prominence — 2 names, deferring to ROUND 7 (40 of 50
-# slots).
-#
-# ROUND-5 TENTH WAVE (same policy, exact-sim green at sf0.001 AND
-# sf0.01 at add time): sim_ivf_recall — 1 name, deferring to ROUND 7
-# (41 of 50 slots).
-#
-# ROUND-5 ELEVENTH WAVE (same policy, exact-sim green at sf0.001 AND
-# sf0.01 at add time): lineitem_zonemap_prune,
-# events_forecast_reconciled — 2 names, deferring to ROUND 7 (43 of
-# 50 slots).
-#
-# ROUND-5 TWELFTH WAVE (same policy, exact-sim green at sf0.001 AND
-# sf0.01 at add time): events_psi_drift — 1 name, deferring to
-# ROUND 7 (44 of 50 slots), plus customer_record_linkage (45 of 50;
-# fuzzy record linkage with blocking, exact-sim green at both sf at
-# add time), plus graph_random_walks (46 of 50; deterministic
-# hash-chosen node2vec-style walks, exact-sim green at both sf at add
-# time), plus parts_xyz_classification and bpe_learn_merges (48 of
-# 50; exact-sim green at both sf at add time — the r7 window is now
-# effectively full: any further adds defer to ROUND 8).
-#
-# ROUND-8 DEFERRALS (added after the r7 window filled; exact-sim
-# green at both sf at add time): events_ab_srm_check,
-# events_factorial_interaction, lineitem_returns_wilson,
-# orders_dormancy_reactivation, events_mde_curve,
-# events_attrib_window_sweep, events_ratio_metric_delta — first 7 of
-# the r8 window.
-# Full-registry --exact sweep at sf0.01
-# late round 5: 286/286 MATCH, BAD 0 (the 4 queries added after the
-# sweep launch were each exact-checked individually at both sf).
-_R5_WINDOW = (
+    # round-5 window: the 47 green rows of CORRECTNESS_r05.json (the
+    # full _R5_WINDOW minus the three HUGEINT-oracle hash-fails —
+    # events_bounce_rate / events_cart_abandonment / text_hapax_rate —
+    # which retry in the round-6 window below after the
+    # CAST(... AS BIGINT) oracle fixes)
     "events_user_entropy", "text_token_entropy",
     "emb_norm_deciles", "events_props_schema_infer",
     "events_heavy_users_cms", "events_kmv_overlap",
@@ -383,14 +272,14 @@ _R5_WINDOW = (
     "events_ewma_int", "events_funnel_windowed",
     "events_type_share_drift", "events_anomaly_mad",
     "events_velocity_features", "events_user_lifecycle",
-    "events_ab_test_cuped", "events_bounce_rate",
-    "events_new_vs_returning", "events_cart_abandonment",
+    "events_ab_test_cuped",
+    "events_new_vs_returning",
     "events_retention_day_n", "events_wau_stickiness",
     "events_session_depth_histogram", "events_trimmed_mean",
     "events_median_kvs", "profile_documents",
     "text_tokenizer_fertility", "text_zipf_curve",
     "docs_lang_source_chi2", "docs_source_divergence_tv",
-    "text_hapax_rate", "orders_monthly_growth",
+    "orders_monthly_growth",
     "events_asof_click_attrib", "orders_repeat_cohort",
     "events_trending_streamed", "lineitem_price_discount_corr",
     "orders_customer_migration", "parts_abc_classification",
@@ -399,14 +288,102 @@ _R5_WINDOW = (
     "emb_centroid_distances", "dedup_band_tuning",
     "docs_simhash_bit_balance", "docs_dup_rate_by_source",
     "dedup_degree_histogram", "docs_shingle_saturation",
+})
+
+
+# The 50 queries targeted at the ROUND-6 gate window (exactly fills
+# the driver's 50-entry check).  Built per the r5 rotation plan +
+# VERDICT r5 ask #3: the three r5 HUGEINT-oracle hash-fail RETRIES
+# first (events_bounce_rate / events_cart_abandonment /
+# text_hapax_rate — DuckDB SUM(int)->HUGEINT made
+# `(1000*SUM(..))//COUNT(*)` hash differently from Spark's LONG;
+# fixed in r6 by CAST(... AS BIGINT) in the oracle SQL, re-verified
+# with the now TYPE-AWARE scripts/check_queries.py --exact at
+# sf0.001+sf0.01), then the two twice-deferred integer-count queries
+# (events_dow_hour_heatmap, text_length_histogram), then the r5
+# first/second-wave additions.  To make room for the 3 retries, the
+# 3 lowest-risk names of the planned window are displaced —
+# emb_random_projection + graph_kcore (pure 2-col BIGINT outputs) to
+# ROUND 7 and events_watermark_late_census (2-col BIGINT) to ROUND 8
+# — same zero-float-hash-risk defer policy as r5.
+# events_survival_km stays pinned here; its oracle's HUGEINT n_risk
+# (the latent failure the r5 judge found) is CAST AS BIGINT now and
+# --exact+type-audit green at both sf.
+#
+# REGISTRY FROZEN AT 301 (VERDICT r5 ask #4): zero new queries until
+# every registered one has a green driver CORRECTNESS row (earliest
+# r8).  r6/r7/r8 windows are spent on backlog only.
+#
+# ROUND-7 ROTATION PLAN: move the _R6_WINDOW 50 into _DRIVER_CHECKED
+# (assuming green) and pin _R7_WINDOW = exactly these 50 (6 r6-plan
+# defers + 17 fifth-wave + 8 sixth + 4 seventh + 3 eighth + 2 ninth +
+# 1 tenth + 2 eleventh + 5 twelfth + 2 displaced-from-r6; every one
+# exact-sim green at sf0.001 AND sf0.01 at add time, and type-audit
+# green via tests/test_oracle_portability.py):
+#   orders_lines_histogram, graph_degree_distribution,
+#   text_heaps_curve, events_slo_burn, events_compaction_plan,
+#   events_audience_overlap,
+#   graph_clustering_coefficient, graph_reciprocity,
+#   events_spectral_daily, integrity_audit, events_decision_stump,
+#   users_ols_normal_equations, orders_backlog_aging,
+#   customer_snapshot_diff, emb_quantization_error,
+#   privacy_generalization_ladder, events_power_analysis,
+#   events_session_gap_sensitivity, events_bot_flags,
+#   orders_fulfillment_lag, emb_centroid_drift,
+#   basket_apriori_triples, events_encoding_advisor,
+#   search_inverted_index, search_phrase_query, graph_hits,
+#   events_holt_linear, events_hazard_daily, multimodal_image_phash,
+#   emb_pca_two, text_longest_repeat,
+#   search_bm25_topk, events_attribution_full_streamed,
+#   train_curriculum_order, privacy_t_closeness,
+#   events_holt_winters, events_ks_test, graph_ktruss,
+#   events_shapley_attribution, events_peak_prominence,
+#   sim_ivf_recall,
+#   lineitem_zonemap_prune, events_forecast_reconciled,
+#   events_psi_drift, customer_record_linkage, graph_random_walks,
+#   parts_xyz_classification, bpe_learn_merges,
+#   emb_random_projection, graph_kcore.
+# ROUND-8 WINDOW (the remaining 8): events_ab_srm_check,
+#   events_factorial_interaction, lineitem_returns_wilson,
+#   orders_dormancy_reactivation, events_mde_curve,
+#   events_attrib_window_sweep, events_ratio_metric_delta,
+#   events_watermark_late_census.
+# Ledger check: 193 _DRIVER_CHECKED + 50 here + 50 r7 + 8 r8 = 301.
+_R6_WINDOW = (
+    # the 3 r5 hash-fail retries (oracle CAST fixes landed in r6)
+    "events_bounce_rate", "events_cart_abandonment", "text_hapax_rate",
+    # the 2 r5-plan defers (pure integer counts)
+    "events_dow_hour_heatmap", "text_length_histogram",
+    # r5 first wave
+    "events_asof_forward_sla", "events_salted_user_join",
+    "text_readability", "emb_srp_candidates", "basket_rules",
+    "events_sliding_streamed", "multimodal_dedup_ahash",
+    "graph_assortativity", "events_cohort_ltv_curve",
+    "events_duplicate_purchases", "parts_supplier_hhi",
+    "events_hll_sliding", "events_bootstrap_ci",
+    "docs_tfidf_cosine_pairs", "events_quantile_sliding",
+    "iter_logreg", "graph_link_prediction", "events_jsonl_roundtrip",
+    "users_feature_matrix", "train_export_shards",
+    # r5 second wave
+    "events_linreg_trend", "events_diff_in_diff",
+    "events_changepoint_mean", "events_survival_km",
+    "orders_gini_revenue", "privacy_k_anonymity",
+    "dedup_minhash_calibration", "text_lm_perplexity",
+    "docs_naive_bayes_lang", "events_window_parity", "emb_silhouette",
+    "text_rake_keywords", "graph_label_propagation", "orders_mix_shift",
+    "events_schema_drift", "events_acf_daily", "text_token_burstiness",
+    "emb_gram_matrix", "graph_modularity", "events_forecast_snaive",
+    "text_simpson_diversity", "events_mann_whitney",
+    "events_qte_deciles", "docs_source_divergence_js",
+    "events_rolling_corr",
 )
 
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
-    the pinned round-5 window, then other fresh (post-pin) queries, then
+    the pinned round-6 window, then other fresh (post-pin) queries, then
     already-green entries in reverse registration order."""
-    pinned = [n for n in _R5_WINDOW if n in queries]
+    pinned = [n for n in _R6_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]

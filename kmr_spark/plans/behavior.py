@@ -760,7 +760,8 @@ counts AS (SELECT user_id, sess_id, COUNT(*) AS n_events
 SELECT COUNT(*) AS n_sessions,
        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bounces,
-       (1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+       CAST((1000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT)
          AS bounce_permille
 FROM counts
 """
@@ -852,7 +853,8 @@ j AS (
     ON c.user_id = v.user_id AND c.day = v.day)
 SELECT day, COUNT(*) AS n_click_days,
        CAST(SUM(conv) AS BIGINT) AS n_converted,
-       (1000 * (COUNT(*) - SUM(conv))) // COUNT(*) AS abandon_permille
+       CAST((1000 * (COUNT(*) - SUM(conv))) // COUNT(*) AS BIGINT)
+         AS abandon_permille
 FROM j GROUP BY day
 """
 

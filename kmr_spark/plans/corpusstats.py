@@ -361,7 +361,8 @@ WITH toks AS (
 counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
 SELECT source, COUNT(*) AS vocab,
        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-       (1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+       CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT)
          AS hapax_permille
 FROM counts GROUP BY source
 """

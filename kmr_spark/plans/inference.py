@@ -313,10 +313,11 @@ by_day AS (
   FROM per_user GROUP BY 1),
 tot AS (SELECT COUNT(*) AS n_total FROM per_user)
 SELECT duration, n_event, n_censored,
-       n_total - SUM(n_event + n_censored)
-                   OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW)
-         + n_event + n_censored AS n_risk
+       CAST(n_total - SUM(n_event + n_censored)
+                        OVER (ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+              + n_event + n_censored AS BIGINT) AS n_risk
 FROM by_day CROSS JOIN tot ORDER BY duration
 """
 
@@ -1063,7 +1064,7 @@ HAZARD_SQL = f"""
 WITH km AS MATERIALIZED ({SURVIVAL_KM_SQL}
 )
 SELECT duration, n_event, n_risk,
-       (1000 * n_event) // n_risk AS hazard_permille,
+       CAST((1000 * n_event) // n_risk AS BIGINT) AS hazard_permille,
        CAST(SUM((1000000 * n_event) // n_risk)
               OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro,

@@ -22,6 +22,28 @@ import sys
 import duckdb
 from pyspark.sql import SparkSession
 
+# DuckDB result-column types the driver's typed hash treats the same as
+# the corresponding Spark dtype.  Anything else — HUGEINT above all
+# (DuckDB SUM(int)->HUGEINT), DECIMAL, UTINYINT... — hashes differently
+# from Spark even when the fetched Python values are equal.
+#
+# Integer WIDTH does not matter: the r6 audit found three driver-GREEN
+# queries (text_normalize r3, emb_ivf_cell_balance r5,
+# orders_interpurchase_gaps r5) whose Spark column is `int` where the
+# oracle emits BIGINT — all hash_match=true in their CORRECTNESS rows.
+# So INTEGER and BIGINT form one family vs Spark's int/bigint; only
+# cross-family drift (double vs int, varchar vs int, HUGEINT/DECIMAL
+# anywhere) is a real driver-hash difference.
+_PORTABLE = {
+    "BIGINT": ("bigint", "int"),
+    "INTEGER": ("int", "bigint"),
+    "DOUBLE": ("double",),
+    "VARCHAR": ("string",),
+    "DATE": ("date",),
+    "BOOLEAN": ("boolean",),
+    "TIMESTAMP": ("timestamp", "timestamp_ntz"),
+}
+
 
 def main() -> None:
     argv = sys.argv[1:]
@@ -63,13 +85,31 @@ def main() -> None:
         if name not in osql:
             print(name, "rows", len(srows), "(rows-only, no oracle)")
             continue
+        # Inspect DuckDB-level result column TYPES before fetching:
+        # HUGEINT fetches as a plain Python int, so the cell-category
+        # compare below can't see it — but the driver's value hash is
+        # type-sensitive and DID see it (all 3 r5 hash-fails were
+        # uncast `(1000*SUM(..))//COUNT(*)` HUGEINT columns that this
+        # script called MATCH — VERDICT r5 §wrong-3).  Flag any oracle
+        # column whose DuckDB type is outside the portable set or
+        # doesn't match the Spark dtype.
+        drel = con.sql(osql[name])
+        dtypes = {c: str(t).upper() for c, t in zip(drel.columns, drel.types)}
+        stypes = dict(sdf.dtypes)
+        typebad = []
+        for c in sorted(dtypes):
+            dt = dtypes[c]
+            if dt not in _PORTABLE:
+                typebad.append(f"{c}:{dt} not portable")
+            elif c in stypes and stypes[c] not in _PORTABLE[dt]:
+                typebad.append(f"{c}:{dt} vs spark {stypes[c]}")
         rel = con.execute(osql[name])
         dcols = [d[0] for d in rel.description]
         idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
         drows = sorted(
             [tuple(cell(r[i]) for i in idx) for r in rel.fetchall()],
             key=keyf)
-        ok = srows == drows
+        ok = srows == drows and not typebad
         # the driver's value-hash is TYPED: a DuckDB HUGEINT/DECIMAL
         # cell (fetched as Decimal) hashes differently from Spark's
         # int even when values are equal at 6dp — the round-3 blind
@@ -82,9 +122,11 @@ def main() -> None:
                  and [cat(v) for v in srows[0]] != [cat(v) for v in drows[0]])
         bad += (not ok) or bool(tdiff)
         print(name, "rows", len(srows),
-              "TYPEDIFF" if tdiff
+              "TYPEDIFF" if (typebad or tdiff)
               else "MATCH" if ok
               else "EXACTDIFF" if exact else "MISMATCH")
+        if typebad:
+            print("  oracle type audit:", "; ".join(typebad))
         if tdiff:
             print("  spark types", [cat(v) for v in srows[0]],
                   "oracle types", [cat(v) for v in drows[0]])
