@@ -5,11 +5,13 @@ monetary quartile scores, and the output is the 4x4x4 segment census —
 how many customers land in each (r, f, m) cell and the cell's total
 spend.
 
-Exactness: recency is an integer day difference against the dataset's
-max order date (computed, not wall clock — deterministic), frequency
-an integer count, monetary a DECIMAL sum; every quartile cut orders by
-(metric, o_custkey) so ranks are total-ordered and both engines cut
-identically (exact NTILE reconstruction, ntile_from_rank).
+Exactness: the recency quartile is cut on last-order-day DESC — the
+identical total order to the oracle's "days before the dataset max
+date ASC" without computing the max-date anchor (recency itself is not
+in the output); frequency is an integer count, monetary a DECIMAL sum;
+every quartile cut orders by (metric, o_custkey) so ranks are
+total-ordered and both engines cut identically (exact NTILE
+reconstruction, ntile_from_rank).
 
 Scale shape: one per-customer aggregate (map-side combinable), then
 ONE distributed exscan ranking of the metric-stacked customer table
@@ -31,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from kmr_spark.operators.sort import ntile_from_rank, ranking_per_group
-from kmr_spark.session import load_tables, sized_shuffle_partitions
+from kmr_spark.session import (load_tables, parquet_num_rows,
+                               sized_shuffle_partitions)
 
 
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,17 +46,20 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the dataset max date == max of the per-customer maxes, so derive
-    # it from the (persisted, customer-sized) aggregate — broadcasting
-    # an agg over raw orders would cost a second full orders scan. The
-    # same one-row job also yields |customers|, which sizes the rank
-    # path's shuffle below — two scalars for the price of one job.
-    stats = pc0.agg(F.max("last_day").alias("d"),
-                    F.count("*").alias("nc")).collect()[0]
+    # No blocking stats job: the recency QUARTILE of a customer is
+    # rank-derived, and ranking by recency ASC (days before the
+    # dataset max date, the oracle's spelling) is the same total order
+    # as ranking by last_day DESC — the max-date anchor shifts every
+    # recency by the same constant and the tiebreak (o_custkey) is
+    # unchanged, so the anchor never needs computing (recency itself
+    # is not in the output). Encode the DESC order by negating the
+    # epoch day number. The shuffle width below is sized from parquet
+    # METADATA row counts (no job; |customers| <= |orders| and the
+    # width formula only needs the magnitude).
     per_cust = pc0.select(
         "o_custkey",
-        F.datediff(F.lit(stats["d"]), "last_day").cast("long")
-        .alias("recency_days"),
+        (-F.datediff("last_day", F.lit("1970-01-01")).cast("long"))
+        .alias("neg_day"),
         "freq", "mon")
 
     # ONE exscan ranking for all three metrics: stack the customer
@@ -70,7 +76,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = lambda c: c.cast("decimal(18,2)").alias("sk")
     stacked = (
         per_cust.select(F.lit("r").alias("metric"), "o_custkey",
-                        sk(F.col("recency_days")))
+                        sk(F.col("neg_day")))
         .unionAll(per_cust.select(F.lit("f").alias("metric"), "o_custkey",
                                   sk(-F.col("freq"))))
         .unionAll(per_cust.select(F.lit("m").alias("metric"), "o_custkey",
@@ -78,7 +84,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kmr_spark.session import materialize_release
 
-    with sized_shuffle_partitions(spark, n_rows=3 * stats["nc"]):
+    n_orders = parquet_num_rows(sf_dir, "orders")
+    with sized_shuffle_partitions(
+            spark, n_rows=3 * n_orders if n_orders else None):
         caches: list[DataFrame] = []
         ranked = ranking_per_group(
             stacked, ["metric"],

@@ -137,12 +137,36 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     Parquet scans give Catalyst column pruning + predicate pushdown for
     free — the declarative equivalent of KMR's scan-time filter/project
     idiom (``select_by_fields``, reference ex/tpch.c:1655).
+
+    The table dict is CACHED per (session, sf_dir): each
+    ``spark.read.parquet`` is a driver round trip that reads file
+    footers for schema (~0.1 s x 10 tables ≈ 1 s per call — measured),
+    and every query function calls this, so an uncached bench/driver
+    run pays that second 300+ times. DataFrames are immutable logical
+    plans, so reuse across queries in one session is safe; the cache
+    lives ON the session object (an attribute), so it dies with the
+    session and can never leak plans across sessions. The testdata
+    parquet is immutable per round, so no mtime invalidation is
+    needed; a caller that truly wants a fresh read can delete the
+    attribute.
     """
     # The driver may hand us a session built without our configs; these
-    # are runtime-settable, so pin them here too. UTC makes the
-    # NTZ->TimestampType cast below wall-clock-preserving everywhere.
+    # are runtime-settable, so pin them here too (also on cache hits —
+    # they govern EXECUTION of the cached plans, not just the read).
+    # UTC makes the NTZ->TimestampType cast below wall-clock-preserving
+    # everywhere.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cache = getattr(spark, "_kmr_tables_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._kmr_tables_cache = cache
+        except Exception:
+            pass
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return dict(hit)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -165,7 +189,31 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 elif dt == "timestamp_ntz":
                     df = df.withColumn(col, F.col(col).cast("timestamp"))
             out[name] = df
-    return out
+    cache[sf_dir] = out
+    return dict(out)
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int | None:
+    """Row count of a driver parquet table from FILE METADATA only —
+    no Spark job, ~ms.  Used to size :class:`sized_shuffle_partitions`
+    for pipelines that would otherwise need a blocking count/collect
+    just to pick a shuffle width (the count is advisory: the width
+    formula clamps to the session default at real scale, so an
+    estimate is as good as an exact count).  Returns None when the
+    path is missing or unreadable (callers fall back to the session
+    default width).
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path) if f.endswith(".parquet"))
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
 
 
 def widen(df: DataFrame, parallelism: int | None = None) -> DataFrame:
