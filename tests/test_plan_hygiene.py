@@ -415,3 +415,52 @@ def test_ks_no_global_window(spark):
     # the ECDF cumulative comes from the distributed exscan, not an
     # unpartitioned running-sum window
     assert "Window" not in plan
+
+
+def test_heavy_tail_queries_have_no_cartesian(spark):
+    """Batch no-cartesian guard over the most expensive registry
+    queries (bench top-20 band): every pair generator must be a banded
+    / blocked equi-join, never CartesianProduct. BroadcastNestedLoop
+    is tolerated only where the build side is a scalar/total frame —
+    asserted separately per plan where it matters; an actual
+    CartesianProduct node is always a scale bug."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    heavy = [
+        "dedup_clusters", "dedup_summary", "train_split_leakage_safe",
+        "customer_record_linkage", "graph_clustering_coefficient",
+        "graph_hits", "graph_modularity", "graph_ktruss", "graph_kcore",
+        "graph_label_propagation", "graph_link_prediction",
+        "basket_apriori_triples", "basket_rules",
+        "docs_tfidf_cosine_pairs", "emb_gram_matrix",
+        "lineitem_zonemap_prune", "events_bootstrap_ci",
+        "graph_assortativity", "graph_reciprocity",
+    ]
+    for name in heavy:
+        plan = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a CartesianProduct")
+
+
+def test_record_linkage_blocks_before_verify(spark):
+    """Fuzzy record linkage must generate candidates from equi-join
+    BLOCKING (hash/sort-merge on the block key), never compare all
+    pairs: the plan needs at least one equi-join and no cartesian."""
+    from kmr_spark.plans.linkage import customer_record_linkage
+
+    plan = _plan(customer_record_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_random_walks_step_has_no_window(spark):
+    """The per-step next-hop argmin must be a keyed MIN aggregation
+    (packed-BIGINT), not a Window over neighbors — a window would
+    funnel each frontier node's neighborhood through one task."""
+    from kmr_spark.plans.graphs import graph_random_walks
+
+    plan = _plan(graph_random_walks(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
