@@ -112,3 +112,15 @@ def test_driver_gate_rotation_invariants():
     assert backlog == _R7_PLAN | _R8_PLAN, (
         backlog ^ (_R7_PLAN | _R8_PLAN))
     assert len(entry._DRIVER_CHECKED) + 50 + 50 + 8 == 301
+
+
+def test_bench_covers_full_registry():
+    """bench.py is the perf surface the driver records per round; a
+    registered query absent from BENCH_QUERIES would silently escape
+    perf tracking (r4 ask #4 made the list full-coverage; keep it so).
+    The list is append-only for round-comparability, so order is not
+    asserted — only exact set equality and uniqueness."""
+    qs = entry.queries()
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+    assert set(bench.BENCH_QUERIES) == set(qs), (
+        set(bench.BENCH_QUERIES) ^ set(qs))
