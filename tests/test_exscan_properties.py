@@ -138,3 +138,32 @@ def test_connected_components_matches_union_find(spark, edges):
            for r in connected_components(pairs).collect()}
     want = _union_find_labels([(a, b) for a, b in edges if a != b])
     assert got == want
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_scan_max_distributed_matches_running_max(spark, rows):
+    from kmr_spark.operators.reduce import scan_max_distributed
+
+    df = spark.createDataFrame(rows, "g int, val long, id long")
+    out = scan_max_distributed(df, "val", [F.col("id")])
+    got = {r["id"]: r["scan_max"] for r in out.collect()}
+    ordered = sorted(rows, key=lambda t: t[2])
+    want, running = {}, None
+    for t in ordered:
+        want[t[2]] = running
+        running = t[1] if running is None else max(running, t[1])
+    assert got == want
+
+
+@given(rows=rows_strategy, k=st.integers(1, 10))
+@SETTINGS
+def test_top_k_matches_sorted_slice(spark, rows, k):
+    from kmr_spark.operators.sort import top_k
+
+    df = spark.createDataFrame(rows, "g int, val long, id long")
+    got = [(r["val"], r["id"])
+           for r in top_k(df, k, F.col("val").desc(), F.col("id")).collect()]
+    want = [(t[1], t[2])
+            for t in sorted(rows, key=lambda t: (-t[1], t[2]))[:k]]
+    assert got == want
