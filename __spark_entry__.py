@@ -288,73 +288,11 @@ _DRIVER_CHECKED = frozenset({
     "emb_centroid_distances", "dedup_band_tuning",
     "docs_simhash_bit_balance", "docs_dup_rate_by_source",
     "dedup_degree_histogram", "docs_shingle_saturation",
-})
-
-
-# The 50 queries targeted at the ROUND-6 gate window (exactly fills
-# the driver's 50-entry check).  Built per the r5 rotation plan +
-# VERDICT r5 ask #3: the three r5 HUGEINT-oracle hash-fail RETRIES
-# first (events_bounce_rate / events_cart_abandonment /
-# text_hapax_rate — DuckDB SUM(int)->HUGEINT made
-# `(1000*SUM(..))//COUNT(*)` hash differently from Spark's LONG;
-# fixed in r6 by CAST(... AS BIGINT) in the oracle SQL, re-verified
-# with the now TYPE-AWARE scripts/check_queries.py --exact at
-# sf0.001+sf0.01), then the two twice-deferred integer-count queries
-# (events_dow_hour_heatmap, text_length_histogram), then the r5
-# first/second-wave additions.  To make room for the 3 retries, the
-# 3 lowest-risk names of the planned window are displaced —
-# emb_random_projection + graph_kcore (pure 2-col BIGINT outputs) to
-# ROUND 7 and events_watermark_late_census (2-col BIGINT) to ROUND 8
-# — same zero-float-hash-risk defer policy as r5.
-# events_survival_km stays pinned here; its oracle's HUGEINT n_risk
-# (the latent failure the r5 judge found) is CAST AS BIGINT now and
-# --exact+type-audit green at both sf.
-#
-# REGISTRY FROZEN AT 301 (VERDICT r5 ask #4): zero new queries until
-# every registered one has a green driver CORRECTNESS row (earliest
-# r8).  r6/r7/r8 windows are spent on backlog only.
-#
-# ROUND-7 ROTATION PLAN: move the _R6_WINDOW 50 into _DRIVER_CHECKED
-# (assuming green) and pin _R7_WINDOW = exactly these 50 (6 r6-plan
-# defers + 17 fifth-wave + 8 sixth + 4 seventh + 3 eighth + 2 ninth +
-# 1 tenth + 2 eleventh + 5 twelfth + 2 displaced-from-r6; every one
-# exact-sim green at sf0.001 AND sf0.01 at add time, and type-audit
-# green via tests/test_oracle_portability.py):
-#   orders_lines_histogram, graph_degree_distribution,
-#   text_heaps_curve, events_slo_burn, events_compaction_plan,
-#   events_audience_overlap,
-#   graph_clustering_coefficient, graph_reciprocity,
-#   events_spectral_daily, integrity_audit, events_decision_stump,
-#   users_ols_normal_equations, orders_backlog_aging,
-#   customer_snapshot_diff, emb_quantization_error,
-#   privacy_generalization_ladder, events_power_analysis,
-#   events_session_gap_sensitivity, events_bot_flags,
-#   orders_fulfillment_lag, emb_centroid_drift,
-#   basket_apriori_triples, events_encoding_advisor,
-#   search_inverted_index, search_phrase_query, graph_hits,
-#   events_holt_linear, events_hazard_daily, multimodal_image_phash,
-#   emb_pca_two, text_longest_repeat,
-#   search_bm25_topk, events_attribution_full_streamed,
-#   train_curriculum_order, privacy_t_closeness,
-#   events_holt_winters, events_ks_test, graph_ktruss,
-#   events_shapley_attribution, events_peak_prominence,
-#   sim_ivf_recall,
-#   lineitem_zonemap_prune, events_forecast_reconciled,
-#   events_psi_drift, customer_record_linkage, graph_random_walks,
-#   parts_xyz_classification, bpe_learn_merges,
-#   emb_random_projection, graph_kcore.
-# ROUND-8 WINDOW (the remaining 8): events_ab_srm_check,
-#   events_factorial_interaction, lineitem_returns_wilson,
-#   orders_dormancy_reactivation, events_mde_curve,
-#   events_attrib_window_sweep, events_ratio_metric_delta,
-#   events_watermark_late_census.
-# Ledger check: 193 _DRIVER_CHECKED + 50 here + 50 r7 + 8 r8 = 301.
-_R6_WINDOW = (
-    # the 3 r5 hash-fail retries (oracle CAST fixes landed in r6)
+    # round-6 window: all 50 rows of CORRECTNESS_r06.json green (the
+    # first fully green window since r1 — including the 3 r5 HUGEINT
+    # retries and the latent events_survival_km fix)
     "events_bounce_rate", "events_cart_abandonment", "text_hapax_rate",
-    # the 2 r5-plan defers (pure integer counts)
     "events_dow_hour_heatmap", "text_length_histogram",
-    # r5 first wave
     "events_asof_forward_sla", "events_salted_user_join",
     "text_readability", "emb_srp_candidates", "basket_rules",
     "events_sliding_streamed", "multimodal_dedup_ahash",
@@ -364,7 +302,6 @@ _R6_WINDOW = (
     "docs_tfidf_cosine_pairs", "events_quantile_sliding",
     "iter_logreg", "graph_link_prediction", "events_jsonl_roundtrip",
     "users_feature_matrix", "train_export_shards",
-    # r5 second wave
     "events_linreg_trend", "events_diff_in_diff",
     "events_changepoint_mean", "events_survival_km",
     "orders_gini_revenue", "privacy_k_anonymity",
@@ -376,14 +313,79 @@ _R6_WINDOW = (
     "text_simpson_diversity", "events_mann_whitney",
     "events_qte_deciles", "docs_source_divergence_js",
     "events_rolling_corr",
+})
+
+
+# The 50 queries targeted at the ROUND-7 gate window (exactly fills
+# the driver's 50-entry check).  Executed exactly as planned by the r6
+# rotation note + VERDICT r6 ask #1: CORRECTNESS_r06.json came back
+# 50/50 green, so the whole _R6_WINDOW moved into _DRIVER_CHECKED and
+# this window is the 50 planned names (6 r6-plan defers + 17
+# fifth-wave + 8 sixth + 4 seventh + 3 eighth + 2 ninth + 1 tenth +
+# 2 eleventh + 5 twelfth + 2 displaced-from-r6).  Every one was
+# exact-sim green (scripts/check_queries.py --exact) at sf0.001 AND
+# sf0.01 at add time, type-audit green via
+# tests/test_oracle_portability.py, and 12 of them were independently
+# re-verified MATCH by the r6 judge.
+#
+# REGISTRY FROZEN AT 301 (VERDICT r5 ask #4, re-affirmed r6 ask #2):
+# zero new queries until every registered one has a green driver
+# CORRECTNESS row (earliest r8).  r7/r8 windows are backlog only.
+#
+# ROUND-8 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
+# green) and pin _R8_WINDOW = the remaining 8: events_ab_srm_check,
+#   events_factorial_interaction, lineitem_returns_wilson,
+#   orders_dormancy_reactivation, events_mde_curve,
+#   events_attrib_window_sweep, events_ratio_metric_delta,
+#   events_watermark_late_census.
+# That leaves 42 slots in the r8 window; fill them with the 42 most
+# recently checked names (the rotation already orders green entries
+# reverse-registration, so no pinning needed beyond the 8).
+# POST-GREEN PLAN (what unfreezes once all 301 are driver-green —
+# ranked list + rationale in SCALE.md §post-freeze): (1) TPC-H SF=1
+# scale bench, (2) streaming watermark extensions, (3) optional-dep
+# JPEG/ffmpeg codec integration.
+# Ledger check: 243 _DRIVER_CHECKED + 50 here + 8 r8 = 301.
+_R7_WINDOW = (
+    # the 6 r6-plan defers (pure-integer outputs, lowest risk)
+    "orders_lines_histogram", "graph_degree_distribution",
+    "text_heaps_curve", "events_slo_burn", "events_compaction_plan",
+    "events_audience_overlap",
+    # fifth wave (r5 continuation session)
+    "graph_clustering_coefficient", "graph_reciprocity",
+    "events_spectral_daily", "integrity_audit", "events_decision_stump",
+    "users_ols_normal_equations", "orders_backlog_aging",
+    "customer_snapshot_diff", "emb_quantization_error",
+    "privacy_generalization_ladder", "events_power_analysis",
+    "events_session_gap_sensitivity", "events_bot_flags",
+    "orders_fulfillment_lag", "emb_centroid_drift",
+    "basket_apriori_triples", "events_encoding_advisor",
+    # sixth wave
+    "search_inverted_index", "search_phrase_query", "graph_hits",
+    "events_holt_linear", "events_hazard_daily",
+    "multimodal_image_phash", "emb_pca_two", "text_longest_repeat",
+    # seventh wave
+    "search_bm25_topk", "events_attribution_full_streamed",
+    "train_curriculum_order", "privacy_t_closeness",
+    # eighth / ninth / tenth waves
+    "events_holt_winters", "events_ks_test", "graph_ktruss",
+    "events_shapley_attribution", "events_peak_prominence",
+    "sim_ivf_recall",
+    # eleventh / twelfth waves
+    "lineitem_zonemap_prune", "events_forecast_reconciled",
+    "events_psi_drift", "customer_record_linkage",
+    "graph_random_walks", "parts_xyz_classification",
+    "bpe_learn_merges",
+    # displaced from the r6 window to make room for the r5 retries
+    "emb_random_projection", "graph_kcore",
 )
 
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
-    the pinned round-6 window, then other fresh (post-pin) queries, then
+    the pinned round-7 window, then other fresh (post-pin) queries, then
     already-green entries in reverse registration order."""
-    pinned = [n for n in _R6_WINDOW if n in queries]
+    pinned = [n for n in _R7_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]

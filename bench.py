@@ -2,10 +2,12 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints per-query timings on a detail
-line (also written to bench_detail.json), then ENDS with one compact
-JSON summary line (the driver tail-captures ~2KB, so the last line
-must stay <300B):
+local[$SPARK_GRAFT_CPUS].  Prints, in order: a repeated-run block for
+the ~10 heaviest queries ($SPARK_GRAFT_BENCH_REPEAT samples each,
+default 3 — set 1/0 to skip), the per-query single-sample detail line
+(also written to bench_detail.json), then ENDS with one compact JSON
+summary line (the driver tail-captures ~2KB, so the last line must
+stay <300B):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "sf": <sf>, "n_queries": N}
 
@@ -347,6 +349,28 @@ BENCH_QUERIES = [
     "events_ratio_metric_delta",
 ]
 
+# The ~10 heaviest registry queries by recent rounds' bench_detail
+# (union of the builder r6 list and the driver/judge re-bench).  These
+# are iterative / pair-graph plans whose single-sample wall clock
+# swings 1.5-2x between rounds at toy sf, so bench prints them as a
+# dedicated repeated-run block FIRST (VERDICT r6 ask #6):
+# SPARK_GRAFT_BENCH_REPEAT=N (default 3) samples each N times and
+# reports min/mean/spread, making round-over-round heavy-tail
+# comparisons independent of single samples.  Membership is
+# append-only like BENCH_QUERIES; the main timed loop is unchanged.
+HEAVY_QUERIES = [
+    "iter_pagerank",
+    "dedup_clusters",
+    "graph_random_walks",
+    "graph_clustering_coefficient",
+    "dedup_summary",
+    "train_split_leakage_safe",
+    "customer_record_linkage",
+    "graph_hits",
+    "graysort_rank",
+    "graph_modularity",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -375,8 +399,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     queries[bench_names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in bench_names:
+    def run_once(name: str) -> float:
         # drop caches so every query pays its own materializations, and
         # settle the JVM (GC the warmup/previous query's broadcast and
         # shuffle debris) so a query isn't billed for its predecessor's
@@ -385,10 +408,37 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.2)
-        fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # Heavy-tail repeated block FIRST: the ~10 heaviest queries get N
+    # samples each (min/mean/spread), so round comparisons of the
+    # noisiest plans don't ride on single samples.  Not part of the
+    # headline total — that stays the single-sample append-only loop.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    heavy: dict[str, dict] = {}
+    if repeat > 1:
+        for name in HEAVY_QUERIES:
+            if name not in queries or name not in set(bench_names):
+                continue
+            times = [run_once(name) for _ in range(repeat)]
+            heavy[name] = {
+                "times": times,
+                "min": min(times),
+                "mean": round(sum(times) / len(times), 3),
+                "spread": round(max(times) - min(times), 3),
+            }
+        print(json.dumps({
+            "metric": "kmr_spark heavy-tail repeated wall clock",
+            "repeat": repeat,
+            "sf": sf,
+            "queries": heavy,
+        }))
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        timings[name] = run_once(name)
 
     # Per-query detail goes on an EARLIER line (and to a file): the
     # driver captures only the ~2KB tail of stdout, and the full
@@ -400,6 +450,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if heavy:
+        detail["heavy_repeat"] = {"repeat": repeat, "queries": heavy}
     print(json.dumps(detail))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -147,8 +147,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     lives ON the session object (an attribute), so it dies with the
     session and can never leak plans across sessions. The testdata
     parquet is immutable per round, so no mtime invalidation is
-    needed; a caller that truly wants a fresh read can delete the
-    attribute.
+    needed; a caller that regenerates parquet under a cached path can
+    call :func:`invalidate_table_cache`. Keys are ``os.path.realpath``
+    of ``sf_dir`` so relative/absolute/trailing-slash spellings of the
+    same directory share one entry.
     """
     # The driver may hand us a session built without our configs; these
     # are runtime-settable, so pin them here too (also on cache hits —
@@ -164,7 +166,8 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             spark._kmr_tables_cache = cache
         except Exception:
             pass
-    hit = cache.get(sf_dir)
+    key = os.path.realpath(sf_dir)
+    hit = cache.get(key)
     if hit is not None:
         return dict(hit)
     out: dict[str, DataFrame] = {}
@@ -189,8 +192,21 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 elif dt == "timestamp_ntz":
                     df = df.withColumn(col, F.col(col).cast("timestamp"))
             out[name] = df
-    cache[sf_dir] = out
+    cache[key] = out
     return dict(out)
+
+
+def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop :func:`load_tables` cache entries — the one for ``sf_dir``,
+    or all of them when ``sf_dir`` is None.  Needed only when parquet is
+    regenerated at a path already served within a live session."""
+    cache = getattr(spark, "_kmr_tables_cache", None)
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        cache.pop(os.path.realpath(sf_dir), None)
 
 
 def parquet_num_rows(sf_dir: str, table: str) -> int | None:
@@ -208,9 +224,15 @@ def parquet_num_rows(sf_dir: str, table: str) -> int | None:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path) if f.endswith(".parquet"))
+            # walk recursively so partitioned layouts (day=.../part-*)
+            # are counted, not silently reported as 0
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)).metadata.num_rows
+            return total
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None

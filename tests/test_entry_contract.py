@@ -59,30 +59,11 @@ def test_no_duplicate_names_across_modules():
     assert len(merged) == total
     assert set(merged) == set(entry.queries())
 
-# The exact 50-name round-7 and 8-name round-8 window plans written in
-# __spark_entry__.py above _R6_WINDOW.  Mirrored here so the gate
-# arithmetic is test-pinned: if a query is added (breaking the
-# registry freeze), renamed, or dropped, or the window/checked sets
-# drift, these fail before the driver window does.
-_R7_PLAN = frozenset("""
-orders_lines_histogram graph_degree_distribution text_heaps_curve
-events_slo_burn events_compaction_plan events_audience_overlap
-graph_clustering_coefficient graph_reciprocity events_spectral_daily
-integrity_audit events_decision_stump users_ols_normal_equations
-orders_backlog_aging customer_snapshot_diff emb_quantization_error
-privacy_generalization_ladder events_power_analysis
-events_session_gap_sensitivity events_bot_flags orders_fulfillment_lag
-emb_centroid_drift basket_apriori_triples events_encoding_advisor
-search_inverted_index search_phrase_query graph_hits events_holt_linear
-events_hazard_daily multimodal_image_phash emb_pca_two
-text_longest_repeat search_bm25_topk events_attribution_full_streamed
-train_curriculum_order privacy_t_closeness events_holt_winters
-events_ks_test graph_ktruss events_shapley_attribution
-events_peak_prominence sim_ivf_recall lineitem_zonemap_prune
-events_forecast_reconciled events_psi_drift customer_record_linkage
-graph_random_walks parts_xyz_classification bpe_learn_merges
-emb_random_projection graph_kcore
-""".split())
+# The exact 8-name round-8 window plan written in __spark_entry__.py
+# above _R7_WINDOW.  Mirrored here so the gate arithmetic is
+# test-pinned: if a query is added (breaking the registry freeze),
+# renamed, or dropped, or the window/checked sets drift, these fail
+# before the driver window does.
 _R8_PLAN = frozenset("""
 events_ab_srm_check events_factorial_interaction
 lineitem_returns_wilson orders_dormancy_reactivation events_mde_curve
@@ -93,25 +74,23 @@ events_watermark_late_census
 
 def test_driver_gate_rotation_invariants():
     """The driver checks exactly the FIRST 50 registry entries; these
-    invariants make the round-6 gate deterministic:
-    - registry frozen at 301 (VERDICT r5 ask #4),
-    - the first 50 iterated names are exactly _R6_WINDOW in order,
-    - window / checked sets are disjoint and the leftover backlog
-      partitions into the documented r7 (50) + r8 (8) window plans."""
+    invariants make the round-7 gate deterministic:
+    - registry frozen at 301 (VERDICT r5 ask #4, re-affirmed r6 #2),
+    - the first 50 iterated names are exactly _R7_WINDOW in order,
+    - window / checked sets are disjoint and the leftover backlog is
+      exactly the documented 8-name r8 window plan."""
     qs = entry.queries()
     names = list(qs)
     assert len(names) == 301, f"registry must stay frozen at 301, got {len(names)}"
-    assert len(entry._R6_WINDOW) == 50
-    assert tuple(names[:50]) == entry._R6_WINDOW
-    assert not set(entry._R6_WINDOW) & entry._DRIVER_CHECKED
+    assert len(entry._R7_WINDOW) == 50
+    assert tuple(names[:50]) == entry._R7_WINDOW
+    assert not set(entry._R7_WINDOW) & entry._DRIVER_CHECKED
     backlog = {n for n in names
                if n not in entry._DRIVER_CHECKED
-               and n not in set(entry._R6_WINDOW)}
-    assert len(_R7_PLAN) == 50 and len(_R8_PLAN) == 8
-    assert not _R7_PLAN & _R8_PLAN
-    assert backlog == _R7_PLAN | _R8_PLAN, (
-        backlog ^ (_R7_PLAN | _R8_PLAN))
-    assert len(entry._DRIVER_CHECKED) + 50 + 50 + 8 == 301
+               and n not in set(entry._R7_WINDOW)}
+    assert len(_R8_PLAN) == 8
+    assert backlog == _R8_PLAN, backlog ^ _R8_PLAN
+    assert len(entry._DRIVER_CHECKED) + 50 + 8 == 301
 
 
 def test_bench_covers_full_registry():
