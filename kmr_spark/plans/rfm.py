@@ -53,9 +53,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recency by the same constant and the tiebreak (o_custkey) is
     # unchanged, so the anchor never needs computing (recency itself
     # is not in the output). Encode the DESC order by negating the
-    # epoch day number. The shuffle width below is sized from parquet
-    # METADATA row counts (no job; |customers| <= |orders| and the
-    # width formula only needs the magnitude).
+    # epoch day number. The shuffle width below is sized from the
+    # customer table's parquet METADATA row count (no job; the stack
+    # is 3x|customers| rows).
     per_cust = pc0.select(
         "o_custkey",
         (-F.datediff("last_day", F.lit("1970-01-01")).cast("long"))
@@ -84,9 +84,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kmr_spark.session import materialize_release
 
-    n_orders = parquet_num_rows(sf_dir, "orders")
+    # size from |customer| (the stack is 3x customers); orders is ~10x
+    # customers in TPC-H and would over-widen the toy-sf shuffles
+    n_cust = parquet_num_rows(sf_dir, "customer")
+    if n_cust is None:
+        n_cust = parquet_num_rows(sf_dir, "orders")
     with sized_shuffle_partitions(
-            spark, n_rows=3 * n_orders if n_orders else None):
+            spark, n_rows=3 * n_cust if n_cust else None):
         caches: list[DataFrame] = []
         ranked = ranking_per_group(
             stacked, ["metric"],

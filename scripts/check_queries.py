@@ -109,7 +109,8 @@ def main() -> None:
         drows = sorted(
             [tuple(cell(r[i]) for i in idx) for r in rel.fetchall()],
             key=keyf)
-        ok = srows == drows and not typebad
+        rows_ok = srows == drows
+        ok = rows_ok and not typebad
         # the driver's value-hash is TYPED: a DuckDB HUGEINT/DECIMAL
         # cell (fetched as Decimal) hashes differently from Spark's
         # int even when values are equal at 6dp — the round-3 blind
@@ -121,10 +122,17 @@ def main() -> None:
         tdiff = (ok and srows and drows
                  and [cat(v) for v in srows[0]] != [cat(v) for v in drows[0]])
         bad += (not ok) or bool(tdiff)
-        print(name, "rows", len(srows),
-              "TYPEDIFF" if (typebad or tdiff)
-              else "MATCH" if ok
-              else "EXACTDIFF" if exact else "MISMATCH")
+        # row-compare status and type-audit flag print INDEPENDENTLY:
+        # a query that both mismatches rows and fails the type audit
+        # shows its row-level diagnosis plus a TYPEBAD suffix, instead
+        # of TYPEDIFF masking the (more actionable) row status.
+        status = ("MATCH" if rows_ok
+                  else "EXACTDIFF" if exact else "MISMATCH")
+        if tdiff and rows_ok:
+            status = "TYPEDIFF"
+        if typebad:
+            status += " TYPEBAD"
+        print(name, "rows", len(srows), status)
         if typebad:
             print("  oracle type audit:", "; ".join(typebad))
         if tdiff:
