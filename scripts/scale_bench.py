@@ -143,7 +143,8 @@ def generate(out: str, base: str, replicas: int, parts: int) -> None:
         print(f"wrote {tname} x{replicas} -> {dest}")
 
 
-def run(dirs: list[str], names: list[str], repeat: int) -> None:
+def run(dirs: list[str], names: list[str], repeat: int,
+        detail_out: str | None = None) -> None:
     import __spark_entry__ as entry
     from kmr_spark.session import parquet_num_rows
 
@@ -197,7 +198,7 @@ def run(dirs: list[str], names: list[str], repeat: int) -> None:
                                for e in report.values()), default=None),
     }
     out = {"summary": summary, "rows": rows, "report": report}
-    path = os.path.join(os.path.dirname(os.path.dirname(
+    path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_detail.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -218,11 +219,15 @@ def main() -> None:
          "/tmp/kmr_scale/sf1"]))
     r.add_argument("--queries", default=",".join(SCALE_QUERIES))
     r.add_argument("--repeat", type=int, default=2)
+    r.add_argument("--detail-out", default=None,
+                   help="where to write the JSON report "
+                        "(default: repo-root scale_detail.json)")
     args = ap.parse_args()
     if args.cmd == "generate":
         generate(args.out, args.base, args.replicas, args.parts)
     else:
-        run(args.dirs.split(","), args.queries.split(","), args.repeat)
+        run(args.dirs.split(","), args.queries.split(","), args.repeat,
+            args.detail_out)
 
 
 if __name__ == "__main__":
