@@ -16,6 +16,7 @@ text_token_entropy red for two rounds (VERDICT r4 §wrong-2); run
 driver window.
 """
 
+import os
 import struct
 import sys
 
@@ -64,9 +65,13 @@ def main() -> None:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written layout (a directory of part files), e.g.
+            # the scale_bench replicated corpus
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     qs, osql = e.queries(), e.oracle_sql()
     names = argv or sorted(qs)
     keyf = lambda row: tuple((v is None, v) for v in row)
