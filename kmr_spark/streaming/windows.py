@@ -37,19 +37,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     import os
-    ts_dt = dict(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
-    )["ts"]
-    raw = (
-        spark.readStream.schema(
-            f"event_id long, ts {ts_dt}, user_id long, event_type string, "
-            "value double, props string"
-        )
-        # the streaming file source wants a directory; the testdata table
-        # is a single file inside sf_dir, so read the dir with a glob
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_dt = dict(spark.read.parquet(path).dtypes)["ts"]
+    reader = spark.readStream.schema(
+        f"event_id long, ts {ts_dt}, user_id long, event_type string, "
+        "value double, props string")
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — the normal
+        # production layout; point the file source straight at it.
+        raw = reader.parquet(path)
+    else:
+        # driver testdata: a single bare file inside sf_dir. The file
+        # source wants a directory, so read sf_dir with a leaf-file
+        # glob. (pathGlobFilter matches LEAF files only — against a
+        # directory table it would match nothing and silently stream
+        # zero rows, which is why the isdir branch exists.)
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if ts_dt == "bigint":
         return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -302,3 +302,29 @@ def test_python_datasource_stream_matches_batch(spark, tmp_path):
         spark.read.format("kmr_docs")
         .option("rows", 200).option("partitions", 4).load())
     assert (got.n, got.s, got.ck) == (want.n, want.s, want.ck)
+
+
+def test_stream_events_reads_directory_tables(spark, tmp_path):
+    """Production parquet tables are DIRECTORIES of part files; the
+    single-file testdata layout needed a leaf-file glob that matches
+    NOTHING against a directory, silently streaming zero rows (caught
+    by the round-7 at-scale exactness run). Replaying a Spark-written
+    directory copy must give the identical window census."""
+    from kmr_spark.streaming.windows import (
+        run_available_now, stream_events, tumbling_counts_stream)
+
+    sf_copy = tmp_path / "sfdir"
+    os.makedirs(sf_copy)
+    (spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+     .repartition(4)
+     .write.parquet(str(sf_copy / "events.parquet")))
+
+    from_dir = run_available_now(
+        tumbling_counts_stream(stream_events(spark, str(sf_copy))),
+        "tumbling_dir_test", str(tmp_path / "ck_dir"))
+    from_file = run_available_now(
+        tumbling_counts_stream(stream_events(spark, SF_SMALL)),
+        "tumbling_file_test", str(tmp_path / "ck_file"))
+    d = sorted(map(tuple, from_dir.collect()))
+    f = sorted(map(tuple, from_file.collect()))
+    assert d and d == f
