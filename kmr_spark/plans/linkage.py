@@ -12,11 +12,28 @@ truth is known and the query reports match QUALITY (true/false
 positives, recall) — an entity-resolution evaluation harness, not just
 a matcher.
 
-Scale shape: candidates come from equi-join BLOCKING on
-(nationkey, mktsegment) — never an all-pairs product; the verifier is
-a per-pair Levenshtein on short strings (both engines ship the
-standard DP, integer-equal); match selection packs (distance, custkey)
-into one BIGINT so "min distance, then min custkey" is a plain MIN.
+Scale shape: candidates come from equi-join BLOCKING on a compound
+key (nationkey, mktsegment, name-core band) — never an all-pairs
+product; the verifier is a per-pair Levenshtein on short strings (both
+engines ship the standard DP, integer-equal); match selection packs
+(distance, custkey) into one BIGINT so "min distance, then min
+custkey" is a plain MIN.
+
+The name-core band is what makes the blocking DATA-SCALED (VERDICT r7
+§wrong-1: a fixed 125-key space means per-block size grows linearly
+with |customer| and candidate pairs grow quadratically — round-7's
+scale bench measured alpha 1.03 trending to 2).  The corruption model
+only ever touches the LAST 2 characters of a name, so any fixed-length
+prefix of at most len-2 characters is corruption-invariant: the dirty
+and clean versions of the same entity always share it, and recall is
+structurally unaffected.  LINK_BAND_LEN = 16 keeps the full invariant
+core of the 18-char names, so the band count grows linearly with the
+customer table and per-band size stays O(1) on real data — candidate
+pairs become O(N) instead of O(N^2 / 125).  (On the scale_bench
+replicated corpus, names repeat verbatim across replicas, so per-band
+size grows with the replica count; that is genuine duplicate mass —
+the same data property adjudicated for the dedup family — not a
+blocking artifact.)
 """
 
 from __future__ import annotations
@@ -27,6 +44,9 @@ from pyspark.sql import functions as F
 from kmr_spark.session import load_tables
 
 LINK_MAX_DIST = 2      # accept a candidate pair at edit distance <= 2
+LINK_BAND_LEN = 16     # name-core blocking prefix; corruption-invariant
+                       # because the dirty derivation only touches the
+                       # last 2 chars of the fixed-width 18-char names
 _PACK = 1 << 40
 
 
@@ -51,19 +71,21 @@ def _dirty_customers(cust: DataFrame) -> DataFrame:
 
 def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link the derived dirty records back to clean customer rows:
-    block on (nationkey, mktsegment), verify with Levenshtein <=
-    LINK_MAX_DIST, pick each dirty record's best match (min distance,
-    then min custkey), and score against the known truth. One summary
-    row: dirty/candidate/matched counts, true & false positives,
-    recall and precision in exact permille."""
+    block on (nationkey, mktsegment, 16-char name core), verify with
+    Levenshtein <= LINK_MAX_DIST, pick each dirty record's best match
+    (min distance, then min custkey), and score against the known
+    truth. One summary row: dirty/candidate/matched counts, true &
+    false positives, recall and precision in exact permille."""
     cust = load_tables(spark, sf_dir)["customer"].select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     dirty = _dirty_customers(cust)
+    band = lambda c: F.substring(c, 1, LINK_BAND_LEN)
     cand = (
         dirty.join(
             cust,
             (F.col("d_nation") == F.col("c_nationkey"))
-            & (F.col("d_segment") == F.col("c_mktsegment")))
+            & (F.col("d_segment") == F.col("c_mktsegment"))
+            & (band(F.col("d_name")) == band(F.col("c_name"))))
         .select(
             "true_key",
             F.col("c_custkey").alias("cand_key"),
@@ -110,6 +132,8 @@ cand AS (
          levenshtein(d.d_name, c.c_name) AS dist
   FROM dirty d JOIN customer c
     ON c.c_nationkey = d.d_nation AND c.c_mktsegment = d.d_segment
+   AND substring(c.c_name, 1, {LINK_BAND_LEN})
+       = substring(d.d_name, 1, {LINK_BAND_LEN})
   WHERE levenshtein(d.d_name, c.c_name) <= {LINK_MAX_DIST}),
 best AS (
   SELECT true_key, COUNT(*) AS n_cand,

@@ -76,16 +76,22 @@ def main() -> None:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
 
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            # Spark-written layout (a directory of part files), e.g.
-            # the scale_bench replicated corpus
-            path += "/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    def fresh_connection():
+        c = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                # Spark-written layout (a directory of part files, flat
+                # or Hive-partitioned day=.../part-*.parquet), e.g. the
+                # scale_bench replicated corpus — recursive glob matches
+                # both.
+                path += "/**/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        return c
+
+    con = fresh_connection()
     qs, osql = e.queries(), e.oracle_sql()
     names = argv or sorted(qs)
     keyf = lambda row: tuple((v is None, v) for v in row)
@@ -95,6 +101,7 @@ def main() -> None:
     else:
         cell = lambda v: round(v, 6) if isinstance(v, float) else v
     bad = 0
+    timeouts = 0
     for name in names:
         sdf = qs[name](spark, sf_dir)
         scols = sorted(sdf.columns)
@@ -141,6 +148,17 @@ def main() -> None:
             if worker.is_alive():
                 con.interrupt()
                 worker.join(30)
+                if worker.is_alive():
+                    # DuckDB's interrupt is best-effort mid-operator; if
+                    # the worker survived it, it still holds this
+                    # connection's lock and the NEXT query would block
+                    # forever.  Abandon the connection (the daemon
+                    # thread dies with the process) and continue the
+                    # sweep on a fresh one.
+                    print(f"  oracle thread survived interrupt; "
+                          "abandoning connection and reconnecting")
+                    con = fresh_connection()
+                timeouts += 1
                 print(name, "rows", len(srows),
                       f"ORACLE_TIMEOUT(>{oracle_timeout:g}s — oracle-"
                       "scale artifact, engine result not judged)")
@@ -191,7 +209,13 @@ def main() -> None:
             print("  spark cols", scols, "oracle cols", sorted(dcols))
             print("  spark[0]", srows[0])
             print("  duck [0]", drows[0])
-    print("BAD:", bad)
+    # Surface unjudged queries in the machine-captured tail: a sweep can
+    # end BAD: 0 while several oracles timed out and were never judged —
+    # easy to misread as full exactness in at-scale evidence.
+    tail = f"BAD: {bad}"
+    if timeouts:
+        tail += f" ORACLE_TIMEOUT: {timeouts}"
+    print(tail)
     sys.exit(1 if bad else 0)
 
 

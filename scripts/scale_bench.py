@@ -155,30 +155,46 @@ def run(dirs: list[str], names: list[str], repeat: int,
                 for t in ("lineitem", "events", "documents", "embeddings")}
             for d in dirs}
     print(json.dumps({"rows": rows}))
+    path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scale_detail.json")
     times: dict[str, dict[str, float]] = {n: {} for n in names}
+    errors: dict[str, dict[str, str]] = {}
     for d in dirs:
         for name in names:
-            fn = queries[name]
-            fn(spark, d).write.format("noop").mode("overwrite").save()  # warmup
-            best = math.inf
-            for _ in range(repeat):
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                time.sleep(0.2)
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            times[name][d] = round(best, 3)
-            print(f"{name} @ {d}: {times[name][d]} s")
+            # one failing query / missing dir must not lose the hours of
+            # timings already collected: record an error marker and move
+            # on; the detail JSON is re-written after every directory.
+            try:
+                fn = queries[name]
+                fn(spark, d).write.format("noop").mode("overwrite").save()  # warmup
+                best = math.inf
+                for _ in range(repeat):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(0.2)
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                times[name][d] = round(best, 3)
+                print(f"{name} @ {d}: {times[name][d]} s")
+            except Exception as exc:
+                errors.setdefault(name, {})[d] = f"{type(exc).__name__}: {exc}"
+                print(f"{name} @ {d}: ERROR {type(exc).__name__}: {exc}")
+        with open(path, "w") as f:
+            json.dump({"partial_through_dir": d, "rows": rows,
+                       "times": times, "errors": errors}, f, indent=1)
     # fitted exponent per query across the last dir pair (the largest
     # step is the least fixed-cost-contaminated) + across the full span
     report = {}
     for name in names:
         tbl = scale_table(name)
         pts = [(rows[d][tbl], times[name][d]) for d in dirs
-               if rows[d][tbl] > 0 and times[name][d] > 0]
+               if rows[d][tbl] > 0 and times[name].get(d, 0) > 0]
         ent = {"scale_table": tbl,
-               "times": {d: times[name][d] for d in dirs}}
+               "times": {d: times[name][d] for d in dirs
+                         if d in times[name]}}
+        if name in errors:
+            ent["errors"] = errors[name]
         if len(pts) >= 2 and pts[-1][0] > pts[-2][0]:
             n1, t1 = pts[-2]
             n2, t2 = pts[-1]
@@ -197,9 +213,11 @@ def run(dirs: list[str], names: list[str], repeat: int,
         "alpha_last_max": max((e.get("alpha_last", 0.0)
                                for e in report.values()), default=None),
     }
+    if errors:
+        summary["n_errors"] = sum(len(v) for v in errors.values())
     out = {"summary": summary, "rows": rows, "report": report}
-    path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "scale_detail.json")
+    if errors:
+        out["errors"] = errors
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary))

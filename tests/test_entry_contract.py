@@ -59,38 +59,30 @@ def test_no_duplicate_names_across_modules():
     assert len(merged) == total
     assert set(merged) == set(entry.queries())
 
-# The exact 8-name round-8 window plan written in __spark_entry__.py
-# above _R7_WINDOW.  Mirrored here so the gate arithmetic is
-# test-pinned: if a query is added (breaking the registry freeze),
-# renamed, or dropped, or the window/checked sets drift, these fail
-# before the driver window does.
-_R8_PLAN = frozenset("""
-events_ab_srm_check events_factorial_interaction
-lineitem_returns_wilson orders_dormancy_reactivation events_mde_curve
-events_attrib_window_sweep events_ratio_metric_delta
-events_watermark_late_census
-""".split())
-
-
 def test_driver_gate_rotation_invariants():
     """The driver checks exactly the FIRST 50 registry entries; these
-    invariants make the round-7 gate deterministic:
-    - registry frozen at 301 (VERDICT r5 ask #4, re-affirmed r6 #2),
-    - the first 50 iterated names are exactly _R7_WINDOW in order,
-    - window / checked sets are disjoint and the leftover backlog is
-      exactly the documented 8-name r8 window plan."""
+    invariants make the round-8 gate deterministic:
+    - the 8-name backlog window (_R8_WINDOW) iterates first, closing
+      the ledger at 301/301 driver-green once CORRECTNESS_r08 lands,
+    - any post-freeze additions (VERDICT r7 ask #3 caps them to the
+      streaming-watermark extension) iterate right after the pinned 8
+      so they get a driver row in the same round,
+    - every non-driver-checked query fits inside the 50-entry window."""
     qs = entry.queries()
     names = list(qs)
-    assert len(names) == 301, f"registry must stay frozen at 301, got {len(names)}"
-    assert len(entry._R7_WINDOW) == 50
-    assert tuple(names[:50]) == entry._R7_WINDOW
-    assert not set(entry._R7_WINDOW) & entry._DRIVER_CHECKED
-    backlog = {n for n in names
-               if n not in entry._DRIVER_CHECKED
-               and n not in set(entry._R7_WINDOW)}
-    assert len(_R8_PLAN) == 8
-    assert backlog == _R8_PLAN, backlog ^ _R8_PLAN
-    assert len(entry._DRIVER_CHECKED) + 50 + 8 == 301
+    assert len(names) >= 301, f"registry must not shrink below 301, got {len(names)}"
+    assert len(entry._R8_WINDOW) == 8
+    assert tuple(names[:8]) == entry._R8_WINDOW
+    assert not set(entry._R8_WINDOW) & entry._DRIVER_CHECKED
+    unchecked = [n for n in names
+                 if n not in entry._DRIVER_CHECKED
+                 and n not in set(entry._R8_WINDOW)]
+    # post-freeze additions sit immediately after the pinned 8
+    assert names[8:8 + len(unchecked)] == unchecked
+    # everything without a driver row must fit in the 50-entry check
+    assert 8 + len(unchecked) <= 50, (
+        f"window overflow: {8 + len(unchecked)} unchecked > 50")
+    assert len(entry._DRIVER_CHECKED) + 8 + len(unchecked) == len(names)
 
 
 def test_bench_covers_full_registry():

