@@ -179,6 +179,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        import kmr_spark.plans.watermark as watermark
+        modules.append(watermark)
+    except ImportError:
+        pass
+    try:
         import kmr_spark.llm_ops.registry as llm_registry
         modules.append(llm_registry)
     except ImportError:

@@ -347,6 +347,9 @@ BENCH_QUERIES = [
     "events_mde_curve",
     "events_attrib_window_sweep",
     "events_ratio_metric_delta",
+    "events_watermark_lag_curve",
+    "events_watermark_drop_audit",
+    "events_drop_audit_streamed",
 ]
 
 # The ~10 heaviest registry queries by recent rounds' bench_detail

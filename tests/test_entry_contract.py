@@ -35,7 +35,7 @@ def test_no_duplicate_names_across_modules():
                                  corpusstats, diagnostics, generate, graphs,
                                  graysort, incremental, inference, iterative,
                                  layout, linalg, linkage, privacy,
-                                 quality, rfm,
+                                 quality, rfm, watermark,
                                  robust, sampling, search, semistruct,
                                  sketches, timeseries, tpch, tpch_extra,
                                  training, trends, valuation, winfuncs,
@@ -51,7 +51,7 @@ def test_no_duplicate_names_across_modules():
              diagnostics.QUERIES, valuation.QUERIES, robust.QUERIES,
              corpusstats.QUERIES, trends.QUERIES, inference.QUERIES,
              privacy.QUERIES, winfuncs.QUERIES, search.QUERIES,
-             linkage.QUERIES, registry.QUERIES]
+             linkage.QUERIES, watermark.QUERIES, registry.QUERIES]
     total = sum(len(p) for p in parts)
     merged = {}
     for p in parts:
