@@ -455,6 +455,21 @@ def test_record_linkage_blocks_before_verify(spark):
             or "ShuffledHashJoin" in plan)
 
 
+def test_watermark_family_broadcasts_batch_table(spark):
+    """The watermark audits join row-scale events against the per-batch
+    watermark table (one row per ingest batch): that join must be a
+    broadcast, and no cartesian may appear; the only SortMergeJoin-free
+    plan keeps the row side exchange-light."""
+    from kmr_spark.plans.watermark import (events_watermark_drop_audit,
+                                           events_watermark_lag_curve)
+
+    for fn in (events_watermark_lag_curve, events_watermark_drop_audit):
+        plan = _plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
 def test_random_walks_step_has_no_window(spark):
     """The per-step next-hop argmin must be a keyed MIN aggregation
     (packed-BIGINT), not a Window over neighbors — a window would
