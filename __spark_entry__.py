@@ -370,17 +370,28 @@ _R8_WINDOW = (
     "events_ratio_metric_delta", "events_watermark_late_census",
 )
 
+# Driver-green queries whose PLAN changed this round (so their stale
+# rotation slot is not enough — they re-enter the window right after
+# the fresh entries for a fresh driver row against the updated oracle):
+# customer_record_linkage was re-blocked with the data-scaled name-core
+# band (VERDICT r7 ask #2), exact-sim green at sf0.001 + sf0.01.
+_R8_RECHECK = ("customer_record_linkage",)
+
 
 def _rotate_for_driver_window(queries):
     """Order registry entries so never-driver-checked queries come first:
     the pinned round-8 window, then other fresh (post-pin) queries, then
-    already-green entries in reverse registration order."""
+    changed-this-round re-checks, then already-green entries in reverse
+    registration order."""
     pinned = [n for n in _R8_WINDOW if n in queries]
     in_pin = set(pinned)
     fresh = [n for n in queries
              if n not in _DRIVER_CHECKED and n not in in_pin]
-    stale = [n for n in reversed(list(queries)) if n in _DRIVER_CHECKED]
-    return {n: queries[n] for n in pinned + fresh + stale}
+    recheck = [n for n in _R8_RECHECK if n in queries]
+    in_front = in_pin | set(fresh) | set(recheck)
+    stale = [n for n in reversed(list(queries))
+             if n in _DRIVER_CHECKED and n not in in_front]
+    return {n: queries[n] for n in pinned + fresh + recheck + stale}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -77,11 +77,14 @@ def test_driver_gate_rotation_invariants():
     unchecked = [n for n in names
                  if n not in entry._DRIVER_CHECKED
                  and n not in set(entry._R8_WINDOW)]
-    # post-freeze additions sit immediately after the pinned 8
+    # post-freeze additions sit immediately after the pinned 8, then
+    # the changed-plan re-checks
     assert names[8:8 + len(unchecked)] == unchecked
+    n_front = 8 + len(unchecked) + len(entry._R8_RECHECK)
+    assert names[8 + len(unchecked):n_front] == list(entry._R8_RECHECK)
+    assert set(entry._R8_RECHECK) <= entry._DRIVER_CHECKED
     # everything without a driver row must fit in the 50-entry check
-    assert 8 + len(unchecked) <= 50, (
-        f"window overflow: {8 + len(unchecked)} unchecked > 50")
+    assert n_front <= 50, f"window overflow: {n_front} pinned-front > 50"
     assert len(entry._DRIVER_CHECKED) + 8 + len(unchecked) == len(names)
 
 
