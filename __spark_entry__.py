@@ -358,11 +358,14 @@ _DRIVER_CHECKED = frozenset({
 # rotation orders green entries reverse-registration), so this round
 # also re-greens the newest _DRIVER_CHECKED entries.
 #
-# Once CORRECTNESS_r08 lands green, the ledger closes at 301/301
-# driver-green and the registry UNFREEZES for the post-freeze plan
-# (SCALE.md §post-freeze): streaming watermark extensions, linkage
-# scaled blocking, optional-dep codecs.
-# Ledger check: 293 _DRIVER_CHECKED + 8 here = 301.
+# Once CORRECTNESS_r08 lands green, the ledger closes: all 301 frozen
+# queries have a driver row, plus the 3 round-8 post-freeze additions
+# (plans/watermark.py — the sanctioned VERDICT r7 ask #3 cap) which
+# iterate right after this window and get their first driver row in
+# the same round.  Post-freeze items #2 (watermark extensions) and #4
+# (linkage scaled blocking) landed this round; #3 (optional-dep
+# JPEG/ffmpeg codecs) remains gated on container libs per the brief.
+# Ledger check: 293 _DRIVER_CHECKED + 8 here + 3 fresh = 304.
 _R8_WINDOW = (
     "events_ab_srm_check", "events_factorial_interaction",
     "lineitem_returns_wilson", "orders_dormancy_reactivation",

@@ -265,8 +265,19 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None) -> None:
         return prev[n]
 
     # --- dedup_editdistance: seeded-sample pair re-verification -----
-    pairs = dd.editdistance_pairs(spark, sf_dir)
-    n_pairs = pairs.count()
+    # cache the emitted pairs: the pipeline behind them (length-band
+    # candidate join + thresholded Levenshtein) dominates this whole
+    # verify at 10x+ scales, and three checks read it
+    pairs = dd.editdistance_pairs(spark, sf_dir).cache()
+    # one fused aggregation over the (doc_a, doc_b) groups: total pair
+    # rows, distinctness (max multiplicity), and ordering violations
+    inv = (pairs.groupBy("doc_a", "doc_b")
+           .agg(F.count("*").alias("mult"))
+           .agg(F.sum("mult").alias("n_pairs"),
+                F.max("mult").alias("max_mult"),
+                F.count(F.when(F.col("doc_a") >= F.col("doc_b"), 1))
+                .alias("n_misordered"))
+           .first())
     sample = (
         pairs.withColumn(
             "_h", (F.pmod(F.col("doc_a") * 1_000_003 + F.col("doc_b"),
@@ -284,12 +295,12 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None) -> None:
            or not 0 <= r.edit_distance <= dd.MAX_EDITS]
     check("dedup_editdistance", "sampled_pair_reverify",
           len(rows) and not bad,
-          f"{len(rows)} sampled of {n_pairs} pairs, {len(bad)} bad")
-    n_dup = pairs.groupBy("doc_a", "doc_b").count().filter("count > 1").count()
-    n_misordered = pairs.filter("doc_a >= doc_b").count()
+          f"{len(rows)} sampled of {inv.n_pairs} pairs, {len(bad)} bad")
     check("dedup_editdistance", "pairs_distinct_ordered",
-          n_dup == 0 and n_misordered == 0,
-          f"dups {n_dup}, misordered {n_misordered}")
+          inv.max_mult == 1 and inv.n_misordered == 0,
+          f"max multiplicity {inv.max_mult}, "
+          f"misordered {inv.n_misordered}")
+    pairs.unpersist()
 
     # --- dedup_clusters: labeling invariants + sampled connectivity -
     clusters = dd.duplicate_clusters(spark, sf_dir).cache()
