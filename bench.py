@@ -487,6 +487,11 @@ def main() -> None:
         detail["heavy_repeat"] = {"repeat": repeat, "queries": heavy}
     print(json.dumps(detail))
     try:
+        # a SPARK_GRAFT_BENCH_ONLY-capped run must not clobber the
+        # full-registry detail file: it is the next round's resample
+        # baseline (and the round-over-round comparison artifact)
+        if only:
+            detail_path = detail_path.replace(".json", "_partial.json")
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
