@@ -55,6 +55,15 @@ HEADLINE = [
     ("docs_tfidf_cosine_pairs", "posting-list equi-join on the bigram "
                                 "term — df-capped candidates, "
                                 "broadcast df table"),
+    # round-8 additions
+    ("customer_record_linkage", "candidate join blocked on (nation, "
+                                "segment, 16-char name-core band) — "
+                                "data-scaled key space, packed-MIN "
+                                "argmin, no window, no cartesian"),
+    ("events_watermark_drop_audit", "row-scale side is a projection + "
+                                    "broadcast join against the "
+                                    "per-batch aggregate (bounded by "
+                                    "stream time span, not volume)"),
 ]
 
 
