@@ -292,38 +292,54 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gram matrix A^T A of the embedding table (upper triangle) — the
     tall-skinny kernel behind PCA/covariance/whitening, and the
     classic "narrow generate, tiny shuffle" MapReduce pattern: each
-    row emits its d(d+1)/2 upper-triangle products map-side; partial
-    aggregation collapses them to |dims|² partials per partition, so
-    the exchange carries ~2080 keys x partitions regardless of row
-    count. (The reference's dense matmul example,
+    Arrow batch contributes one dense d x d partial (numpy int64
+    matmul over the quantized coordinates), so the exchange carries
+    ~2080 keys x batches regardless of row count and no per-row pair
+    expansion ever exists. (The reference's dense matmul example,
     /root/reference/ex/mm.c, materializes blocks; A^T A needs no
     second operand and no blocking.)
 
-    Exactness: coordinates quantize to 1e-6 longs; per-row products
-    accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the sum
-    passes BIGINT at ~1e9 rows — and the output double is one cast.
+    Exactness: coordinates quantize to 1e-6 longs; per-batch partials
+    are exact int64 (bound documented inline), and the cross-batch
+    sum accumulates as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+    sum passes BIGINT at ~1e9 rows — the output double is one cast.
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
     from kmr_spark.functions import vectors as V
     q = F.transform(V.to_double_array("embedding"),
                     lambda x: F.floor(x * 1_000_000).cast("long"))
     pts = emb.select(q.alias("qv"))
-    # nested transform keeps the expression tree O(1) in d (a literal
-    # per-pair array of 2080 expressions OOMs codegen)
-    tri = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size("qv")),
-        lambda i: F.transform(
-            F.sequence(i, F.size("qv")),
-            lambda j: F.struct(
-                (i - 1).alias("i"), (j - 1).alias("j"),
-                (F.element_at(F.col("qv"), i)
-                 * F.element_at(F.col("qv"), j)).alias("p")))))
+
+    # Arrow-batched partial grams: each ~10k-row batch contributes ONE
+    # d x d integer matmul (Q^T Q, numpy int64 — exact) and emits its
+    # d(d+1)/2 upper-triangle partials, so the per-row pair EXPLOSION
+    # the first implementation paid (d(d+1)/2 = 2080 rows per vector
+    # through codegen + hash-agg) never materializes: downstream sees
+    # 2080 rows per BATCH.  Per-batch int64 is overflow-safe by
+    # construction: |q| <= ~1e6 (unit-ish coords), so each product is
+    # <= ~1e12 and a 10k-row batch partial is <= ~1e16 << 2^63; the
+    # CROSS-batch sum is where 1e9-row scale would overflow, and that
+    # stays DECIMAL(38,0) in the final aggregate exactly as before.
+    def _partial_grams(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame({
+                "i": iu.astype(np.int64), "j": ju.astype(np.int64),
+                "n": np.int64(len(pdf)), "s": G[iu, ju]})
+
+    partials = pts.mapInPandas(
+        _partial_grams, schema="i long, j long, n long, s long")
     return (
-        pts.select(F.explode(tri).alias("t"))
-        .groupBy(F.col("t.i").cast("long").alias("i"),
-                 F.col("t.j").cast("long").alias("j"))
-        .agg(F.count("*").alias("n_rows"),
-             F.sum(F.col("t.p").cast("decimal(38,0)")).alias("s"))
+        partials.groupBy("i", "j")
+        .agg(F.sum("n").alias("n_rows"),
+             F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
         .select("i", "j", "n_rows",
                 F.col("s").cast("double").alias("gram_micro2"))
         .orderBy("i", "j")
