@@ -479,3 +479,17 @@ def test_random_walks_step_has_no_window(spark):
     plan = _plan(graph_random_walks(spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gram_matrix_is_batch_partial_kernel(spark):
+    """The A^T A kernel must flow through the Arrow-batched partial-gram
+    path (one d x d numpy matmul per batch): a Generate/Explode node
+    means the d(d+1)/2-per-row pair explosion is back, and the final
+    aggregate must still combine partials map-side (partial + final
+    HashAggregate, 2080-key exchange)."""
+    from kmr_spark.plans.linalg import emb_gram_matrix
+
+    plan = _plan(emb_gram_matrix(spark, SF))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "Generate" not in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
