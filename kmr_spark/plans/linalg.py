@@ -308,7 +308,9 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmr_spark.functions import vectors as V
     q = F.transform(V.to_double_array("embedding"),
                     lambda x: F.floor(x * 1_000_000).cast("long"))
-    pts = emb.select(q.alias("qv"))
+    # null embeddings contribute nothing (the prior explode path
+    # dropped them row-wise; keep that contract, JVM-side)
+    pts = emb.select(q.alias("qv")).filter(F.col("qv").isNotNull())
 
     # Arrow-batched partial grams: each ~10k-row batch contributes ONE
     # d x d integer matmul (Q^T Q, numpy int64 — exact) and emits its
