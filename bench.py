@@ -372,6 +372,10 @@ HEAVY_QUERIES = [
     "graph_hits",
     "graysort_rank",
     "graph_modularity",
+    # the day-grained live streaming replay — heaviest registry entry
+    # (32 real micro-batches); repeat-sampled so its wide cold/warm
+    # spread can't masquerade as a regression
+    "events_drop_audit_streamed",
 ]
 
 

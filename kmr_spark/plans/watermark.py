@@ -259,7 +259,8 @@ def events_drop_audit_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented rule — and that the batch drop-audit twin predicts
     the stream exactly (asserted row-for-row in
     tests/test_watermark_ops.py)."""
-    from kmr_spark.streaming.windows import run_available_now
+    from kmr_spark.streaming.windows import (run_available_now,
+                                             sized_state_partitions)
 
     arrivals = _with_arrival(load_tables(spark, sf_dir)["events"]).select(
         "us", "cents", "arrival_day")
@@ -294,8 +295,14 @@ def events_drop_audit_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count("*").alias("n_events"),
                  F.sum("cents").alias("sum_cents")))
-        closed = run_available_now(agg, "kmr_wm_drop_audit", ck,
-                                   output_mode="append")
+        # state stores are per-shuffle-partition fixed cost PER
+        # micro-batch, and this replay runs one micro-batch per ingest
+        # day — size the state partitioning to the input volume like
+        # every other streamed replay (measured here: 24.1 s -> with
+        # 32 stores x ~days batches, the commit overhead dominated)
+        closed = run_available_now(
+            agg, "kmr_wm_drop_audit", ck, output_mode="append",
+            state_partitions=sized_state_partitions(spark, sf_dir))
         return (
             closed.select(F.unix_micros(F.col("w.start"))
                           .alias("window_start_us"),
