@@ -64,6 +64,9 @@ HEADLINE = [
                                     "broadcast join against the "
                                     "per-batch aggregate (bounded by "
                                     "stream time span, not volume)"),
+    ("emb_gram_matrix", "Arrow-batched partial-gram kernel "
+                        "(MapInPandas, no Generate/explode); "
+                        "2080-key partial+final HashAggregate"),
 ]
 
 
