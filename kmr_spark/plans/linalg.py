@@ -322,19 +322,27 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= ~1e12 and a 10k-row batch partial is <= ~1e16 << 2^63; the
     # CROSS-batch sum is where 1e9-row scale would overflow, and that
     # stays DECIMAL(38,0) in the final aggregate exactly as before.
+    # An internal 1e5-row slice cap keeps the bound independent of the
+    # session's Arrow batch-size configuration.
     def _partial_grams(batches):
         import numpy as np
         import pandas as pd
 
+        # slice cap makes the int64 bound hold regardless of the
+        # session's Arrow maxRecordsPerBatch: 1e5 rows x ~1e12 max
+        # product = ~1e17 per partial, two orders under 2^63
+        cap = 100_000
         for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
-            G = Q.T @ Q
-            iu, ju = np.triu_indices(G.shape[0])
-            yield pd.DataFrame({
-                "i": iu.astype(np.int64), "j": ju.astype(np.int64),
-                "n": np.int64(len(pdf)), "s": G[iu, ju]})
+            for lo in range(0, len(pdf), cap):
+                sl = pdf["qv"].iloc[lo:lo + cap]
+                if sl.empty:
+                    continue
+                Q = np.stack(sl.to_numpy()).astype(np.int64, copy=False)
+                G = Q.T @ Q
+                iu, ju = np.triu_indices(G.shape[0])
+                yield pd.DataFrame({
+                    "i": iu.astype(np.int64), "j": ju.astype(np.int64),
+                    "n": np.int64(len(sl)), "s": G[iu, ju]})
 
     partials = pts.mapInPandas(
         _partial_grams, schema="i long, j long, n long, s long")
