@@ -332,12 +332,36 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session's Arrow maxRecordsPerBatch: 1e5 rows x ~1e12 max
         # product = ~1e17 per partial, two orders under 2^63
         cap = 100_000
+        # int64 safety bound for the slice partial: cap rows x qmax^2
+        # per cell must stay under 2^63.  qmax = 9e6 gives
+        # 1e5 * (9e6)^2 = 8.1e18 < 9.22e18; numpy integer matmul wraps
+        # SILENTLY past that, so a violated "unit-ish coords" input
+        # assumption must fail loudly here, not corrupt the sums.
+        qmax = 9_000_000
         for pdf in batches:
             for lo in range(0, len(pdf), cap):
                 sl = pdf["qv"].iloc[lo:lo + cap]
                 if sl.empty:
                     continue
-                Q = np.stack(sl.to_numpy()).astype(np.int64, copy=False)
+                try:
+                    Q = np.stack(sl.to_numpy()).astype(np.int64, copy=False)
+                except ValueError:
+                    # per-batch guard only: a corpus that is ragged
+                    # ACROSS partitions but uniform within each batch
+                    # passes here — cross-batch dimension consistency
+                    # is the documented input invariant (FIXTURES.md
+                    # pins d=64 for the embeddings table)
+                    lens = sorted({len(v) for v in sl})
+                    raise ValueError(
+                        "emb_gram_matrix requires uniform-dimension "
+                        f"embeddings; batch has dims {lens} (FIXTURES.md "
+                        "pins d=64)")
+                m = int(np.abs(Q).max())
+                if m > qmax:
+                    raise ValueError(
+                        f"emb_gram_matrix coordinate |q|={m} exceeds the "
+                        f"int64-safe bound {qmax} (unnormalized embedding?"
+                        " raw value > 9.0); partial sums would wrap")
                 G = Q.T @ Q
                 iu, ju = np.triu_indices(G.shape[0])
                 yield pd.DataFrame({
@@ -360,7 +384,8 @@ GRAM_SQL = """
 WITH pts AS (
   SELECT list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM embeddings
+  WHERE embedding IS NOT NULL),
 prods AS (
   SELECT i.i AS i, j.j AS j, p.qv[i.i + 1] * p.qv[j.j + 1] AS prod
   FROM pts p,

@@ -492,4 +492,9 @@ def test_gram_matrix_is_batch_partial_kernel(spark):
     plan = _plan(emb_gram_matrix(spark, SF))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "Generate" not in plan, plan
-    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+    # the partial pass specifically: a map-side partial_sum function AND
+    # two HashAggregate nodes (partial + final around the 2080-key
+    # exchange) — "HashAggregate appears somewhere" would be satisfied
+    # by ANY groupBy and verifies nothing
+    assert "partial_sum" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
