@@ -102,7 +102,31 @@ def _spark():
     return spark
 
 
-def generate(out: str, base: str, replicas: int, parts: int) -> None:
+def generate(out: str, base: str, replicas: int, parts: int,
+             dup_cap: int | None = None,
+             only_tables: list[str] | None = None) -> None:
+    """``dup_cap`` bounds DUPLICATE MASS in the replicated documents
+    table: plain replication copies every text verbatim K times, so at
+    K=100 each base near-dup cluster becomes one 100x-multiplicity
+    component whose within-cluster candidate-pair count grows
+    quadratically — a degenerate corpus no real pipeline sees (the
+    single-node OOM adjudicated in SCALE.md round 8).  With dup_cap=C,
+    replicas are split into K/C groups of C; each group's texts get a
+    per-group suffix appended to EVERY token ("hello world" ->
+    "hellox3g worldx3g" in group 3).  Token hashes are per-token
+    (functions/hashing.py sql_tokens: space-split), so the transform is
+    a deterministic vocabulary rewrite: within a group, texts stay
+    verbatim-identical across its C replicas and the base corpus's
+    near-dup geometry is preserved under the rehashed vocabulary;
+    across groups, token sets are disjoint, so no SimHash/MinHash/
+    shingle affinity survives.  Result: cluster multiplicity is
+    base_size x C regardless of K — bounded, like real corpora.
+    Group 0 keeps the original text, embedding the base corpus
+    verbatim.  n_chars is recomputed for salted rows.
+
+    ``only_tables`` restricts output (e.g. ["documents"] for a dedup
+    CC stress — no need to write a 600M-row lineitem to disk to grow
+    the documents table)."""
     from pyspark.sql import functions as F
 
     from kmr_spark.session import TABLES, load_tables
@@ -125,6 +149,9 @@ def generate(out: str, base: str, replicas: int, parts: int) -> None:
     for tname in TABLES:
         if tname not in tables:
             continue
+        if only_tables is not None and tname not in only_tables \
+                and tname not in DIM_TABLES:
+            continue
         df = tables[tname]
         dest = os.path.join(out, f"{tname}.parquet")
         if tname in DIM_TABLES:
@@ -137,6 +164,15 @@ def generate(out: str, base: str, replicas: int, parts: int) -> None:
         for col, dom in KEY_DOMAINS.get(tname, {}).items():
             wide = wide.withColumn(
                 col, (F.col(col) + rep * F.lit(strides[dom])).cast("long"))
+        if tname == "documents" and dup_cap and dup_cap < replicas:
+            grp = F.expr(f"CAST(_rep DIV {dup_cap} AS INT)")
+            salted = F.regexp_replace(
+                F.col("text"), F.lit(r"(\S+)"),
+                F.concat(F.lit("$1x"), grp.cast("string"), F.lit("g")))
+            wide = (wide.withColumn(
+                        "text", F.when(grp == 0, F.col("text"))
+                        .otherwise(salted))
+                    .withColumn("n_chars", F.length("text").cast("long")))
         n_parts = parts if tname in ("lineitem", "orders", "events") else max(2, parts // 4)
         (wide.drop("_rep").repartition(n_parts)
          .write.mode("overwrite").parquet(dest))
@@ -443,6 +479,13 @@ def main() -> None:
     g.add_argument("--base", default="/root/testdata/sf0.1")
     g.add_argument("--replicas", type=int, default=10)
     g.add_argument("--parts", type=int, default=32)
+    g.add_argument("--dup-cap", type=int, default=None,
+                   help="bound documents duplicate multiplicity: split "
+                        "replicas into groups of this size with "
+                        "disjoint token vocabularies (see generate())")
+    g.add_argument("--tables", default=None,
+                   help="comma list restricting which tables to write "
+                        "(dims always written)")
     r = sub.add_parser("run")
     r.add_argument("--dirs", default=",".join(
         ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
@@ -458,7 +501,8 @@ def main() -> None:
     v.add_argument("--detail-out", default=None)
     args = ap.parse_args()
     if args.cmd == "generate":
-        generate(args.out, args.base, args.replicas, args.parts)
+        generate(args.out, args.base, args.replicas, args.parts,
+                 args.dup_cap, args.tables.split(",") if args.tables else None)
     elif args.cmd == "verify":
         verify(args.sf, args.sample, args.detail_out)
     else:

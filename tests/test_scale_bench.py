@@ -94,3 +94,59 @@ def test_generate_preserves_referential_integrity(replicated):
         f"SELECT COUNT(*) FROM {od} WHERE o_orderkey > {base_max}"
     ).fetchone()
     assert n_above == 1500  # exactly the replica-1 copy
+
+
+@pytest.fixture(scope="module")
+def bounded_docs(tmp_path_factory, spark):
+    out = str(tmp_path_factory.mktemp("scale") / "sf4x_cap2")
+    scale_bench.generate(out, SF_SMALL, replicas=4, parts=4,
+                         dup_cap=2, only_tables=["documents"])
+    return out
+
+
+def test_dup_cap_bounds_duplicate_multiplicity(bounded_docs):
+    """--dup-cap C: every distinct text's multiplicity is C x its base
+    multiplicity (bounded duplicate mass), group vocabularies are
+    disjoint, group 0 embeds the base corpus verbatim, and n_chars
+    tracks the salted text."""
+    con = duckdb.connect()
+    doc = f"read_parquet('{bounded_docs}/documents.parquet/*.parquet')"
+    base = f"read_parquet('{SF_SMALL}/documents.parquet')"
+    # volume still grows by the full replica count
+    n, = con.execute(f"SELECT COUNT(*) FROM {doc}").fetchone()
+    assert n == 4 * 500
+    # multiplicity of every text = dup_cap x its base multiplicity:
+    # the max per-text count is 2 x the base max, not 4 x
+    base_max, = con.execute(
+        f"SELECT MAX(c) FROM (SELECT COUNT(*) c FROM {base} "
+        "GROUP BY text)").fetchone()
+    cap_max, = con.execute(
+        f"SELECT MAX(c) FROM (SELECT COUNT(*) c FROM {doc} "
+        "GROUP BY text)").fetchone()
+    assert cap_max == 2 * base_max
+    # only the fact table was written (plus dims)
+    assert not os.path.exists(
+        os.path.join(bounded_docs, "lineitem.parquet"))
+    assert os.path.exists(os.path.join(bounded_docs, "nation.parquet"))
+    # group 0 (replicas 0-1) verbatim: every base text appears exactly
+    # 2 x its base multiplicity among unsalted rows
+    n_verbatim, = con.execute(
+        f"SELECT COUNT(*) FROM {doc} d JOIN {base} b"
+        " ON d.text = b.text").fetchone()
+    n_base_pairs, = con.execute(
+        f"SELECT SUM(c * c) FROM (SELECT COUNT(*) c FROM {base}"
+        " GROUP BY text)").fetchone()
+    assert n_verbatim == 2 * n_base_pairs
+    # group 1 (replicas 2-3): every token carries the x1g suffix, so
+    # vocabularies are disjoint across groups
+    n_g1_bad, = con.execute(
+        f"SELECT COUNT(*) FROM {doc} WHERE text NOT IN"
+        f" (SELECT text FROM {base}) AND len(list_filter("
+        "string_split(text, ' '), t -> t <> '' AND t NOT LIKE '%x1g'))"
+        " > 0").fetchone()
+    assert n_g1_bad == 0
+    # n_chars recomputed everywhere
+    n_chars_bad, = con.execute(
+        f"SELECT COUNT(*) FROM {doc} WHERE n_chars <> len(text)"
+    ).fetchone()
+    assert n_chars_bad == 0
