@@ -216,9 +216,12 @@ def run(dirs: list[str], names: list[str], repeat: int,
             except Exception as exc:
                 errors.setdefault(name, {})[d] = f"{type(exc).__name__}: {exc}"
                 print(f"{name} @ {d}: ERROR {type(exc).__name__}: {exc}")
-        with open(path, "w") as f:
-            json.dump({"partial_through_dir": d, "rows": rows,
-                       "times": times, "errors": errors}, f, indent=1)
+            # incremental write per (dir, query): a crash mid-directory
+            # loses at most the in-flight measurement, and a watcher can
+            # follow progress from the file
+            with open(path, "w") as f:
+                json.dump({"partial_through": [d, name], "rows": rows,
+                           "times": times, "errors": errors}, f, indent=1)
     # fitted exponent per query across the last dir pair (the largest
     # step is the least fixed-cost-contaminated) + across the full span
     report = {}
