@@ -262,7 +262,8 @@ def run(dirs: list[str], names: list[str], repeat: int,
     print(json.dumps(summary))
 
 
-def verify(sf_dir: str, n_sample: int, detail_out: str | None) -> None:
+def verify(sf_dir: str, n_sample: int, detail_out: str | None,
+           families: list[str] | None = None) -> None:
     """Engine-invariant at-scale verification for the 4 dedup-family
     queries whose DuckDB oracle hits its single-node scale wall past
     sf0.1 (dedup_editdistance / dedup_clusters / dedup_summary /
@@ -276,12 +277,19 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None) -> None:
     labeling, canonical min-id labels, histogram arithmetic, the
     one-cluster-one-split contract). Everything collected to the
     driver is bounded by ``--sample``, never by corpus size.
+
+    ``families`` restricts which query families run (default all 4) —
+    e.g. ["dedup_clusters", "dedup_summary"] for a CC-focused stress
+    where the banded-Levenshtein pipeline would dominate wall clock
+    without adding evidence (its sampled re-verify already passed at
+    the same scale in an earlier round).
     """
     from pyspark.sql import functions as F
 
     from kmr_spark.llm_ops import dedup as dd
     from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
 
+    want = (lambda q: True) if not families else (lambda q: q in families)
     spark = _spark()
     report: dict[str, dict] = {}
     failures: list[str] = []
@@ -303,161 +311,170 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None) -> None:
             prev = cur
         return prev[n]
 
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+
     # --- dedup_editdistance: seeded-sample pair re-verification -----
     # cache the emitted pairs: the pipeline behind them (length-band
     # candidate join + thresholded Levenshtein) dominates this whole
     # verify at 10x+ scales, and three checks read it
-    pairs = dd.editdistance_pairs(spark, sf_dir).cache()
-    # one fused aggregation over the (doc_a, doc_b) groups: total pair
-    # rows, distinctness (max multiplicity), and ordering violations
-    inv = (pairs.groupBy("doc_a", "doc_b")
-           .agg(F.count("*").alias("mult"))
-           .agg(F.sum("mult").alias("n_pairs"),
-                F.max("mult").alias("max_mult"),
-                F.count(F.when(F.col("doc_a") >= F.col("doc_b"), 1))
-                .alias("n_misordered"))
-           .first())
-    sample = (
-        pairs.withColumn(
-            "_h", (F.pmod(F.col("doc_a") * 1_000_003 + F.col("doc_b"),
-                          F.lit(_P_PRE))) * _A % _P_MOD)
-        .orderBy("_h", "doc_a", "doc_b").limit(n_sample))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
-    ta = docs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("text").alias("text_b"))
-    rows = sample.join(ta, "doc_a").join(tb, "doc_b").collect()
-    bad = [r for r in rows
-           if py_lev(r.text_a, r.text_b) != r.edit_distance
-           or not 0 <= r.edit_distance <= dd.MAX_EDITS]
-    check("dedup_editdistance", "sampled_pair_reverify",
-          len(rows) and not bad,
-          f"{len(rows)} sampled of {inv.n_pairs} pairs, {len(bad)} bad")
-    check("dedup_editdistance", "pairs_distinct_ordered",
-          inv.max_mult == 1 and inv.n_misordered == 0,
-          f"max multiplicity {inv.max_mult}, "
-          f"misordered {inv.n_misordered}")
-    pairs.unpersist()
+    if want("dedup_editdistance"):
+        pairs = dd.editdistance_pairs(spark, sf_dir).cache()
+        # one fused aggregation over the (doc_a, doc_b) groups: total pair
+        # rows, distinctness (max multiplicity), and ordering violations
+        inv = (pairs.groupBy("doc_a", "doc_b")
+               .agg(F.count("*").alias("mult"))
+               .agg(F.sum("mult").alias("n_pairs"),
+                    F.max("mult").alias("max_mult"),
+                    F.count(F.when(F.col("doc_a") >= F.col("doc_b"), 1))
+                    .alias("n_misordered"))
+               .first())
+        sample = (
+            pairs.withColumn(
+                "_h", (F.pmod(F.col("doc_a") * 1_000_003 + F.col("doc_b"),
+                              F.lit(_P_PRE))) * _A % _P_MOD)
+            .orderBy("_h", "doc_a", "doc_b").limit(n_sample))
+        ta = docs.select(F.col("doc_id").alias("doc_a"),
+                         F.col("text").alias("text_a"))
+        tb = docs.select(F.col("doc_id").alias("doc_b"),
+                         F.col("text").alias("text_b"))
+        rows = sample.join(ta, "doc_a").join(tb, "doc_b").collect()
+        bad = [r for r in rows
+               if py_lev(r.text_a, r.text_b) != r.edit_distance
+               or not 0 <= r.edit_distance <= dd.MAX_EDITS]
+        check("dedup_editdistance", "sampled_pair_reverify",
+              len(rows) and not bad,
+              f"{len(rows)} sampled of {inv.n_pairs} pairs, {len(bad)} bad")
+        check("dedup_editdistance", "pairs_distinct_ordered",
+              inv.max_mult == 1 and inv.n_misordered == 0,
+              f"max multiplicity {inv.max_mult}, "
+              f"misordered {inv.n_misordered}")
+        pairs.unpersist()
+
+    # shared intermediates for the three cluster-derived families
+    if any(want(q) for q in ("dedup_clusters", "dedup_summary",
+                             "train_split_leakage_safe")):
+        clusters = dd.duplicate_clusters(spark, sf_dir).cache()
+        edges = dd.simhash_pairs(spark, sf_dir, sort=False) \
+            .select("doc_a", "doc_b").cache()
+        lbl = clusters.select(F.col("doc_id").alias("n"),
+                              F.col("cluster_id").alias("l"))
+        canon = (clusters.groupBy("cluster_id")
+                 .agg(F.min("doc_id").alias("mn"),
+                      F.count("*").alias("sz"),
+                      F.count(F.when(F.col("is_keeper"), 1)).alias("nk"))
+                 .cache())
 
     # --- dedup_clusters: labeling invariants + sampled connectivity -
-    clusters = dd.duplicate_clusters(spark, sf_dir).cache()
-    edges = dd.simhash_pairs(spark, sf_dir, sort=False) \
-        .select("doc_a", "doc_b").cache()
-    lbl = clusters.select(F.col("doc_id").alias("n"),
-                          F.col("cluster_id").alias("l"))
-    split_edges = (
-        edges.join(lbl.withColumnRenamed("n", "doc_a")
-                   .withColumnRenamed("l", "l_a"), "doc_a")
-        .join(lbl.withColumnRenamed("n", "doc_b")
-              .withColumnRenamed("l", "l_b"), "doc_b")
-        .filter("l_a <> l_b").count())
-    check("dedup_clusters", "edge_consistency", split_edges == 0,
-          f"{split_edges} edges straddle two clusters")
-    canon = (clusters.groupBy("cluster_id")
-             .agg(F.min("doc_id").alias("mn"),
-                  F.count("*").alias("sz"),
-                  F.count(F.when(F.col("is_keeper"), 1)).alias("nk"))
-             .cache())
-    n_noncanon = canon.filter("mn <> cluster_id").count()
-    n_badkeeper = canon.filter("nk <> 1").count()
-    size_bad = (clusters.groupBy("cluster_id", "cluster_size")
-                .agg(F.count("*").alias("actual"))
-                .filter("actual <> cluster_size").count())
-    check("dedup_clusters", "canonical_min_label_one_keeper",
-          n_noncanon == 0 and n_badkeeper == 0 and size_bad == 0,
-          f"noncanon {n_noncanon}, badkeeper {n_badkeeper}, "
-          f"size-mismatch {size_bad}")
-    # sampled connectivity: a merged-but-disconnected label would pass
-    # edge consistency; BFS each sampled cluster's edge set to prove
-    # its members really are one component
-    n_cl_sample = max(20, n_sample // 20)
-    # cap member count per sampled cluster so the driver-side edge
-    # collect stays bounded on replicated corpora (replica-dup
-    # components grow with the replica count; their within-cluster
-    # edge sets grow quadratically)
-    size_cap = max(1000, n_sample)
-    sampled_ids = [r.cluster_id for r in
-                   canon.filter(f"sz >= 2 AND sz <= {size_cap}")
-                   .withColumn("_h", F.pmod(F.col("cluster_id"),
-                                            F.lit(_P_PRE)) * _A % _P_MOD)
-                   .orderBy("_h", "cluster_id")
-                   .limit(n_cl_sample).collect()]
-    mem_rows = (clusters.filter(F.col("cluster_id").isin(sampled_ids))
-                .select("cluster_id", "doc_id").collect())
-    members: dict = {}
-    for r in mem_rows:
-        members.setdefault(r.cluster_id, set()).add(r.doc_id)
-    e_rows = (edges.join(lbl.withColumnRenamed("n", "doc_a")
-                         .withColumnRenamed("l", "l_a"), "doc_a")
-              .filter(F.col("l_a").isin(sampled_ids))
-              .select("l_a", "doc_a", "doc_b").collect())
-    adj: dict = {}
-    for r in e_rows:
-        adj.setdefault(r.doc_a, set()).add(r.doc_b)
-        adj.setdefault(r.doc_b, set()).add(r.doc_a)
-    n_disconnected = 0
-    for cid, mem in members.items():
-        seen, todo = {cid}, [cid]
-        while todo:
-            u = todo.pop()
-            for v in adj.get(u, ()):
-                if v in mem and v not in seen:
-                    seen.add(v)
-                    todo.append(v)
-        if seen != mem:
-            n_disconnected += 1
-    check("dedup_clusters", "sampled_connectivity",
-          members and n_disconnected == 0,
-          f"{len(members)} clusters BFS-checked "
-          f"({sum(len(m) for m in members.values())} docs, "
-          f"{len(e_rows)} edges), {n_disconnected} disconnected")
+    if want("dedup_clusters"):
+        split_edges = (
+            edges.join(lbl.withColumnRenamed("n", "doc_a")
+                       .withColumnRenamed("l", "l_a"), "doc_a")
+            .join(lbl.withColumnRenamed("n", "doc_b")
+                  .withColumnRenamed("l", "l_b"), "doc_b")
+            .filter("l_a <> l_b").count())
+        check("dedup_clusters", "edge_consistency", split_edges == 0,
+              f"{split_edges} edges straddle two clusters")
+        n_noncanon = canon.filter("mn <> cluster_id").count()
+        n_badkeeper = canon.filter("nk <> 1").count()
+        size_bad = (clusters.groupBy("cluster_id", "cluster_size")
+                    .agg(F.count("*").alias("actual"))
+                    .filter("actual <> cluster_size").count())
+        check("dedup_clusters", "canonical_min_label_one_keeper",
+              n_noncanon == 0 and n_badkeeper == 0 and size_bad == 0,
+              f"noncanon {n_noncanon}, badkeeper {n_badkeeper}, "
+              f"size-mismatch {size_bad}")
+        # sampled connectivity: a merged-but-disconnected label would
+        # pass edge consistency; BFS each sampled cluster's edge set to
+        # prove its members really are one component
+        n_cl_sample = max(20, n_sample // 20)
+        # cap member count per sampled cluster so the driver-side edge
+        # collect stays bounded on replicated corpora (replica-dup
+        # components grow with the replica count; their within-cluster
+        # edge sets grow quadratically)
+        size_cap = max(1000, n_sample)
+        sampled_ids = [r.cluster_id for r in
+                       canon.filter(f"sz >= 2 AND sz <= {size_cap}")
+                       .withColumn("_h", F.pmod(F.col("cluster_id"),
+                                                F.lit(_P_PRE)) * _A % _P_MOD)
+                       .orderBy("_h", "cluster_id")
+                       .limit(n_cl_sample).collect()]
+        mem_rows = (clusters.filter(F.col("cluster_id").isin(sampled_ids))
+                    .select("cluster_id", "doc_id").collect())
+        members: dict = {}
+        for r in mem_rows:
+            members.setdefault(r.cluster_id, set()).add(r.doc_id)
+        e_rows = (edges.join(lbl.withColumnRenamed("n", "doc_a")
+                             .withColumnRenamed("l", "l_a"), "doc_a")
+                  .filter(F.col("l_a").isin(sampled_ids))
+                  .select("l_a", "doc_a", "doc_b").collect())
+        adj: dict = {}
+        for r in e_rows:
+            adj.setdefault(r.doc_a, set()).add(r.doc_b)
+            adj.setdefault(r.doc_b, set()).add(r.doc_a)
+        n_disconnected = 0
+        for cid, mem in members.items():
+            seen, todo = {cid}, [cid]
+            while todo:
+                u = todo.pop()
+                for v in adj.get(u, ()):
+                    if v in mem and v not in seen:
+                        seen.add(v)
+                        todo.append(v)
+            if seen != mem:
+                n_disconnected += 1
+        check("dedup_clusters", "sampled_connectivity",
+              members and n_disconnected == 0,
+              f"{len(members)} clusters BFS-checked "
+              f"({sum(len(m) for m in members.values())} docs, "
+              f"{len(e_rows)} edges), {n_disconnected} disconnected")
 
     # --- dedup_summary: histogram arithmetic vs the cluster labels --
-    summary = dd.dedup_summary(spark, sf_dir).collect()
-    recount = {r.cluster_size: r.n
-               for r in canon.groupBy(F.col("sz").alias("cluster_size"))
-               .agg(F.count("*").alias("n")).collect()}
-    hist_bad = [r.cluster_size for r in summary
-                if recount.get(r.cluster_size) != r.n_clusters
-                or r.n_docs != r.cluster_size * r.n_clusters
-                or r.n_dropped_keeper_only
-                != (r.cluster_size - 1) * r.n_clusters]
-    n_clustered = clusters.count()
-    docs_sum = sum(r.n_docs for r in summary)
-    check("dedup_summary", "histogram_consistent",
-          not hist_bad and docs_sum == n_clustered
-          and set(recount) == {r.cluster_size for r in summary},
-          f"bad sizes {hist_bad}, docs {docs_sum} vs {n_clustered}")
+    if want("dedup_summary"):
+        summary = dd.dedup_summary(spark, sf_dir).collect()
+        recount = {r.cluster_size: r.n
+                   for r in canon.groupBy(F.col("sz").alias("cluster_size"))
+                   .agg(F.count("*").alias("n")).collect()}
+        hist_bad = [r.cluster_size for r in summary
+                    if recount.get(r.cluster_size) != r.n_clusters
+                    or r.n_docs != r.cluster_size * r.n_clusters
+                    or r.n_dropped_keeper_only
+                    != (r.cluster_size - 1) * r.n_clusters]
+        n_clustered = clusters.count()
+        docs_sum = sum(r.n_docs for r in summary)
+        check("dedup_summary", "histogram_consistent",
+              not hist_bad and docs_sum == n_clustered
+              and set(recount) == {r.cluster_size for r in summary},
+              f"bad sizes {hist_bad}, docs {docs_sum} vs {n_clustered}")
 
     # --- train_split_leakage_safe: grouping + hash arithmetic -------
-    split = dd.train_split_leakage_safe(spark, sf_dir).cache()
-    n_docs_tbl = docs.count()
-    n_split = split.count()
-    n_dist = split.select("doc_id").distinct().count()
-    key_bad = (split.join(lbl.withColumnRenamed("n", "doc_id"),
-                          "doc_id", "left")
-               .filter(F.col("group_key")
-                       != F.coalesce("l", "doc_id")).count())
-    straddle = (split.groupBy("group_key")
-                .agg(F.countDistinct("split").alias("ns"))
-                .filter("ns > 1").count())
-    srows = (split.withColumn("_h", F.pmod(F.col("doc_id"),
-                                           F.lit(_P_PRE)) * _A % _P_MOD)
-             .orderBy("_h", "doc_id").limit(n_sample).collect())
-    thresh = int(dd.TRAIN_RATE * _P_MOD)
-    hash_bad = sum(
-        1 for r in srows
-        if (("train" if ((r.group_key % _P_PRE + _P_PRE) % _P_PRE
-                         + dd.SPLIT_SALT) * _A % _P_MOD < thresh
-             else "val") != r.split))
-    check("train_split_leakage_safe", "split_invariants",
-          n_split == n_docs_tbl == n_dist and key_bad == 0
-          and straddle == 0 and hash_bad == 0,
-          f"rows {n_split}/{n_docs_tbl}, key_bad {key_bad}, "
-          f"straddling groups {straddle}, "
-          f"hash re-derive bad {hash_bad}/{len(srows)}")
+    if want("train_split_leakage_safe"):
+        split = dd.train_split_leakage_safe(spark, sf_dir).cache()
+        n_docs_tbl = docs.count()
+        n_split = split.count()
+        n_dist = split.select("doc_id").distinct().count()
+        key_bad = (split.join(lbl.withColumnRenamed("n", "doc_id"),
+                              "doc_id", "left")
+                   .filter(F.col("group_key")
+                           != F.coalesce("l", "doc_id")).count())
+        straddle = (split.groupBy("group_key")
+                    .agg(F.countDistinct("split").alias("ns"))
+                    .filter("ns > 1").count())
+        srows = (split.withColumn("_h", F.pmod(F.col("doc_id"),
+                                               F.lit(_P_PRE)) * _A % _P_MOD)
+                 .orderBy("_h", "doc_id").limit(n_sample).collect())
+        thresh = int(dd.TRAIN_RATE * _P_MOD)
+        hash_bad = sum(
+            1 for r in srows
+            if (("train" if ((r.group_key % _P_PRE + _P_PRE) % _P_PRE
+                             + dd.SPLIT_SALT) * _A % _P_MOD < thresh
+                 else "val") != r.split))
+        check("train_split_leakage_safe", "split_invariants",
+              n_split == n_docs_tbl == n_dist and key_bad == 0
+              and straddle == 0 and hash_bad == 0,
+              f"rows {n_split}/{n_docs_tbl}, key_bad {key_bad}, "
+              f"straddling groups {straddle}, "
+              f"hash re-derive bad {hash_bad}/{len(srows)}")
 
     summary_line = {
         "metric": "kmr_spark dedup-family at-scale engine verify",
@@ -502,12 +519,16 @@ def main() -> None:
     v.add_argument("--sf", default="/tmp/kmr_scale/sf1")
     v.add_argument("--sample", type=int, default=1000)
     v.add_argument("--detail-out", default=None)
+    v.add_argument("--families", default=None,
+                   help="comma list of query families to verify "
+                        "(default: all 4)")
     args = ap.parse_args()
     if args.cmd == "generate":
         generate(args.out, args.base, args.replicas, args.parts,
                  args.dup_cap, args.tables.split(",") if args.tables else None)
     elif args.cmd == "verify":
-        verify(args.sf, args.sample, args.detail_out)
+        verify(args.sf, args.sample, args.detail_out,
+               args.families.split(",") if args.families else None)
     else:
         run(args.dirs.split(","), args.queries.split(","), args.repeat,
             args.detail_out)
