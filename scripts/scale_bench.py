@@ -184,6 +184,8 @@ def run(dirs: list[str], names: list[str], repeat: int,
     import __spark_entry__ as entry
     from kmr_spark.session import parquet_num_rows
 
+    import bench  # repo root is on sys.path — ambient-load recording
+
     spark = _spark()
     queries = entry.queries()
     names = [n for n in names if n in queries]
@@ -193,6 +195,7 @@ def run(dirs: list[str], names: list[str], repeat: int,
     print(json.dumps({"rows": rows}))
     path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_detail.json")
+    load_start = bench._load_sample()
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     errors: dict[str, dict[str, str]] = {}
     for d in dirs:
@@ -254,7 +257,12 @@ def run(dirs: list[str], names: list[str], repeat: int,
     }
     if errors:
         summary["n_errors"] = sum(len(v) for v in errors.values())
-    out = {"summary": summary, "rows": rows, "report": report}
+    out = {"summary": summary, "rows": rows, "report": report,
+           # same ambient-load evidence bench.py records (loadavg,
+           # machine-busy fraction, self-vs-other CPU): at-scale alpha
+           # claims are timing claims too
+           "machine": bench.machine_load_report(load_start,
+                                                bench._load_sample())}
     if errors:
         out["errors"] = errors
     with open(path, "w") as f:

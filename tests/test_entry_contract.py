@@ -61,31 +61,25 @@ def test_no_duplicate_names_across_modules():
 
 def test_driver_gate_rotation_invariants():
     """The driver checks exactly the FIRST 50 registry entries; these
-    invariants make the round-8 gate deterministic:
-    - the 8-name backlog window (_R8_WINDOW) iterates first, closing
-      the ledger at 301/301 driver-green once CORRECTNESS_r08 lands,
-    - any post-freeze additions (VERDICT r7 ask #3 caps them to the
-      streaming-watermark extension) iterate right after the pinned 8
-      so they get a driver row in the same round,
-    - every non-driver-checked query fits inside the 50-entry window."""
+    invariants make the round-9 gate deterministic:
+    - the ledger is closed (every registered query is in
+      _DRIVER_CHECKED), so any never-checked query — none exist while
+      the registry stays frozen — would iterate first as a safety net,
+    - the pinned re-green window (_R9_WINDOW, the 50 longest-unchecked
+      rows) fills the driver's 50-entry check exactly,
+    - a sanctioned post-freeze addition would shrink the re-green
+      window from the back rather than overflow the 50."""
     qs = entry.queries()
     names = list(qs)
     assert len(names) >= 301, f"registry must not shrink below 301, got {len(names)}"
-    assert len(entry._R8_WINDOW) == 8
-    assert tuple(names[:8]) == entry._R8_WINDOW
-    assert not set(entry._R8_WINDOW) & entry._DRIVER_CHECKED
-    unchecked = [n for n in names
-                 if n not in entry._DRIVER_CHECKED
-                 and n not in set(entry._R8_WINDOW)]
-    # post-freeze additions sit immediately after the pinned 8, then
-    # the changed-plan re-checks
-    assert names[8:8 + len(unchecked)] == unchecked
-    n_front = 8 + len(unchecked) + len(entry._R8_RECHECK)
-    assert names[8 + len(unchecked):n_front] == list(entry._R8_RECHECK)
-    assert set(entry._R8_RECHECK) <= entry._DRIVER_CHECKED
-    # everything without a driver row must fit in the 50-entry check
-    assert n_front <= 50, f"window overflow: {n_front} pinned-front > 50"
-    assert len(entry._DRIVER_CHECKED) + 8 + len(unchecked) == len(names)
+    # ledger closed: no registered query lacks a driver row
+    unchecked = [n for n in names if n not in entry._DRIVER_CHECKED]
+    assert not unchecked, f"never-driver-checked queries exist: {unchecked}"
+    assert len(entry._R9_WINDOW) == 50
+    assert len(set(entry._R9_WINDOW)) == 50
+    assert set(entry._R9_WINDOW) <= entry._DRIVER_CHECKED
+    assert tuple(names[:50]) == entry._R9_WINDOW
+    assert len(entry._DRIVER_CHECKED) == len(names)
 
 
 def test_bench_covers_full_registry():
