@@ -448,6 +448,12 @@ HEAVY_QUERIES = [
     # (32 real micro-batches); repeat-sampled so its wide cold/warm
     # spread can't masquerade as a regression
     "events_drop_audit_streamed",
+    # round-9 quiet-machine baseline put these two in the top-8 absolute
+    # costs (7.5 s / 5.1 s) but they had no repeat samples — iterative
+    # BFS and the stream-stream outer join both pay multi-job stage
+    # latency with wide cold/warm spread
+    "graph_bfs",
+    "events_attribution_outer_streamed",
 ]
 
 
