@@ -370,6 +370,12 @@ _DRIVER_CHECKED = frozenset({
 # that is at most 3 rounds old (VERDICT r8 ask #3).  All 50 pass
 # `scripts/check_queries.py --exact` at sf0.01 today; the r8 judge's
 # independent sample (tpch_q9, tpch_q21) confirmed MATCH.
+#
+# Continuity: once CORRECTNESS_r09 lands green, the next-oldest block
+# is the round-3 window (the ~48 names under the "round-3 window"
+# comment in _DRIVER_CHECKED above) — pin that as _R10_WINDOW next
+# round, and keep advancing one historical block per round so the
+# whole ledger cycles through fresh driver rows every ~6 rounds.
 _R9_WINDOW = (
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
