@@ -395,18 +395,35 @@ _R9_WINDOW = (
 )
 
 
+# Driver-green queries whose PLAN changed this round, so their stale
+# driver row is not enough — they re-enter the window ahead of the
+# re-green block for a fresh row against the (unchanged) oracles:
+# dedup_minhash_lsh gained the exact-collapse stage (one rep per
+# verbatim text group through signatures/LSH, output expanded back —
+# bit-exact MATCH re-verified at sf0.001/sf0.01/sf1), and
+# corpus_clean_keepers composes it.
+_R9_RECHECK = ("dedup_minhash_lsh", "corpus_clean_keepers")
+
+
 def _rotate_for_driver_window(queries):
     """Order registry entries so the driver's 50-entry check hits the
     names that need a row most: any never-driver-checked query first
     (none exist while the registry stays frozen — this is a safety net
-    for sanctioned additions), then the pinned round-9 re-green window
-    (the 50 oldest rows), then the rest in reverse registration order."""
+    for sanctioned additions), then changed-this-round re-checks, then
+    the pinned round-9 re-green window (the 50 oldest rows — its tail
+    slides past the 50-entry check to make room for the re-checks and
+    re-greens next round), then the rest in reverse registration
+    order."""
     fresh = [n for n in queries if n not in _DRIVER_CHECKED]
-    pinned = [n for n in _R9_WINDOW if n in queries and n not in set(fresh)]
-    in_front = set(fresh) | set(pinned)
+    recheck = [n for n in _R9_RECHECK
+               if n in queries and n not in set(fresh)]
+    front = fresh + recheck
+    pinned = [n for n in _R9_WINDOW
+              if n in queries and n not in set(front)]
+    in_front = set(front) | set(pinned)
     stale = [n for n in reversed(list(queries))
              if n in _DRIVER_CHECKED and n not in in_front]
-    return {n: queries[n] for n in fresh + pinned + stale}
+    return {n: queries[n] for n in front + pinned + stale}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -78,7 +78,14 @@ def test_driver_gate_rotation_invariants():
     assert len(entry._R9_WINDOW) == 50
     assert len(set(entry._R9_WINDOW)) == 50
     assert set(entry._R9_WINDOW) <= entry._DRIVER_CHECKED
-    assert tuple(names[:50]) == entry._R9_WINDOW
+    # changed-plan re-checks iterate first; the re-green window fills
+    # the rest of the driver's 50-entry check (tail slides to next round)
+    rc = [n for n in entry._R9_RECHECK if n in qs]
+    assert set(rc) <= entry._DRIVER_CHECKED
+    assert not set(rc) & set(entry._R9_WINDOW)
+    assert names[:len(rc)] == rc
+    n_fill = 50 - len(rc)
+    assert tuple(names[len(rc):50]) == entry._R9_WINDOW[:n_fill]
     assert len(entry._DRIVER_CHECKED) == len(names)
 
 
