@@ -359,50 +359,57 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-# The ROUND-9 gate window: the 50 LONGEST-UNCHECKED driver greens — the
-# original r1/r2 first-50 window (TPC-H q1-q22, wordcount, graysort,
-# the early events family, the iterative/linalg examples, and the
-# sampling trio).  The ledger closed at 304/304 in round 8, so there
-# are no never-checked queries left; what remains is staleness: these
-# 50 have had no fresh driver row in ~7 rounds while shared helpers
-# (session cache, table loaders, date codecs) kept evolving under
-# them.  Pinning them first gives every registry entry a driver row
-# that is at most 3 rounds old (VERDICT r8 ask #3).  All 50 pass
-# `scripts/check_queries.py --exact` at sf0.01 today; the r8 judge's
-# independent sample (tpch_q9, tpch_q21) confirmed MATCH.
+# The ROUND-10 gate window: the 50 LONGEST-UNCHECKED driver greens,
+# re-derived from all nine CORRECTNESS_r0{1..9}.json files (latest
+# round each name appeared in): the 2 remaining r2 rows that slid past
+# the r9 check (sample_docs_holdout, sample_k_per_user — they lead the
+# window this round, closing the slide the _R9_WINDOW comment missed),
+# the 39 r3 rows, and the 9 alphabetically-first r4 rows (all 38 r4
+# rows tie on age; alphabetical tie-break keeps the selection
+# deterministic and auditable).  This block is exactly the
+# dedup/similarity family whose shared module (llm_ops/dedup.py) round
+# 9 rewrote — the highest-value staleness to clear (VERDICT r9 ask
+# #1).  All 50 pass `scripts/check_queries.py --exact` at sf0.01 on
+# round-10 code.
 #
-# Continuity: once CORRECTNESS_r09 lands green, the next-oldest block
-# is the round-3 window (the ~48 names under the "round-3 window"
-# comment in _DRIVER_CHECKED above) — pin that as _R10_WINDOW next
-# round, and keep advancing one historical block per round so the
-# whole ledger cycles through fresh driver rows every ~6 rounds.
-_R9_WINDOW = (
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "wordcount_topk", "graysort_rank",
-    "events_type_stats", "events_running_sum", "events_topn_per_user",
-    "events_sessionize", "events_tumbling_window", "set_ops_customers",
-    "events_asof_view", "events_tumbling_streamed", "events_value_histogram",
-    "events_exact_percentiles", "events_sliding_window",
-    "nation_balance_full_outer", "events_pivot_by_type", "revenue_rollup",
-    "events_sessionize_streamed", "events_cube_type_day",
-    "events_campaign_windows", "events_dedup_streamed",
-    "events_attribution_streamed",
-    "iter_pagerank", "iter_kmeans", "linalg_matmul", "gen_rmat",
-    "sample_events_stratified", "sample_docs_holdout", "sample_k_per_user",
+# Continuity: once CORRECTNESS_r10 lands green, the next-oldest block
+# is the remaining 29 r4 rows + 21 oldest r5 rows — re-derive from the
+# CORRECTNESS files as above and pin that as _R11_WINDOW, advancing
+# one ~50-row block per round so the whole ledger cycles through
+# fresh driver rows every ~6 rounds.
+_R10_WINDOW = (
+    # r2 tail (slid past the r9 50-entry check behind the 2 re-checks)
+    "sample_docs_holdout", "sample_k_per_user",
+    # the 39 r3 rows
+    "dedup_clusters", "dedup_editdistance", "dedup_embedding",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_chunks", "emb_dim_stats", "events_anomaly_zscore",
+    "events_attribution_outer_streamed", "events_conversion_lag",
+    "events_dwell_time", "events_enriched_streamed", "events_funnel",
+    "events_hll_hourly", "events_hll_users", "events_incremental_merge",
+    "events_resample_1h", "events_retention_cohorts",
+    "events_sketch_quantiles", "events_state_streamed",
+    "events_value_rank", "events_zorder_layout", "graph_bfs",
+    "graph_triangles", "multimodal_audio", "multimodal_decode",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "orders_rfm_segments", "pack_sequences", "part_cooccurrence",
+    "profile_lineitem", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
+    "sim_knn_bruteforce", "sim_knn_quantized", "validate_events",
+    # the 9 alphabetically-first r4 rows
+    "dedup_containment", "dedup_incremental", "dedup_summary",
+    "emb_knn_classify", "emb_power_iteration", "events_ab_test",
+    "events_ab_test_sequential", "events_concurrent_sessions",
+    "events_cusum_drift",
 )
 
 
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
-# re-green block for a fresh row against the (unchanged) oracles:
-# dedup_minhash_lsh gained the exact-collapse stage (one rep per
-# verbatim text group through signatures/LSH, output expanded back —
-# bit-exact MATCH re-verified at sf0.001/sf0.01/sf1), and
-# corpus_clean_keepers composes it.
-_R9_RECHECK = ("dedup_minhash_lsh", "corpus_clean_keepers")
+# re-green block for a fresh row against the (unchanged) oracles.
+# Round 10 changed no query plans (cadence + evidence round), so this
+# is empty and the pinned window fits the 50-entry check exactly —
+# nothing slides to round 11.
+_R10_RECHECK: tuple[str, ...] = ()
 
 
 def _rotate_for_driver_window(queries):
@@ -410,15 +417,16 @@ def _rotate_for_driver_window(queries):
     names that need a row most: any never-driver-checked query first
     (none exist while the registry stays frozen — this is a safety net
     for sanctioned additions), then changed-this-round re-checks, then
-    the pinned round-9 re-green window (the 50 oldest rows — its tail
-    slides past the 50-entry check to make room for the re-checks and
-    re-greens next round), then the rest in reverse registration
-    order."""
+    the pinned round-10 re-green window (the 50 oldest rows; with an
+    empty re-check list the window fits the 50-entry check exactly —
+    any re-check added mid-round slides the window tail to round 11,
+    so order slid names into the next window's head), then the rest
+    in reverse registration order."""
     fresh = [n for n in queries if n not in _DRIVER_CHECKED]
-    recheck = [n for n in _R9_RECHECK
+    recheck = [n for n in _R10_RECHECK
                if n in queries and n not in set(fresh)]
     front = fresh + recheck
-    pinned = [n for n in _R9_WINDOW
+    pinned = [n for n in _R10_WINDOW
               if n in queries and n not in set(front)]
     in_front = set(front) | set(pinned)
     stale = [n for n in reversed(list(queries))

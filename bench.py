@@ -34,10 +34,17 @@ def _proc_stat_cpu() -> tuple[int, int]:
 
 
 def _self_tree_cpu_sec() -> float:
-    """CPU seconds (utime+stime) of this process and every live
-    descendant — the local-mode JVM is a child of this python, so this
-    captures the engine's own CPU, letting the ambient share be
-    computed as machine_busy - self."""
+    """CPU seconds of this process and every live descendant — the
+    local-mode JVM is a child of this python, so this captures the
+    engine's own CPU, letting the ambient share be computed as
+    machine_busy - self.  Each tree member contributes
+    utime+stime+cutime+cstime: the c-fields hold the time of its
+    already-REAPED children, so a PySpark Python worker that exits
+    between the start and end samples stays attributed to self (its
+    lifetime CPU folds into the JVM's cutime/cstime at reap) instead
+    of leaking into other_busy_frac — the exact ambient-load signal
+    this block exists to adjudicate.  No double count: cutime only
+    covers dead children, live ones are counted via their own row."""
     tck = os.sysconf("SC_CLK_TCK")
     procs: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_sec)
     for ent in os.listdir("/proc"):
@@ -47,8 +54,11 @@ def _self_tree_cpu_sec() -> float:
             with open(f"/proc/{ent}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
             # fields after comm: state ppid ... utime(11) stime(12)
-            procs[int(ent)] = (int(parts[1]),
-                               (int(parts[11]) + int(parts[12])) / tck)
+            # cutime(13) cstime(14)
+            procs[int(ent)] = (
+                int(parts[1]),
+                (int(parts[11]) + int(parts[12])
+                 + int(parts[13]) + int(parts[14])) / tck)
         except (OSError, IndexError, ValueError):
             continue  # pid exited mid-scan
     me = os.getpid()
@@ -424,15 +434,32 @@ BENCH_QUERIES = [
     "events_drop_audit_streamed",
 ]
 
-# The ~10 heaviest registry queries by recent rounds' bench_detail
-# (union of the builder r6 list and the driver/judge re-bench).  These
-# are iterative / pair-graph plans whose single-sample wall clock
-# swings 1.5-2x between rounds at toy sf, so bench prints them as a
-# dedicated repeated-run block FIRST (VERDICT r6 ask #6):
-# SPARK_GRAFT_BENCH_REPEAT=N (default 3) samples each N times and
-# reports min/mean/spread, making round-over-round heavy-tail
-# comparisons independent of single samples.  Membership is
-# append-only like BENCH_QUERIES; the main timed loop is unchanged.
+# Repeated-run block membership has two sources:
+#  1. HEAVY_QUERIES below — the hand-picked heaviest registry queries
+#     by recent rounds' bench_detail (union of the builder r6 list and
+#     the driver/judge re-bench): iterative / pair-graph plans whose
+#     single-sample wall clock swings 1.5-2x between rounds at toy sf.
+#     Append-only like BENCH_QUERIES.
+#  2. SPREAD-DRIVEN members (VERDICT r9 ask #2): bench_detail.json
+#     carries a rolling per-query max cross-run ratio ("spread_ratio",
+#     max(prior_rolling, max(this_run, prior)/min(this_run, prior)));
+#     every query whose rolling ratio exceeds _SPREAD_REPEAT_THRESHOLD
+#     joins the repeated block automatically.  Hand-picking by absolute
+#     cost missed where the noise actually lives — the r9 driver run
+#     spiked lineitem_zonemap_prune 16.5s vs 4.3s quiet,
+#     events_gate_streamed 8.3 vs 3.6, graph_components 8.9 vs 3.7,
+#     events_hll_streamed 4.3 vs 2.0, none of them in the hand list —
+#     so membership now follows observed round-over-round spread and
+#     the artifact self-adjudicates: a single-shot spike always comes
+#     with min-of-N repeat samples for the same query in the same file,
+#     and the query stays in the block for every later round (rolling
+#     max never decays; ambient-load spikes are a recurring property of
+#     the shared machine, not one-off events).
+# Both feed the same repeated-run block printed AFTER the main loop
+# ($SPARK_GRAFT_BENCH_REPEAT samples, min/mean/spread); the headline
+# single-sample loop is unchanged.
+_SPREAD_REPEAT_THRESHOLD = 2.0
+
 HEAVY_QUERIES = [
     "iter_pagerank",
     "dedup_clusters",
@@ -506,20 +533,31 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     prior: dict[str, float] = {}
+    prior_spread: dict[str, float] = {}
     try:
         with open(detail_path) as f:
             prev = json.load(f)
         if prev.get("sf") == sf:
             prior = prev.get("queries", {})
+            prior_spread = prev.get("spread_ratio", {})
     except (OSError, ValueError):
         pass
 
     load_start = _load_sample()
     timings: dict[str, float] = {}
     resampled: list[str] = []
+    spread_ratio: dict[str, float] = dict(prior_spread)
     for name in bench_names:
         t = run_once(name)
         p = prior.get(name)
+        if p:
+            # rolling max of the symmetric cross-run ratio, taken on
+            # the FIRST sample (before the noise-guard min) so the
+            # spike itself is what gets recorded — this drives the
+            # repeated-block membership below
+            ratio = max(t, p) / min(t, p)
+            spread_ratio[name] = round(
+                max(prior_spread.get(name, 1.0), ratio), 2)
         if p and t > 1.3 * p:
             resampled.append(name)
             t = min(t, run_once(name))
@@ -534,8 +572,13 @@ def main() -> None:
     # that stays the single-sample append-only loop.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     heavy: dict[str, dict] = {}
+    # spread-driven members: every query whose rolling cross-run ratio
+    # exceeds the threshold, beyond the hand-picked heavy list
+    heavy_dynamic = sorted(
+        n for n, r in spread_ratio.items()
+        if r > _SPREAD_REPEAT_THRESHOLD and n not in set(HEAVY_QUERIES))
     if repeat > 1:
-        for name in HEAVY_QUERIES:
+        for name in HEAVY_QUERIES + heavy_dynamic:
             if name not in queries or name not in set(bench_names):
                 continue
             times = [run_once(name) for _ in range(repeat)]
@@ -549,6 +592,7 @@ def main() -> None:
             "metric": "kmr_spark heavy-tail repeated wall clock",
             "repeat": repeat,
             "sf": sf,
+            "spread_driven": heavy_dynamic,
             "queries": heavy,
         }))
 
@@ -571,8 +615,15 @@ def main() -> None:
         # which headline entries are min-of-2 (fresh sample was >1.3x
         # the prior round's time, re-sampled under the noise guard)
         detail["resampled_vs_prior"] = resampled
+    if spread_ratio:
+        # rolling per-query max cross-run ratio — the repeated-block
+        # membership signal (see _SPREAD_REPEAT_THRESHOLD above);
+        # carried forward run-over-run so membership never regresses
+        detail["spread_ratio"] = spread_ratio
     if heavy:
-        detail["heavy_repeat"] = {"repeat": repeat, "queries": heavy}
+        detail["heavy_repeat"] = {"repeat": repeat,
+                                  "spread_driven": heavy_dynamic,
+                                  "queries": heavy}
     print(json.dumps(detail))
     try:
         # a SPARK_GRAFT_BENCH_ONLY-capped run must not clobber the

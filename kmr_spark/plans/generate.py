@@ -39,10 +39,23 @@ def _bits(level: int):
 
 def rmat_raw_edges(spark: SparkSession) -> DataFrame:
     """The raw (src, dst) edge stream, one row per generated edge —
-    shared by the multigraph query and the graph-analytics plans."""
-    ids = spark.range(N_EDGES)
-    src = sum((_bits(l)[0] for l in range(LEVELS)), F.lit(0))
-    dst = sum((_bits(l)[1] for l in range(LEVELS)), F.lit(0))
+    shared by the multigraph query and the graph-analytics plans.
+
+    Size is pinned at (N_EDGES, LEVELS) for the driver/oracle contract
+    (RMAT_RAW_SQL bakes the same constants in, so Spark and DuckDB
+    always generate the identical graph under a vanilla environment).
+    The KMR_RMAT_EDGES / KMR_RMAT_LEVELS env vars override the size at
+    CALL time for the scale-law harness only (scripts/scale_bench.py
+    graph subcommand: Graph500-style weak scaling, nodes growing with
+    edges) — never set them in a driver/oracle run, the oracle stays
+    at the pinned size."""
+    import os
+
+    n_edges = int(os.environ.get("KMR_RMAT_EDGES", N_EDGES))
+    levels = int(os.environ.get("KMR_RMAT_LEVELS", LEVELS))
+    ids = spark.range(n_edges)
+    src = sum((_bits(l)[0] for l in range(levels)), F.lit(0))
+    dst = sum((_bits(l)[1] for l in range(levels)), F.lit(0))
     return ids.select(src.alias("src"), dst.alias("dst"))
 
 

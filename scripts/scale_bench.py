@@ -65,6 +65,12 @@ KEY_DOMAINS = {
 #: copied verbatim (fixed-size dimensions, like real-world dims)
 DIM_TABLES = ("region", "nation")
 
+#: dup-cap salt marker appended around the group id on every token of
+#: salted document replicas ("hello" -> "hello§3§" in group 3).
+#: U+00A7 survives space-split tokenization and never occurs in the
+#: synthetic base vocabulary (asserted at generate time).
+_SALT_MARKER = "§"
+
 #: default query list for scale runs: one representative per operator
 #: family whose input actually grows (brute-force kNN is excluded on
 #: purpose — it is the documented O(n^2) baseline; sim_ann_ivf is the
@@ -113,16 +119,28 @@ def generate(out: str, base: str, replicas: int, parts: int,
     single-node OOM adjudicated in SCALE.md round 8).  With dup_cap=C,
     replicas are split into K/C groups of C; each group's texts get a
     per-group suffix appended to EVERY token ("hello world" ->
-    "hellox3g worldx3g" in group 3).  Token hashes are per-token
-    (functions/hashing.py sql_tokens: space-split), so the transform is
-    a deterministic vocabulary rewrite: within a group, texts stay
-    verbatim-identical across its C replicas and the base corpus's
-    near-dup geometry is preserved under the rehashed vocabulary;
-    across groups, token sets are disjoint, so no SimHash/MinHash/
-    shingle affinity survives.  Result: cluster multiplicity is
-    base_size x C regardless of K — bounded, like real corpora.
+    "hello§3§ world§3§" in group 3).  Token hashes
+    are per-token (functions/hashing.py sql_tokens: space-split), so
+    the transform is a deterministic vocabulary rewrite: within a
+    group, texts stay verbatim-identical across its C replicas and the
+    base corpus's near-dup geometry is preserved under the rehashed
+    vocabulary; across groups, token sets are disjoint, so no SimHash/
+    MinHash/shingle affinity survives.  Result: cluster multiplicity
+    is base_size x C regardless of K — bounded, like real corpora.
     Group 0 keeps the original text, embedding the base corpus
     verbatim.  n_chars is recomputed for salted rows.
+
+    The marker is U+00A7 (a non-space char, so it survives space-split
+    tokenization) rather than an alphanumeric suffix: a base token
+    that happened to end in a plausible suffix (e.g. "x1g" under the
+    earlier "x{g}g" scheme) would collide with a salted group's
+    vocabulary and silently reintroduce cross-group shingle affinity.
+    generate() now also ASSERTS base/salted disjointness by counting
+    base tokens containing the marker — nonzero fails the run loudly
+    instead of producing a subtly-unbounded corpus.  (The r9 sf1b/
+    sf10b corpora predate the marker change; they were audited clean —
+    zero base tokens matched the old suffix pattern — so their
+    evidence stands.)
 
     ``only_tables`` restricts output (e.g. ["documents"] for a dedup
     CC stress — no need to write a 600M-row lineitem to disk to grow
@@ -165,10 +183,21 @@ def generate(out: str, base: str, replicas: int, parts: int,
             wide = wide.withColumn(
                 col, (F.col(col) + rep * F.lit(strides[dom])).cast("long"))
         if tname == "documents" and dup_cap and dup_cap < replicas:
+            # base/salted vocabulary disjointness: the salt marker must
+            # not occur anywhere in the base corpus, or a base token
+            # could alias a salted group's vocabulary (see docstring)
+            n_marker = df.filter(
+                F.col("text").contains(_SALT_MARKER)).count()
+            if n_marker:
+                raise AssertionError(
+                    f"{n_marker} base documents contain the salt marker "
+                    f"{_SALT_MARKER!r}; cross-group disjointness would "
+                    "be broken — pick a different marker")
             grp = F.expr(f"CAST(_rep DIV {dup_cap} AS INT)")
             salted = F.regexp_replace(
                 F.col("text"), F.lit(r"(\S+)"),
-                F.concat(F.lit("$1x"), grp.cast("string"), F.lit("g")))
+                F.concat(F.lit("$1" + _SALT_MARKER),
+                         grp.cast("string"), F.lit(_SALT_MARKER)))
             wide = (wide.withColumn(
                         "text", F.when(grp == 0, F.col("text"))
                         .otherwise(salted))
@@ -499,6 +528,188 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None,
         sys.exit(1)
 
 
+#: (KMR_RMAT_EDGES, KMR_RMAT_LEVELS) weak-scaling points for the graph
+#: family: the R-MAT plans generate their own input (fixed 20k edges /
+#: 2^10 nodes under the driver contract), so growing a parquet corpus
+#: cannot scale them — the generator size knob can.  Node count grows
+#: with edge count (Graph500-style weak scaling, edgefactor ~20-30):
+#: scaling edges alone against fixed 2^10 nodes just saturates the
+#: 1024^2 distinct-edge space and densifies hubs, which measures
+#: multigraph collapse, not the algorithms.
+GRAPH_POINTS = [(20_000, 10), (200_000, 13), (2_000_000, 16)]
+
+#: default graph-family queries for the weak-scaling sweep — the three
+#: VERDICT-r9-named plans plus BFS and triangles (the two classic
+#: graph kernels with the sharpest frontier/wedge scaling behavior)
+GRAPH_QUERIES = ["graph_components", "graph_random_walks",
+                 "graph_clustering_coefficient", "graph_bfs",
+                 "graph_triangles"]
+
+
+def graph_scale(points: list[tuple[int, int]], names: list[str],
+                repeat: int, detail_out: str | None) -> None:
+    """Weak-scaling sweep for the generated-graph family + an
+    engine-invariant CC verify at the largest point.
+
+    Timing: min-of-``repeat`` noop-sink wall clock per (edges, levels)
+    point, exponents fitted against EDGE count (the volume axis at a
+    fixed edgefactor).  Verify (largest point only, no oracle — DuckDB
+    recursive-CTE CC at 2M edges is an oracle-scale wall, the same
+    adjudication as the dedup families): (a) no distinct edge straddles
+    two component labels, (b) every label is the component's min node
+    id and exactly one root, (c) component sizes match the label
+    multiplicity, (d) sampled BFS connectivity over the label-induced
+    subgraphs — a merged-but-disconnected labeling passes (a)-(c) but
+    not (d)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    import bench
+
+    spark = _spark()
+    queries = entry.queries()
+    names = [n for n in names if n in queries]
+    path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scale_detail_graph.json")
+    load_start = bench._load_sample()
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    errors: dict[str, dict[str, str]] = {}
+    for n_edges, levels in points:
+        os.environ["KMR_RMAT_EDGES"] = str(n_edges)
+        os.environ["KMR_RMAT_LEVELS"] = str(levels)
+        key = f"E{n_edges}_L{levels}"
+        for name in names:
+            try:
+                fn = queries[name]
+                fn(spark, "/root/testdata/sf0.1").write.format(
+                    "noop").mode("overwrite").save()  # warmup
+                best = math.inf
+                for _ in range(repeat):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(0.2)
+                    t0 = time.perf_counter()
+                    fn(spark, "/root/testdata/sf0.1").write.format(
+                        "noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                times[name][key] = round(best, 3)
+                print(f"{name} @ {key}: {times[name][key]} s")
+            except Exception as exc:
+                errors.setdefault(name, {})[key] = \
+                    f"{type(exc).__name__}: {exc}"
+                print(f"{name} @ {key}: ERROR {type(exc).__name__}: {exc}")
+            with open(path, "w") as f:
+                json.dump({"partial_through": [key, name],
+                           "times": times, "errors": errors}, f, indent=1)
+
+    report: dict[str, dict] = {}
+    for name in names:
+        pts = [(e, times[name][f"E{e}_L{l}"]) for e, l in points
+               if times[name].get(f"E{e}_L{l}", 0) > 0]
+        ent: dict = {"times": times[name]}
+        if name in errors:
+            ent["errors"] = errors[name]
+        if len(pts) >= 2:
+            (x0, t0), (x1, t1) = pts[-2], pts[-1]
+            ent["alpha_last"] = round(
+                math.log(t1 / t0) / math.log(x1 / x0), 3)
+            (xa, ta), (xb, tb) = pts[0], pts[-1]
+            ent["alpha_span"] = round(
+                math.log(tb / ta) / math.log(xb / xa), 3)
+        report[name] = ent
+        print(name, json.dumps(ent))
+
+    # engine-invariant CC verify at the largest point (env still set)
+    n_edges, levels = points[-1]
+    checks: dict[str, dict] = {}
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, note: str) -> None:
+        checks[name] = {"ok": bool(ok), "note": note}
+        print(f"graph_components.{name}: {'OK' if ok else 'FAIL'} ({note})")
+        if not ok:
+            failures.append(name)
+
+    from kmr_spark.operators.graph import connected_components
+    from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
+    from kmr_spark.plans.generate import rmat_raw_edges
+
+    edges = (rmat_raw_edges(spark).select("src", "dst")
+             .distinct().cache())
+    labels = connected_components(edges, "src", "dst").cache()
+    lbl_a = labels.select(F.col("node").alias("src"),
+                          F.col("label").alias("l_a"))
+    lbl_b = labels.select(F.col("node").alias("dst"),
+                          F.col("label").alias("l_b"))
+    straddle = (edges.join(lbl_a, "src").join(lbl_b, "dst")
+                .filter("l_a <> l_b").count())
+    check("edge_consistency", straddle == 0,
+          f"{straddle} of {edges.count()} distinct edges straddle labels")
+    comp = (labels.groupBy("label")
+            .agg(F.min("node").alias("mn"), F.count("*").alias("sz"))
+            .cache())
+    n_noncanon = comp.filter("mn <> label").count()
+    check("canonical_min_label", n_noncanon == 0,
+          f"{n_noncanon} non-canonical labels of {comp.count()} components")
+    # sampled BFS connectivity (bounded driver collect, like verify())
+    size_cap = 5000
+    sampled = [r.label for r in
+               comp.filter(f"sz >= 2 AND sz <= {size_cap}")
+               .withColumn("_h", F.pmod(F.col("label"), F.lit(_P_PRE))
+                           * _A % _P_MOD)
+               .orderBy("_h", "label").limit(50).collect()]
+    mem_rows = (labels.filter(F.col("label").isin(sampled))
+                .select("label", "node").collect())
+    members: dict = {}
+    for r in mem_rows:
+        members.setdefault(r.label, set()).add(r.node)
+    e_rows = (edges.join(lbl_a, "src")
+              .filter(F.col("l_a").isin(sampled))
+              .select("src", "dst").collect())
+    adj: dict = {}
+    for r in e_rows:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    n_disconnected = 0
+    for lab, mem in members.items():
+        seen, todo = {lab}, [lab]
+        while todo:
+            u = todo.pop()
+            for v in adj.get(u, ()):
+                if v in mem and v not in seen:
+                    seen.add(v)
+                    todo.append(v)
+        if seen != mem:
+            n_disconnected += 1
+    check("sampled_connectivity", bool(members) and n_disconnected == 0,
+          f"{len(members)} components BFS-checked "
+          f"({sum(len(m) for m in members.values())} nodes, "
+          f"{len(e_rows)} edges), {n_disconnected} disconnected")
+    for var in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS"):
+        os.environ.pop(var, None)
+
+    summary = {
+        "metric": "kmr_spark graph-family weak-scaling sweep "
+                  "(min-of-%d noop-sink, R-MAT size knob)" % repeat,
+        "points": [{"edges": e, "levels": l} for e, l in points],
+        "n_queries": len(names),
+        "alpha_last_max": max((e.get("alpha_last", 0.0)
+                               for e in report.values()), default=None),
+        "verify_at": {"edges": n_edges, "levels": levels},
+        "verify_failures": failures,
+    }
+    out = {"summary": summary, "report": report,
+           "verify_checks": checks,
+           "machine": bench.machine_load_report(load_start,
+                                                bench._load_sample())}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(summary))
+    if failures:
+        sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -530,6 +741,13 @@ def main() -> None:
     v.add_argument("--families", default=None,
                    help="comma list of query families to verify "
                         "(default: all 4)")
+    gr = sub.add_parser("graph")
+    gr.add_argument("--points", default=",".join(
+        f"{e}:{l}" for e, l in GRAPH_POINTS),
+        help="comma list of EDGES:LEVELS weak-scaling points")
+    gr.add_argument("--queries", default=",".join(GRAPH_QUERIES))
+    gr.add_argument("--repeat", type=int, default=2)
+    gr.add_argument("--detail-out", default=None)
     args = ap.parse_args()
     if args.cmd == "generate":
         generate(args.out, args.base, args.replicas, args.parts,
@@ -537,6 +755,11 @@ def main() -> None:
     elif args.cmd == "verify":
         verify(args.sf, args.sample, args.detail_out,
                args.families.split(",") if args.families else None)
+    elif args.cmd == "graph":
+        pts = [tuple(int(x) for x in p.split(":"))
+               for p in args.points.split(",")]
+        graph_scale(pts, args.queries.split(","), args.repeat,
+                    args.detail_out)
     else:
         run(args.dirs.split(","), args.queries.split(","), args.repeat,
             args.detail_out)

@@ -137,16 +137,44 @@ def test_dup_cap_bounds_duplicate_multiplicity(bounded_docs):
         f"SELECT SUM(c * c) FROM (SELECT COUNT(*) c FROM {base}"
         " GROUP BY text)").fetchone()
     assert n_verbatim == 2 * n_base_pairs
-    # group 1 (replicas 2-3): every token carries the x1g suffix, so
+    # group 1 (replicas 2-3): every token carries the §1§ salt, so
     # vocabularies are disjoint across groups
+    mk = scale_bench._SALT_MARKER
     n_g1_bad, = con.execute(
         f"SELECT COUNT(*) FROM {doc} WHERE text NOT IN"
         f" (SELECT text FROM {base}) AND len(list_filter("
-        "string_split(text, ' '), t -> t <> '' AND t NOT LIKE '%x1g'))"
+        f"string_split(text, ' '), t -> t <> '' AND t NOT LIKE '%{mk}1{mk}'))"
         " > 0").fetchone()
     assert n_g1_bad == 0
+    # BASE disjointness (the other direction — the r9 advice gap): no
+    # unsalted row may contain the marker, or a base token would alias
+    # a salted group's vocabulary and reintroduce cross-group affinity
+    n_base_marked, = con.execute(
+        f"SELECT COUNT(*) FROM {doc} WHERE text IN (SELECT text FROM {base})"
+        f" AND contains(text, '{mk}')").fetchone()
+    assert n_base_marked == 0
     # n_chars recomputed everywhere
     n_chars_bad, = con.execute(
         f"SELECT COUNT(*) FROM {doc} WHERE n_chars <> len(text)"
     ).fetchone()
     assert n_chars_bad == 0
+
+
+def test_dup_cap_rejects_marker_in_base_corpus(tmp_path, spark):
+    """generate() must fail LOUDLY when the base corpus already
+    contains the salt marker — silent acceptance would produce a
+    corpus whose cross-group disjointness (the whole point of
+    --dup-cap) is broken."""
+    base = str(tmp_path / "base")
+    mk = scale_bench._SALT_MARKER
+    poisoned = spark.createDataFrame(
+        [(1, f"hello{mk}1{mk} world", "en", "web", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    os.makedirs(base, exist_ok=True)
+    poisoned.write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    for dim in ("region", "nation"):
+        (spark.read.parquet(f"{SF_SMALL}/{dim}.parquet")
+         .write.mode("overwrite").parquet(f"{base}/{dim}.parquet"))
+    with pytest.raises(AssertionError, match="salt marker"):
+        scale_bench.generate(str(tmp_path / "out"), base, replicas=4,
+                             parts=2, dup_cap=2, only_tables=["documents"])
