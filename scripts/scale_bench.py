@@ -176,9 +176,14 @@ def generate(out: str, base: str, replicas: int, parts: int,
             df.write.mode("overwrite").parquet(dest)
             continue
         # replicate: broadcast cross join with the replica ids (K rows),
-        # then shift every key column into its replica's key space
+        # then shift every key column into its replica's key space.
+        # Repartition the BASE before the cross join: sf0.1 fact tables
+        # are single parquet files, so without it the K-fold explode
+        # runs as ONE task (observed: lineitem x100 = 60M rows through
+        # a single core, ~40 min; parallelized it's minutes) — the
+        # generator has to scale like the engine it feeds
         reps = spark.range(replicas).select(F.col("id").alias("_rep"))
-        wide = df.crossJoin(F.broadcast(reps))
+        wide = df.repartition(parts).crossJoin(F.broadcast(reps))
         for col, dom in KEY_DOMAINS.get(tname, {}).items():
             wide = wide.withColumn(
                 col, (F.col(col) + rep * F.lit(strides[dom])).cast("long"))
