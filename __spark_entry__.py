@@ -406,10 +406,15 @@ _R10_WINDOW = (
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
 # re-green block for a fresh row against the (unchanged) oracles.
-# Round 10 changed no query plans (cadence + evidence round), so this
-# is empty and the pinned window fits the 50-entry check exactly —
+# Round 10 changed one plan: dedup_editdistance gained the salted
+# block join (EDIT_JOIN_SALTS in llm_ops/dedup.py — a (lang, band)
+# block is one hash key, so the unsalted self-join serialized each
+# block's quadratic candidate emission onto one partition; the salt
+# splits it 32 ways with an identical pair set).  The name is ALREADY
+# in _R10_WINDOW (r3 block), so listing it here only moves it to the
+# front — the window still fits the 50-entry check exactly and
 # nothing slides to round 11.
-_R10_RECHECK: tuple[str, ...] = ()
+_R10_RECHECK: tuple[str, ...] = ("dedup_editdistance",)
 
 
 def _rotate_for_driver_window(queries):

@@ -615,6 +615,16 @@ ORDER BY doc_a, doc_b
 
 MAX_EDITS = 12
 LEN_BAND = 16  # > MAX_EDITS, so the +-1-band join is recall-exact
+#: split factor for the length-band self-join: a (lang, band) block is
+#: ONE hash key, so without a salt its entire quadratic candidate
+#: emission lands on one shuffle partition no matter how many
+#: partitions exist — measured at 500k docs (sf10b): ~1.3B candidates
+#: funneled through 7 AQE-coalesced tasks, 40+ min in one stage.  The
+#: salt splits every block's work EDIT_JOIN_SALTS ways (left side keyed
+#: by hash(doc_id) % S, right side replicated to all S salts), with
+#: identical output; at cluster scale S should track the executor-core
+#: count the same way shuffle partitions do.
+EDIT_JOIN_SALTS = 32
 
 
 def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,8 +642,18 @@ def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded O(k*len) DP with early exit, returns -1 past the bound) so
     per-pair cost is linear in text length, not quadratic — the form
     you can afford on the candidate volume a length-band join emits.
-    Shape mirrors minhash_lsh_pairs: explode to band keys -> equi-join
-    -> distinct id pairs -> re-join texts -> verify.
+    Shape mirrors minhash_lsh_pairs: explode to band keys -> SALTED
+    equi-join -> distinct id pairs -> re-join texts -> verify.
+
+    The block join is salted (EDIT_JOIN_SALTS): a (lang, band) block
+    is a single hash key, so an unsalted self-join serializes each
+    block's quadratic candidate emission onto one partition — the
+    parallelism ceiling is the block count, not the cluster.  Salting
+    the left side by hash(doc_id) and replicating the right side
+    across all salts keeps the pair set identical (each (x, y) meets
+    exactly once, at x's salt) while splitting every block's emission
+    S ways; the replicated right side also grows the shuffle input so
+    AQE keeps enough post-shuffle partitions for the fan-out.
     """
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
@@ -642,10 +662,15 @@ def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") / LEN_BAND).cast("long").alias("band"))
     bands = d.select("doc_id", "lang", "band").unionAll(
         d.select("doc_id", "lang", (F.col("band") + 1).alias("band")))
-    a, b = bands.alias("a"), bands.alias("b")
+    a = bands.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(EDIT_JOIN_SALTS))).alias("a")
+    salts = spark.range(EDIT_JOIN_SALTS).select(
+        F.col("id").cast("int").alias("salt"))
+    b = bands.crossJoin(F.broadcast(salts)).alias("b")
     cand = (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.salt") == F.col("b.salt"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -361,7 +361,14 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None,
     # candidate join + thresholded Levenshtein) dominates this whole
     # verify at 10x+ scales, and three checks read it
     if want("dedup_editdistance"):
-        pairs = dd.editdistance_pairs(spark, sf_dir).cache()
+        # materialize to parquet, not .cache(): at 500k docs the pair
+        # set plus the band-join execution memory OOMed a 48g JVM when
+        # cached; a disk materialization costs one write and bounds
+        # memory by the executor working set only
+        pairs_path = os.path.join("/tmp", "kmr_verify_edit_pairs")
+        (dd.editdistance_pairs(spark, sf_dir)
+         .write.mode("overwrite").parquet(pairs_path))
+        pairs = spark.read.parquet(pairs_path)
         # one fused aggregation over the (doc_a, doc_b) groups: total pair
         # rows, distinctness (max multiplicity), and ordering violations
         inv = (pairs.groupBy("doc_a", "doc_b")
@@ -391,7 +398,6 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None,
               inv.max_mult == 1 and inv.n_misordered == 0,
               f"max multiplicity {inv.max_mult}, "
               f"misordered {inv.n_misordered}")
-        pairs.unpersist()
 
     # shared intermediates for the three cluster-derived families
     if any(want(q) for q in ("dedup_clusters", "dedup_summary",

@@ -81,13 +81,15 @@ def test_driver_gate_rotation_invariants():
     assert len(set(entry._R10_WINDOW)) == 50
     assert set(entry._R10_WINDOW) <= entry._DRIVER_CHECKED
     # changed-plan re-checks iterate first; the re-green window fills
-    # the rest of the driver's 50-entry check (tail slides to next round)
+    # the rest of the driver's 50-entry check.  A re-check that is
+    # ALREADY in the window (round 10: dedup_editdistance) just moves
+    # to the front — no window name slides to the next round; a
+    # re-check outside the window would push the window tail out.
     rc = [n for n in entry._R10_RECHECK if n in qs]
     assert set(rc) <= entry._DRIVER_CHECKED
-    assert not set(rc) & set(entry._R10_WINDOW)
     assert names[:len(rc)] == rc
-    n_fill = 50 - len(rc)
-    assert tuple(names[len(rc):50]) == entry._R10_WINDOW[:n_fill]
+    expected = rc + [n for n in entry._R10_WINDOW if n not in set(rc)]
+    assert tuple(names[:50]) == tuple(expected[:50])
     assert len(entry._DRIVER_CHECKED) == len(names)
 
 
