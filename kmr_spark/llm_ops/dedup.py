@@ -625,6 +625,16 @@ LEN_BAND = 16  # > MAX_EDITS, so the +-1-band join is recall-exact
 #: identical output; at cluster scale S should track the executor-core
 #: count the same way shuffle partitions do.
 EDIT_JOIN_SALTS = 32
+#: chars whose per-doc counts feed the recall-exact histogram
+#: prefilter: one edit changes any single char count by at most 1
+#: (insert/delete) or two counts by 1 each (substitute), so
+#: levenshtein(a, b) >= L1(counts_a, counts_b) / 2 for ANY char subset
+#: — a pair whose restricted-histogram L1 exceeds 2*MAX_EDITS cannot
+#: be within threshold and is dropped before the expensive DP.
+#: Measured: Spark's thresholded levenshtein costs ~80us/eval even
+#: with early exit (~300-char strings), the integer L1 costs ~ns in
+#: codegen and kills the overwhelmingly-unrelated candidate mass.
+_EDIT_PREFILTER_CHARS = " etaoinsrhld"
 
 
 def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,48 +652,79 @@ def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded O(k*len) DP with early exit, returns -1 past the bound) so
     per-pair cost is linear in text length, not quadratic — the form
     you can afford on the candidate volume a length-band join emits.
-    Shape mirrors minhash_lsh_pairs: explode to band keys -> SALTED
-    equi-join -> distinct id pairs -> re-join texts -> verify.
 
-    The block join is salted (EDIT_JOIN_SALTS): a (lang, band) block
-    is a single hash key, so an unsalted self-join serializes each
-    block's quadratic candidate emission onto one partition — the
-    parallelism ceiling is the block count, not the cluster.  Salting
-    the left side by hash(doc_id) and replicating the right side
-    across all salts keeps the pair set identical (each (x, y) meets
-    exactly once, at x's salt) while splitting every block's emission
-    S ways; the replicated right side also grows the shuffle input so
-    AQE keeps enough post-shuffle partitions for the fan-out.
+    Shape: ONE salted equi-join whose output pipelines straight into
+    the length filter and the thresholded Levenshtein — candidates are
+    never materialized.  Two structural choices make that possible:
+
+    * Exactly-once meeting without DISTINCT: the left side keeps its
+      own band only; the right side explodes to {band-1, band, band+1}.
+      A qualifying pair differs by <= MAX_EDITS < LEN_BAND chars, so
+      its bands differ by at most 1 and exactly one explode key equals
+      the left doc's band — each (doc_a < doc_b) pair is emitted once.
+      (The earlier both-sides-explode shape emitted pairs up to twice
+      and needed a DISTINCT over the full candidate volume — at 500k
+      docs that was a ~1.3B-row shuffle that OOMed a 48g heap.)
+    * Salted block split (EDIT_JOIN_SALTS): a (lang, band) block is a
+      single hash key, so an unsalted self-join serializes each
+      block's quadratic emission onto one partition — the parallelism
+      ceiling is the block count, not the cluster.  Salting the left
+      side by hash(doc_id) and replicating the right side across all
+      salts keeps the pair set identical (each pair meets at the left
+      doc's salt) while splitting every block's work S ways.
+
+    Texts ride through the join (a few hundred bytes per row, S-fold
+    replicated on the right side — bounded, tunable via the salt
+    count), so the emitted candidates hit the cheap filters and the
+    levenshtein inside the same whole-stage-codegen pipeline and only
+    the final near-dup pairs ever reach a shuffle.
+
+    Candidate triage before the DP, cheapest first and all
+    recall-exact: (1) length difference > MAX_EDITS (each edit changes
+    length by at most 1); (2) restricted character-histogram L1 >
+    2*MAX_EDITS over _EDIT_PREFILTER_CHARS (each edit changes the
+    histogram L1 by at most 2) — per-doc counts are computed ONCE
+    before the join and compared with pure integer arithmetic, so the
+    ~80us/eval thresholded levenshtein only runs on the few candidates
+    that survive both bounds.
     """
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
+    cnt_cols = [
+        (F.length("text")
+         - F.length(F.translate(F.col("text"), ch, ""))).cast("int")
+        .alias(f"cnt{i}")
+        for i, ch in enumerate(_EDIT_PREFILTER_CHARS)]
     d = docs.select(
-        "doc_id", "lang",
-        (F.length("text") / LEN_BAND).cast("long").alias("band"))
-    bands = d.select("doc_id", "lang", "band").unionAll(
-        d.select("doc_id", "lang", (F.col("band") + 1).alias("band")))
-    a = bands.withColumn(
+        "doc_id", "lang", "text", F.length("text").alias("len"),
+        (F.length("text") / LEN_BAND).cast("long").alias("band"),
+        *cnt_cols)
+    a = d.withColumn(
         "salt", F.pmod(F.hash("doc_id"), F.lit(EDIT_JOIN_SALTS))).alias("a")
     salts = spark.range(EDIT_JOIN_SALTS).select(
         F.col("id").cast("int").alias("salt"))
-    b = bands.crossJoin(F.broadcast(salts)).alias("b")
-    cand = (
+    b = (d.select(
+            "doc_id", "lang", "text", "len",
+            F.explode(F.array(F.col("band") - 1, F.col("band"),
+                              F.col("band") + 1)).alias("band"),
+            *[f"cnt{i}" for i in range(len(_EDIT_PREFILTER_CHARS))])
+         .crossJoin(F.broadcast(salts)).alias("b"))
+    hist_l1 = sum(
+        (F.abs(F.col(f"a.cnt{i}") - F.col(f"b.cnt{i}"))
+         for i in range(len(_EDIT_PREFILTER_CHARS))),
+        F.lit(0))
+    out = (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.band") == F.col("b.band"))
                & (F.col("a.salt") == F.col("b.salt"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    out = (
-        cand.join(ta, "doc_a").join(tb, "doc_b")
-        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= MAX_EDITS)
-        .withColumn("edit_distance",
-                    F.levenshtein("text_a", "text_b", MAX_EDITS).cast("long"))
+        .filter(F.abs(F.col("a.len") - F.col("b.len")) <= MAX_EDITS)
+        .filter(hist_l1 <= 2 * MAX_EDITS)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein("a.text", "b.text", MAX_EDITS)
+                .cast("long").alias("edit_distance"))
         .filter(F.col("edit_distance") >= 0)
-        .select("doc_a", "doc_b", "edit_distance")
         .orderBy("doc_a", "doc_b")
     )
     return out
