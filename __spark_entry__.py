@@ -406,15 +406,22 @@ _R10_WINDOW = (
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
 # re-green block for a fresh row against the (unchanged) oracles.
-# Round 10 changed one plan: dedup_editdistance gained the salted
-# block join (EDIT_JOIN_SALTS in llm_ops/dedup.py — a (lang, band)
-# block is one hash key, so the unsalted self-join serialized each
-# block's quadratic candidate emission onto one partition; the salt
-# splits it 32 ways with an identical pair set).  The name is ALREADY
-# in _R10_WINDOW (r3 block), so listing it here only moves it to the
-# front — the window still fits the 50-entry check exactly and
-# nothing slides to round 11.
-_R10_RECHECK: tuple[str, ...] = ("dedup_editdistance",)
+# Round 10 changed two plans:
+# - dedup_editdistance: salted, no-DISTINCT, histogram-prefiltered
+#   length-band join (llm_ops/dedup.py — a (lang, band) block is one
+#   hash key, so the unsalted self-join serialized each block's
+#   quadratic candidate emission onto one partition).  Already in
+#   _R10_WINDOW (r3 block), so listing it only moves it to the front.
+# - graph_clustering_coefficient: degree-oriented triangle enumeration
+#   with 3-corner crediting (plans/graphs.py — the center-at-every-
+#   node wedge table is O(sum d^2) and measured alpha 1.12 on the
+#   honest-entropy graph sweep; orientation bounds it at O(E^1.5),
+#   154 s -> 48 s at 2M edges, identical per-node counts).  NOT in the
+#   window, so its recheck slides the window's last name
+#   (events_cusum_drift) to round 11 — order it into _R11_WINDOW's
+#   head next round.
+_R10_RECHECK: tuple[str, ...] = ("dedup_editdistance",
+                                 "graph_clustering_coefficient")
 
 
 def _rotate_for_driver_window(queries):

@@ -48,14 +48,33 @@ def rmat_raw_edges(spark: SparkSession) -> DataFrame:
     CALL time for the scale-law harness only (scripts/scale_bench.py
     graph subcommand: Graph500-style weak scaling, nodes growing with
     edges) — never set them in a driver/oracle run, the oracle stays
-    at the pinned size."""
+    at the pinned size.
+
+    KMR_RMAT_MIX=xxhash (scale harness only) swaps the quadrant hash
+    for xxhash64(id, level): the default BIGP-modular quadratic keeps
+    DuckDB-replayable integer arithmetic but its trajectory space
+    collapses at scale — measured: 2M edge ids at 16 levels produce
+    only ~9.8k DISTINCT edges, so a large "sweep" would mostly time
+    multigraph dedup rather than graph algorithms on a grown graph.
+    xxhash64 gives real per-(id, level) entropy; the at-scale checks
+    are engine-invariant (CC labeling invariants), so no SQL twin is
+    needed at sweep sizes."""
     import os
 
     n_edges = int(os.environ.get("KMR_RMAT_EDGES", N_EDGES))
     levels = int(os.environ.get("KMR_RMAT_LEVELS", LEVELS))
     ids = spark.range(n_edges)
-    src = sum((_bits(l)[0] for l in range(levels)), F.lit(0))
-    dst = sum((_bits(l)[1] for l in range(levels)), F.lit(0))
+    if os.environ.get("KMR_RMAT_MIX") == "xxhash":
+        def bits(level):
+            h = F.pmod(F.xxhash64(F.col("id"), F.lit(level)), F.lit(H_MOD))
+            row_bit = (h >= TH_B).cast("long")
+            col_bit = (((h >= TH_A) & (h < TH_B))
+                       | (h >= TH_C)).cast("long")
+            return row_bit * (1 << level), col_bit * (1 << level)
+    else:
+        bits = _bits
+    src = sum((bits(l)[0] for l in range(levels)), F.lit(0))
+    dst = sum((bits(l)[1] for l in range(levels)), F.lit(0))
     return ids.select(src.alias("src"), dst.alias("dst"))
 
 

@@ -743,16 +743,19 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     report leads with; the reference's edge-list join examples
     (/root/reference/ex/mrmpi-crmat.c) stop at triangle counts.
 
-    Spark plan: per-node triangle counts come from the wedge-close
-    join over canonical edges (wedges centered at each node with
-    b1 < b2, closed by one more equi-join), then each closed wedge
-    credits its CENTER node — summing per center counts every
-    triangle exactly once per corner. The wedge table is O(sum d^2);
-    at 100 TB you'd cap or orient by degree first (see
-    :func:`triangle_census`), but per-node counts inherently need
-    all three corners so the join stays keyed and shuffled, never
-    collected. Wedble counts (sum d*(d-1)/2) come from the degree
-    table alone.
+    Spark plan: triangles are ENUMERATED degree-oriented (the
+    :func:`triangle_census` trick — every edge directed from its
+    (degree, id)-smaller endpoint, wedges opened only at the smallest
+    corner), which bounds the wedge table at O(E^1.5) instead of the
+    O(sum d^2) of center-at-every-node enumeration; each closed
+    triangle is found exactly once and then CREDITS all three corners
+    via a 3-row explode, so the per-node counts are identical to the
+    naive plan while the hub blowup is gone.  (The honest-entropy
+    graph sweep measured the naive plan at alpha 1.12 across
+    20k->2M edges — 154 s at 2M, vs ~15 s for the oriented census on
+    the same graph; orientation is what makes per-node transitivity
+    survive a power-law 100 TB graph.)  Wedge counts
+    (sum d*(d-1)/2) come from the degree table alone.
 
     Exactness: transitivity = 3T/W and avg local cc are both emitted
     via the one-rational-fold recipe — per-node cc is quantized to
@@ -761,22 +764,45 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed expression trees over BIGINTs.
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
+    oriented = None
     try:
         n_edges = canon.count()
         with sized_shuffle_partitions(spark, n_edges):
-            adj = canon.select(F.col("u").alias("a"), F.col("v").alias("b")) \
-                .unionAll(canon.select(F.col("v").alias("a"),
-                                       F.col("u").alias("b")))
-            deg = adj.groupBy(F.col("a").alias("node")) \
-                .agg(F.count("*").alias("degree"))
-            e1 = adj.select(F.col("a"), F.col("b").alias("b1"))
-            e2 = adj.select(F.col("a"), F.col("b").alias("b2"))
-            wedges = e1.join(e2, "a").filter(F.col("b1") < F.col("b2"))
-            closed = wedges.join(
-                canon.select(F.col("u").alias("b1"), F.col("v").alias("b2")),
-                ["b1", "b2"])
-            tri_per_node = closed.groupBy(F.col("a").alias("node")) \
-                .agg(F.count("*").alias("tri"))
+            deg = (
+                canon.select(F.col("u").alias("node"))
+                .unionAll(canon.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("degree")))
+            # degree-oriented edges, low (degree, id) -> high, exactly
+            # as triangle_census orients them
+            ku = deg.select(
+                F.col("node").alias("u"),
+                F.struct(F.col("degree"), F.col("node")).alias("ord_u"))
+            kv = deg.select(
+                F.col("node").alias("v"),
+                F.struct(F.col("degree"), F.col("node")).alias("ord_v"))
+            oriented = (
+                canon.join(ku, "u").join(kv, "v")
+                .select(
+                    F.when(F.col("ord_u") < F.col("ord_v"), F.col("u"))
+                    .otherwise(F.col("v")).alias("a"),
+                    F.when(F.col("ord_u") < F.col("ord_v"), F.col("v"))
+                    .otherwise(F.col("u")).alias("b"),
+                    F.greatest("ord_u", "ord_v").alias("ord_b"))
+                .persist())
+            e1 = oriented.select(
+                "a", F.col("b").alias("b1"), F.col("ord_b").alias("ord_b1"))
+            e2 = oriented.select(
+                "a", F.col("b").alias("b2"), F.col("ord_b").alias("ord_b2"))
+            wedges = (e1.join(e2, "a")
+                      .filter(F.col("ord_b1") < F.col("ord_b2")))
+            closer = oriented.select(
+                F.col("a").alias("b1"), F.col("b").alias("b2"))
+            # each triangle closes exactly once; credit all 3 corners
+            closed = wedges.join(closer, ["b1", "b2"])
+            tri_per_node = (
+                closed.select(F.explode(F.array("a", "b1", "b2"))
+                              .alias("node"))
+                .groupBy("node").agg(F.count("*").alias("tri")))
             local = (
                 deg.filter(F.col("degree") >= 2)
                 .join(tri_per_node, "node", "left")
@@ -809,6 +835,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("avg_local_cc"))
             )
     finally:
+        if oriented is not None:
+            oriented.unpersist()
         canon.unpersist()
 
 

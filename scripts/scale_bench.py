@@ -583,13 +583,30 @@ def graph_scale(points: list[tuple[int, int]], names: list[str],
     names = [n for n in names if n in queries]
     path = detail_out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_detail_graph.json")
+    from kmr_spark.plans.generate import rmat_raw_edges
+
     load_start = bench._load_sample()
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     errors: dict[str, dict[str, str]] = {}
+    graph_shape: dict[str, dict[str, int]] = {}
+    # the sweep needs REAL graph growth: the default DuckDB-replayable
+    # quadrant hash collapses at scale (2M ids -> ~9.8k distinct
+    # edges), so the harness switches to the xxhash64 mixer and
+    # records each point's distinct-edge/node counts as evidence that
+    # the graph actually grew
+    os.environ["KMR_RMAT_MIX"] = "xxhash"
     for n_edges, levels in points:
         os.environ["KMR_RMAT_EDGES"] = str(n_edges)
         os.environ["KMR_RMAT_LEVELS"] = str(levels)
         key = f"E{n_edges}_L{levels}"
+        from pyspark.sql import functions as _F
+        ed = rmat_raw_edges(spark).select("src", "dst").distinct()
+        n_distinct = ed.count()
+        n_nodes = (ed.select(_F.col("src").alias("n"))
+                   .unionAll(ed.select(_F.col("dst").alias("n")))
+                   .distinct().count())
+        graph_shape[key] = {"distinct_edges": n_distinct, "nodes": n_nodes}
+        print(f"{key}: {n_distinct} distinct edges, {n_nodes} nodes")
         for name in names:
             try:
                 fn = queries[name]
@@ -697,13 +714,15 @@ def graph_scale(points: list[tuple[int, int]], names: list[str],
           f"{len(members)} components BFS-checked "
           f"({sum(len(m) for m in members.values())} nodes, "
           f"{len(e_rows)} edges), {n_disconnected} disconnected")
-    for var in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS"):
+    for var in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS", "KMR_RMAT_MIX"):
         os.environ.pop(var, None)
 
     summary = {
         "metric": "kmr_spark graph-family weak-scaling sweep "
-                  "(min-of-%d noop-sink, R-MAT size knob)" % repeat,
+                  "(min-of-%d noop-sink, R-MAT size knob, xxhash mix)"
+                  % repeat,
         "points": [{"edges": e, "levels": l} for e, l in points],
+        "graph_shape": graph_shape,
         "n_queries": len(names),
         "alpha_last_max": max((e.get("alpha_last", 0.0)
                                for e in report.values()), default=None),
