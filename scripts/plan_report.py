@@ -67,6 +67,18 @@ HEADLINE = [
     ("emb_gram_matrix", "Arrow-batched partial-gram kernel "
                         "(MapInPandas, no Generate/explode); "
                         "2080-key partial+final HashAggregate"),
+    # round-10 additions: both plans were rewritten for scale this
+    # round (salted pipelined band join; degree-oriented wedges)
+    ("dedup_editdistance", "salt in the band-join keys (block split "
+                           "EDIT_JOIN_SALTS ways), no DISTINCT of "
+                           "candidates, histogram-L1 + length filters "
+                           "ahead of levenshtein in ONE codegen "
+                           "pipeline, no cartesian"),
+    ("graph_clustering_coefficient", "degree-oriented wedge join "
+                                     "(ord_b1 < ord_b2) + 3-corner "
+                                     "credit explode — O(E^1.5) wedge "
+                                     "table, not O(sum deg^2); no "
+                                     "cartesian"),
 ]
 
 
