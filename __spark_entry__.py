@@ -25,6 +25,18 @@ if _REPO_ROOT not in sys.path:
 
 def _registries():
     """Collect (QUERIES, ORACLE_SQL) from every plan module."""
+    # A leaked KMR_RMAT_* override silently changes the generated graph
+    # for every graph plan (the oracle mismatch would surface it, but
+    # as a confusing downstream diff).  The scale-law harness is the
+    # only sanctioned setter and declares itself via KMR_RMAT_SWEEP;
+    # anything else fails loudly at the source (ADVICE r10).
+    leaked = [v for v in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS",
+                          "KMR_RMAT_MIX") if os.environ.get(v)]
+    if leaked and not os.environ.get("KMR_RMAT_SWEEP"):
+        raise RuntimeError(
+            f"KMR_RMAT override vars set outside the scale sweep: "
+            f"{leaked} — unset them (or set KMR_RMAT_SWEEP=1 if this "
+            f"is an intentional scale-harness run)")
     import kmr_spark.plans.tpch as tpch
 
     modules = [tpch]
@@ -359,69 +371,65 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-# The ROUND-10 gate window: the 50 LONGEST-UNCHECKED driver greens,
-# re-derived from all nine CORRECTNESS_r0{1..9}.json files (latest
-# round each name appeared in): the 2 remaining r2 rows that slid past
-# the r9 check (sample_docs_holdout, sample_k_per_user — they lead the
-# window this round, closing the slide the _R9_WINDOW comment missed),
-# the 39 r3 rows, and the 9 alphabetically-first r4 rows (all 38 r4
-# rows tie on age; alphabetical tie-break keeps the selection
-# deterministic and auditable).  This block is exactly the
-# dedup/similarity family whose shared module (llm_ops/dedup.py) round
-# 9 rewrote — the highest-value staleness to clear (VERDICT r9 ask
-# #1).  All 50 pass `scripts/check_queries.py --exact` at sf0.01 on
-# round-10 code.
+# The ROUND-11 gate window: the 50 LONGEST-UNCHECKED driver greens,
+# re-derived from all ten CORRECTNESS_r{01..10}.json files (latest
+# round each name appeared in): the 30 remaining r4 rows (including
+# events_cusum_drift, which slid past the r10 50-entry check behind
+# the graph_clustering_coefficient re-check — it leads the window),
+# plus the 20 alphabetically-first r5 rows (all 38 r5 rows tie on
+# age; alphabetical tie-break keeps the selection deterministic and
+# auditable).  This advances the staleness rotation into the r4 block
+# (VERDICT r10 ask #4): after this round lands green, no registry row
+# is older than r5.
 #
-# Continuity: once CORRECTNESS_r10 lands green, the next-oldest block
-# is the remaining 29 r4 rows + 21 oldest r5 rows — re-derive from the
-# CORRECTNESS files as above and pin that as _R11_WINDOW, advancing
-# one ~50-row block per round so the whole ledger cycles through
-# fresh driver rows every ~6 rounds.
-_R10_WINDOW = (
-    # r2 tail (slid past the r9 50-entry check behind the 2 re-checks)
-    "sample_docs_holdout", "sample_k_per_user",
-    # the 39 r3 rows
-    "dedup_clusters", "dedup_editdistance", "dedup_embedding",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "doc_chunks", "emb_dim_stats", "events_anomaly_zscore",
-    "events_attribution_outer_streamed", "events_conversion_lag",
-    "events_dwell_time", "events_enriched_streamed", "events_funnel",
-    "events_hll_hourly", "events_hll_users", "events_incremental_merge",
-    "events_resample_1h", "events_retention_cohorts",
-    "events_sketch_quantiles", "events_state_streamed",
-    "events_value_rank", "events_zorder_layout", "graph_bfs",
-    "graph_triangles", "multimodal_audio", "multimodal_decode",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    "orders_rfm_segments", "pack_sequences", "part_cooccurrence",
-    "profile_lineitem", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
-    "sim_knn_bruteforce", "sim_knn_quantized", "validate_events",
-    # the 9 alphabetically-first r4 rows
-    "dedup_containment", "dedup_incremental", "dedup_summary",
-    "emb_knn_classify", "emb_power_iteration", "events_ab_test",
-    "events_ab_test_sequential", "events_concurrent_sessions",
-    "events_cusum_drift",
+# Continuity: the next-oldest block is the remaining 18 r5 rows + the
+# oldest r6 rows — re-derive from the CORRECTNESS files as above and
+# pin that as _R12_WINDOW, advancing one ~50-row block per round so
+# the whole ledger cycles through fresh driver rows every ~6 rounds.
+_R11_WINDOW = (
+    # the 30 remaining r4 rows (events_cusum_drift slid from r10 first)
+    "events_cusum_drift", "events_decayed_value", "events_gate_streamed",
+    "events_hll_streamed", "events_markov_transitions",
+    "events_multitouch_attribution", "events_path_trigrams",
+    "events_props_extract", "events_scd2_state",
+    "events_seasonal_baseline", "events_session_campaign_overlap",
+    "events_session_window_native", "events_time_weighted_avg",
+    "events_value_deciles", "events_value_minmax_norm",
+    "graph_components", "join_size_estimate", "lineitem_bloom_prune",
+    "multimodal_audio_features", "multimodal_image_ahash",
+    "multimodal_scene_cuts", "orders_pareto_share",
+    "revenue_grouping_sets", "sample_docs_weighted",
+    "skew_report_orders", "train_epoch_shuffle", "train_source_mixture",
+    "train_split_leakage_safe", "train_temperature_mix",
+    "users_spearman_freq_value",
+    # the 20 alphabetically-first r5 rows
+    "docs_lang_source_chi2", "docs_source_divergence_tv",
+    "emb_norm_deciles", "events_ab_test_cuped", "events_anomaly_mad",
+    "events_asof_click_attrib", "events_ewma_int",
+    "events_funnel_windowed", "events_gap_histogram",
+    "events_heavy_users_cms", "events_kmv_overlap", "events_median_kvs",
+    "events_median_quickselect", "events_new_vs_returning",
+    "events_peak_rate", "events_props_schema_infer",
+    "events_retention_day_n", "events_rolling_wau",
+    "events_session_depth_histogram", "events_trending_streamed",
 )
 
 
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
 # re-green block for a fresh row against the (unchanged) oracles.
-# Round 10 changed two plans:
-# - dedup_editdistance: salted, no-DISTINCT, histogram-prefiltered
-#   length-band join (llm_ops/dedup.py — a (lang, band) block is one
-#   hash key, so the unsalted self-join serialized each block's
-#   quadratic candidate emission onto one partition).  Already in
-#   _R10_WINDOW (r3 block), so listing it only moves it to the front.
-# - graph_clustering_coefficient: degree-oriented triangle enumeration
-#   with 3-corner crediting (plans/graphs.py — the center-at-every-
-#   node wedge table is O(sum d^2) and measured alpha 1.12 on the
-#   honest-entropy graph sweep; orientation bounds it at O(E^1.5),
-#   154 s -> 48 s at 2M edges, identical per-node counts).  NOT in the
-#   window, so its recheck slides the window's last name
-#   (events_cusum_drift) to round 11 — order it into _R11_WINDOW's
-#   head next round.
-_R10_RECHECK: tuple[str, ...] = ("dedup_editdistance",
-                                 "graph_clustering_coefficient")
+# Round 11 changed one plan:
+# - dedup_editdistance: the length-band join is now two-regime
+#   (llm_ops/dedup.py) — small corpus drops the salt machinery
+#   entirely (broadcast-hinted right side, widened probe side; the
+#   fixed 32-way salt replication was most of the r10 2.7s -> 10.6s
+#   sf0.1 regression, and the salt crossJoin child made the planner
+#   build on the wrong side), large corpus keeps the salted join with
+#   the salt count data-sized by _edit_join_salts (VERDICT r10 ask
+#   #3).  Its recheck slides the window's last name
+#   (events_trending_streamed) to round 12 — order it into
+#   _R12_WINDOW's head next round.
+_R11_RECHECK: tuple[str, ...] = ("dedup_editdistance",)
 
 
 def _rotate_for_driver_window(queries):
@@ -429,16 +437,16 @@ def _rotate_for_driver_window(queries):
     names that need a row most: any never-driver-checked query first
     (none exist while the registry stays frozen — this is a safety net
     for sanctioned additions), then changed-this-round re-checks, then
-    the pinned round-10 re-green window (the 50 oldest rows; with an
+    the pinned round-11 re-green window (the 50 oldest rows; with an
     empty re-check list the window fits the 50-entry check exactly —
-    any re-check added mid-round slides the window tail to round 11,
+    any re-check added mid-round slides the window tail to round 12,
     so order slid names into the next window's head), then the rest
     in reverse registration order."""
     fresh = [n for n in queries if n not in _DRIVER_CHECKED]
-    recheck = [n for n in _R10_RECHECK
+    recheck = [n for n in _R11_RECHECK
                if n in queries and n not in set(fresh)]
     front = fresh + recheck
-    pinned = [n for n in _R10_WINDOW
+    pinned = [n for n in _R11_WINDOW
               if n in queries and n not in set(front)]
     in_front = set(front) | set(pinned)
     stale = [n for n in reversed(list(queries))

@@ -622,9 +622,37 @@ LEN_BAND = 16  # > MAX_EDITS, so the +-1-band join is recall-exact
 #: funneled through 7 AQE-coalesced tasks, 40+ min in one stage.  The
 #: salt splits every block's work EDIT_JOIN_SALTS ways (left side keyed
 #: by hash(doc_id) % S, right side replicated to all S salts), with
-#: identical output; at cluster scale S should track the executor-core
-#: count the same way shuffle partitions do.
+#: identical output.  The constant is only the metadata-unavailable
+#: fallback — the actual count is sized from corpus volume by
+#: :func:`_edit_join_salts`, the same data-sized-not-constant-sized
+#: discipline as ``sized_shuffle_partitions`` (and KMR's own
+#: kmr_shuffle_leveling_pair_count, reference src/kmrmoreops.c:1074):
+#: the right side is replicated S-fold, so a fixed S=32 taxes small
+#: corpora 32x for parallelism they can't use (measured: most of the
+#: 2.7s -> 10.6s sf0.1 regression in round 10), while a large corpus
+#: on a large cluster wants S to keep tracking the core count.
 EDIT_JOIN_SALTS = 32
+
+#: docs per salt shard: 500k docs (the sf10b bounded-mass decade where
+#: the unsalted join OOMed) lands on 32 salts, sf0.1's 60k docs on 4,
+#: sf0.01's 6k on 1 — each salt shard still holds ~16k docs of
+#: candidate emission, plenty to saturate a task.
+_DOCS_PER_SALT = 16_000
+
+
+def _edit_join_salts(spark: SparkSession, sf_dir: str) -> int:
+    """Salt count for the length-band self-join, sized from the corpus
+    row count (parquet footer metadata — no job) and bounded by the
+    cluster's parallelism: ceil(n_docs / _DOCS_PER_SALT) clamped to
+    [1, 8 * defaultParallelism].  Falls back to ``EDIT_JOIN_SALTS``
+    when the footer is unreadable (non-parquet layouts)."""
+    from kmr_spark.session import parquet_num_rows
+
+    n = parquet_num_rows(sf_dir, "documents")
+    if n is None:
+        return EDIT_JOIN_SALTS
+    cap = 8 * spark.sparkContext.defaultParallelism
+    return max(1, min(-(-n // _DOCS_PER_SALT), cap))
 #: chars whose per-doc counts feed the recall-exact histogram
 #: prefilter: one edit changes any single char count by at most 1
 #: (insert/delete) or two counts by 1 each (substitute), so
@@ -671,7 +699,9 @@ def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ceiling is the block count, not the cluster.  Salting the left
       side by hash(doc_id) and replicating the right side across all
       salts keeps the pair set identical (each pair meets at the left
-      doc's salt) while splitting every block's work S ways.
+      doc's salt) while splitting every block's work S ways.  S is
+      data-sized by :func:`_edit_join_salts` — small corpora pay no
+      replication tax, big ones keep tracking the core count.
 
     Texts ride through the join (a few hundred bytes per row, S-fold
     replicated on the right side — bounded, tunable via the salt
@@ -699,25 +729,55 @@ def editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", F.length("text").alias("len"),
         (F.length("text") / LEN_BAND).cast("long").alias("band"),
         *cnt_cols)
-    a = d.withColumn(
-        "salt", F.pmod(F.hash("doc_id"), F.lit(EDIT_JOIN_SALTS))).alias("a")
-    salts = spark.range(EDIT_JOIN_SALTS).select(
-        F.col("id").cast("int").alias("salt"))
-    b = (d.select(
-            "doc_id", "lang", "text", "len",
-            F.explode(F.array(F.col("band") - 1, F.col("band"),
-                              F.col("band") + 1)).alias("band"),
-            *[f"cnt{i}" for i in range(len(_EDIT_PREFILTER_CHARS))])
-         .crossJoin(F.broadcast(salts)).alias("b"))
+    n_salts = _edit_join_salts(spark, sf_dir)
+    # The join's parallelism has TWO regimes and each needs its own
+    # lever (VERDICT r10 ask #3 — the r10 shape paid the big-corpus
+    # lever's 32x replication tax at every scale):
+    # * Small corpus (n_salts == 1): the exploded right side fits the
+    #   broadcast threshold, so hint it broadcast — a broadcast hash
+    #   join with NO shuffle.  Probe parallelism is then the LEFT
+    #   side's partitioning, and a small parquet input is one scan
+    #   split, so without the widen() the whole candidate emission +
+    #   levenshtein pipeline serializes onto ONE core (measured at
+    #   sf0.1: 13.0s single-task, 2.3s widened).  No salt column at
+    #   all — a salt=1 crossJoin is a no-op for correctness but its
+    #   extra join child made the planner build on the LEFT side and
+    #   probe the single-partition right (measured 17-20s).
+    # * Large corpus (n_salts > 1, the sf10b regime): the right side
+    #   exceeds the broadcast threshold, the join is sort-merge, the
+    #   widen is subsumed by the join shuffle, and the SALT is what
+    #   splits each (lang, band) block's single hash key across tasks
+    #   (unsalted: ~1.3B candidates through 7 AQE-coalesced tasks,
+    #   40+ min then OOM).
+    from kmr_spark.session import widen
+
+    b_cols = [
+        "doc_id", "lang", "text", "len",
+        F.explode(F.array(F.col("band") - 1, F.col("band"),
+                          F.col("band") + 1)).alias("band"),
+        *[f"cnt{i}" for i in range(len(_EDIT_PREFILTER_CHARS))]]
+    if n_salts > 1:
+        a = widen(d).withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(n_salts))).alias("a")
+        salts = spark.range(n_salts).select(
+            F.col("id").cast("int").alias("salt"))
+        b = d.select(*b_cols).crossJoin(F.broadcast(salts)).alias("b")
+        cond = ((F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.salt") == F.col("b.salt"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+    else:
+        a = widen(d).alias("a")
+        b = F.broadcast(d.select(*b_cols)).alias("b")
+        cond = ((F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
     hist_l1 = sum(
         (F.abs(F.col(f"a.cnt{i}") - F.col(f"b.cnt{i}"))
          for i in range(len(_EDIT_PREFILTER_CHARS))),
         F.lit(0))
     out = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.salt") == F.col("b.salt"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, cond)
         .filter(F.abs(F.col("a.len") - F.col("b.len")) <= MAX_EDITS)
         .filter(hist_l1 <= 2 * MAX_EDITS)
         .select(F.col("a.doc_id").alias("doc_a"),

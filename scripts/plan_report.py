@@ -69,8 +69,11 @@ HEADLINE = [
                         "2080-key partial+final HashAggregate"),
     # round-10 additions: both plans were rewritten for scale this
     # round (salted pipelined band join; degree-oriented wedges)
-    ("dedup_editdistance", "salt in the band-join keys (block split "
-                           "EDIT_JOIN_SALTS ways), no DISTINCT of "
+    ("dedup_editdistance", "two-regime band join (r11): small corpus "
+                           "= broadcast right + widened probe, no "
+                           "salt; large corpus = salt in the join "
+                           "keys, count data-sized by "
+                           "_edit_join_salts; no DISTINCT of "
                            "candidates, histogram-L1 + length filters "
                            "ahead of levenshtein in ONE codegen "
                            "pipeline, no cartesian"),

@@ -364,40 +364,49 @@ def verify(sf_dir: str, n_sample: int, detail_out: str | None,
         # materialize to parquet, not .cache(): at 500k docs the pair
         # set plus the band-join execution memory OOMed a 48g JVM when
         # cached; a disk materialization costs one write and bounds
-        # memory by the executor working set only
-        pairs_path = os.path.join("/tmp", "kmr_verify_edit_pairs")
-        (dd.editdistance_pairs(spark, sf_dir)
-         .write.mode("overwrite").parquet(pairs_path))
-        pairs = spark.read.parquet(pairs_path)
-        # one fused aggregation over the (doc_a, doc_b) groups: total pair
-        # rows, distinctness (max multiplicity), and ordering violations
-        inv = (pairs.groupBy("doc_a", "doc_b")
-               .agg(F.count("*").alias("mult"))
-               .agg(F.sum("mult").alias("n_pairs"),
-                    F.max("mult").alias("max_mult"),
-                    F.count(F.when(F.col("doc_a") >= F.col("doc_b"), 1))
-                    .alias("n_misordered"))
-               .first())
-        sample = (
-            pairs.withColumn(
-                "_h", (F.pmod(F.col("doc_a") * 1_000_003 + F.col("doc_b"),
-                              F.lit(_P_PRE))) * _A % _P_MOD)
-            .orderBy("_h", "doc_a", "doc_b").limit(n_sample))
-        ta = docs.select(F.col("doc_id").alias("doc_a"),
-                         F.col("text").alias("text_a"))
-        tb = docs.select(F.col("doc_id").alias("doc_b"),
-                         F.col("text").alias("text_b"))
-        rows = sample.join(ta, "doc_a").join(tb, "doc_b").collect()
-        bad = [r for r in rows
-               if py_lev(r.text_a, r.text_b) != r.edit_distance
-               or not 0 <= r.edit_distance <= dd.MAX_EDITS]
-        check("dedup_editdistance", "sampled_pair_reverify",
-              len(rows) and not bad,
-              f"{len(rows)} sampled of {inv.n_pairs} pairs, {len(bad)} bad")
-        check("dedup_editdistance", "pairs_distinct_ordered",
-              inv.max_mult == 1 and inv.n_misordered == 0,
-              f"max multiplicity {inv.max_mult}, "
-              f"misordered {inv.n_misordered}")
+        # memory by the executor working set only.  A per-run tempdir
+        # (not a fixed path) so concurrent verifies on different
+        # corpora can't clobber each other mid-read; removed after the
+        # checks (ADVICE r10).
+        import shutil
+        import tempfile
+        pairs_dir = tempfile.mkdtemp(prefix="kmr_verify_edit_pairs_")
+        try:
+            pairs_path = os.path.join(pairs_dir, "pairs.parquet")
+            (dd.editdistance_pairs(spark, sf_dir)
+             .write.mode("overwrite").parquet(pairs_path))
+            pairs = spark.read.parquet(pairs_path)
+            # one fused aggregation over the (doc_a, doc_b) groups: total pair
+            # rows, distinctness (max multiplicity), and ordering violations
+            inv = (pairs.groupBy("doc_a", "doc_b")
+                   .agg(F.count("*").alias("mult"))
+                   .agg(F.sum("mult").alias("n_pairs"),
+                        F.max("mult").alias("max_mult"),
+                        F.count(F.when(F.col("doc_a") >= F.col("doc_b"), 1))
+                        .alias("n_misordered"))
+                   .first())
+            sample = (
+                pairs.withColumn(
+                    "_h", (F.pmod(F.col("doc_a") * 1_000_003 + F.col("doc_b"),
+                                  F.lit(_P_PRE))) * _A % _P_MOD)
+                .orderBy("_h", "doc_a", "doc_b").limit(n_sample))
+            ta = docs.select(F.col("doc_id").alias("doc_a"),
+                             F.col("text").alias("text_a"))
+            tb = docs.select(F.col("doc_id").alias("doc_b"),
+                             F.col("text").alias("text_b"))
+            rows = sample.join(ta, "doc_a").join(tb, "doc_b").collect()
+            bad = [r for r in rows
+                   if py_lev(r.text_a, r.text_b) != r.edit_distance
+                   or not 0 <= r.edit_distance <= dd.MAX_EDITS]
+            check("dedup_editdistance", "sampled_pair_reverify",
+                  len(rows) and not bad,
+                  f"{len(rows)} sampled of {inv.n_pairs} pairs, {len(bad)} bad")
+            check("dedup_editdistance", "pairs_distinct_ordered",
+                  inv.max_mult == 1 and inv.n_misordered == 0,
+                  f"max multiplicity {inv.max_mult}, "
+                  f"misordered {inv.n_misordered}")
+        finally:
+            shutil.rmtree(pairs_dir, ignore_errors=True)
 
     # shared intermediates for the three cluster-derived families
     if any(want(q) for q in ("dedup_clusters", "dedup_summary",
@@ -594,128 +603,137 @@ def graph_scale(points: list[tuple[int, int]], names: list[str],
     # edges), so the harness switches to the xxhash64 mixer and
     # records each point's distinct-edge/node counts as evidence that
     # the graph actually grew
+    # the sweep is the one sanctioned setter of the KMR_RMAT_* size
+    # knobs; it declares itself via KMR_RMAT_SWEEP (the __spark_entry__
+    # leak guard rejects the size vars without it) and restores the
+    # environment in a finally so an exception mid-sweep cannot leak
+    # the override into later plans in the same process (ADVICE r10)
+    os.environ["KMR_RMAT_SWEEP"] = "1"
     os.environ["KMR_RMAT_MIX"] = "xxhash"
-    for n_edges, levels in points:
-        os.environ["KMR_RMAT_EDGES"] = str(n_edges)
-        os.environ["KMR_RMAT_LEVELS"] = str(levels)
-        key = f"E{n_edges}_L{levels}"
-        from pyspark.sql import functions as _F
-        ed = rmat_raw_edges(spark).select("src", "dst").distinct()
-        n_distinct = ed.count()
-        n_nodes = (ed.select(_F.col("src").alias("n"))
-                   .unionAll(ed.select(_F.col("dst").alias("n")))
-                   .distinct().count())
-        graph_shape[key] = {"distinct_edges": n_distinct, "nodes": n_nodes}
-        print(f"{key}: {n_distinct} distinct edges, {n_nodes} nodes")
-        for name in names:
-            try:
-                fn = queries[name]
-                fn(spark, "/root/testdata/sf0.1").write.format(
-                    "noop").mode("overwrite").save()  # warmup
-                best = math.inf
-                for _ in range(repeat):
-                    spark.catalog.clearCache()
-                    spark.sparkContext._jvm.System.gc()
-                    time.sleep(0.2)
-                    t0 = time.perf_counter()
+    try:
+        for n_edges, levels in points:
+            os.environ["KMR_RMAT_EDGES"] = str(n_edges)
+            os.environ["KMR_RMAT_LEVELS"] = str(levels)
+            key = f"E{n_edges}_L{levels}"
+            from pyspark.sql import functions as _F
+            ed = rmat_raw_edges(spark).select("src", "dst").distinct()
+            n_distinct = ed.count()
+            n_nodes = (ed.select(_F.col("src").alias("n"))
+                       .unionAll(ed.select(_F.col("dst").alias("n")))
+                       .distinct().count())
+            graph_shape[key] = {"distinct_edges": n_distinct, "nodes": n_nodes}
+            print(f"{key}: {n_distinct} distinct edges, {n_nodes} nodes")
+            for name in names:
+                try:
+                    fn = queries[name]
                     fn(spark, "/root/testdata/sf0.1").write.format(
-                        "noop").mode("overwrite").save()
-                    best = min(best, time.perf_counter() - t0)
-                times[name][key] = round(best, 3)
-                print(f"{name} @ {key}: {times[name][key]} s")
-            except Exception as exc:
-                errors.setdefault(name, {})[key] = \
-                    f"{type(exc).__name__}: {exc}"
-                print(f"{name} @ {key}: ERROR {type(exc).__name__}: {exc}")
-            with open(path, "w") as f:
-                json.dump({"partial_through": [key, name],
-                           "times": times, "errors": errors}, f, indent=1)
+                        "noop").mode("overwrite").save()  # warmup
+                    best = math.inf
+                    for _ in range(repeat):
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                        time.sleep(0.2)
+                        t0 = time.perf_counter()
+                        fn(spark, "/root/testdata/sf0.1").write.format(
+                            "noop").mode("overwrite").save()
+                        best = min(best, time.perf_counter() - t0)
+                    times[name][key] = round(best, 3)
+                    print(f"{name} @ {key}: {times[name][key]} s")
+                except Exception as exc:
+                    errors.setdefault(name, {})[key] = \
+                        f"{type(exc).__name__}: {exc}"
+                    print(f"{name} @ {key}: ERROR {type(exc).__name__}: {exc}")
+                with open(path, "w") as f:
+                    json.dump({"partial_through": [key, name],
+                               "times": times, "errors": errors}, f, indent=1)
 
-    report: dict[str, dict] = {}
-    for name in names:
-        pts = [(e, times[name][f"E{e}_L{l}"]) for e, l in points
-               if times[name].get(f"E{e}_L{l}", 0) > 0]
-        ent: dict = {"times": times[name]}
-        if name in errors:
-            ent["errors"] = errors[name]
-        if len(pts) >= 2:
-            (x0, t0), (x1, t1) = pts[-2], pts[-1]
-            ent["alpha_last"] = round(
-                math.log(t1 / t0) / math.log(x1 / x0), 3)
-            (xa, ta), (xb, tb) = pts[0], pts[-1]
-            ent["alpha_span"] = round(
-                math.log(tb / ta) / math.log(xb / xa), 3)
-        report[name] = ent
-        print(name, json.dumps(ent))
+        report: dict[str, dict] = {}
+        for name in names:
+            pts = [(e, times[name][f"E{e}_L{l}"]) for e, l in points
+                   if times[name].get(f"E{e}_L{l}", 0) > 0]
+            ent: dict = {"times": times[name]}
+            if name in errors:
+                ent["errors"] = errors[name]
+            if len(pts) >= 2:
+                (x0, t0), (x1, t1) = pts[-2], pts[-1]
+                ent["alpha_last"] = round(
+                    math.log(t1 / t0) / math.log(x1 / x0), 3)
+                (xa, ta), (xb, tb) = pts[0], pts[-1]
+                ent["alpha_span"] = round(
+                    math.log(tb / ta) / math.log(xb / xa), 3)
+            report[name] = ent
+            print(name, json.dumps(ent))
 
-    # engine-invariant CC verify at the largest point (env still set)
-    n_edges, levels = points[-1]
-    checks: dict[str, dict] = {}
-    failures: list[str] = []
+        # engine-invariant CC verify at the largest point (env still set)
+        n_edges, levels = points[-1]
+        checks: dict[str, dict] = {}
+        failures: list[str] = []
 
-    def check(name: str, ok: bool, note: str) -> None:
-        checks[name] = {"ok": bool(ok), "note": note}
-        print(f"graph_components.{name}: {'OK' if ok else 'FAIL'} ({note})")
-        if not ok:
-            failures.append(name)
+        def check(name: str, ok: bool, note: str) -> None:
+            checks[name] = {"ok": bool(ok), "note": note}
+            print(f"graph_components.{name}: {'OK' if ok else 'FAIL'} ({note})")
+            if not ok:
+                failures.append(name)
 
-    from kmr_spark.operators.graph import connected_components
-    from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
-    from kmr_spark.plans.generate import rmat_raw_edges
+        from kmr_spark.operators.graph import connected_components
+        from kmr_spark.operators.sample import _A, _P_MOD, _P_PRE
+        from kmr_spark.plans.generate import rmat_raw_edges
 
-    edges = (rmat_raw_edges(spark).select("src", "dst")
-             .distinct().cache())
-    labels = connected_components(edges, "src", "dst").cache()
-    lbl_a = labels.select(F.col("node").alias("src"),
-                          F.col("label").alias("l_a"))
-    lbl_b = labels.select(F.col("node").alias("dst"),
-                          F.col("label").alias("l_b"))
-    straddle = (edges.join(lbl_a, "src").join(lbl_b, "dst")
-                .filter("l_a <> l_b").count())
-    check("edge_consistency", straddle == 0,
-          f"{straddle} of {edges.count()} distinct edges straddle labels")
-    comp = (labels.groupBy("label")
-            .agg(F.min("node").alias("mn"), F.count("*").alias("sz"))
-            .cache())
-    n_noncanon = comp.filter("mn <> label").count()
-    check("canonical_min_label", n_noncanon == 0,
-          f"{n_noncanon} non-canonical labels of {comp.count()} components")
-    # sampled BFS connectivity (bounded driver collect, like verify())
-    size_cap = 5000
-    sampled = [r.label for r in
-               comp.filter(f"sz >= 2 AND sz <= {size_cap}")
-               .withColumn("_h", F.pmod(F.col("label"), F.lit(_P_PRE))
-                           * _A % _P_MOD)
-               .orderBy("_h", "label").limit(50).collect()]
-    mem_rows = (labels.filter(F.col("label").isin(sampled))
-                .select("label", "node").collect())
-    members: dict = {}
-    for r in mem_rows:
-        members.setdefault(r.label, set()).add(r.node)
-    e_rows = (edges.join(lbl_a, "src")
-              .filter(F.col("l_a").isin(sampled))
-              .select("src", "dst").collect())
-    adj: dict = {}
-    for r in e_rows:
-        adj.setdefault(r.src, set()).add(r.dst)
-        adj.setdefault(r.dst, set()).add(r.src)
-    n_disconnected = 0
-    for lab, mem in members.items():
-        seen, todo = {lab}, [lab]
-        while todo:
-            u = todo.pop()
-            for v in adj.get(u, ()):
-                if v in mem and v not in seen:
-                    seen.add(v)
-                    todo.append(v)
-        if seen != mem:
-            n_disconnected += 1
-    check("sampled_connectivity", bool(members) and n_disconnected == 0,
-          f"{len(members)} components BFS-checked "
-          f"({sum(len(m) for m in members.values())} nodes, "
-          f"{len(e_rows)} edges), {n_disconnected} disconnected")
-    for var in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS", "KMR_RMAT_MIX"):
-        os.environ.pop(var, None)
+        edges = (rmat_raw_edges(spark).select("src", "dst")
+                 .distinct().cache())
+        labels = connected_components(edges, "src", "dst").cache()
+        lbl_a = labels.select(F.col("node").alias("src"),
+                              F.col("label").alias("l_a"))
+        lbl_b = labels.select(F.col("node").alias("dst"),
+                              F.col("label").alias("l_b"))
+        straddle = (edges.join(lbl_a, "src").join(lbl_b, "dst")
+                    .filter("l_a <> l_b").count())
+        check("edge_consistency", straddle == 0,
+              f"{straddle} of {edges.count()} distinct edges straddle labels")
+        comp = (labels.groupBy("label")
+                .agg(F.min("node").alias("mn"), F.count("*").alias("sz"))
+                .cache())
+        n_noncanon = comp.filter("mn <> label").count()
+        check("canonical_min_label", n_noncanon == 0,
+              f"{n_noncanon} non-canonical labels of {comp.count()} components")
+        # sampled BFS connectivity (bounded driver collect, like verify())
+        size_cap = 5000
+        sampled = [r.label for r in
+                   comp.filter(f"sz >= 2 AND sz <= {size_cap}")
+                   .withColumn("_h", F.pmod(F.col("label"), F.lit(_P_PRE))
+                               * _A % _P_MOD)
+                   .orderBy("_h", "label").limit(50).collect()]
+        mem_rows = (labels.filter(F.col("label").isin(sampled))
+                    .select("label", "node").collect())
+        members: dict = {}
+        for r in mem_rows:
+            members.setdefault(r.label, set()).add(r.node)
+        e_rows = (edges.join(lbl_a, "src")
+                  .filter(F.col("l_a").isin(sampled))
+                  .select("src", "dst").collect())
+        adj: dict = {}
+        for r in e_rows:
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        n_disconnected = 0
+        for lab, mem in members.items():
+            seen, todo = {lab}, [lab]
+            while todo:
+                u = todo.pop()
+                for v in adj.get(u, ()):
+                    if v in mem and v not in seen:
+                        seen.add(v)
+                        todo.append(v)
+            if seen != mem:
+                n_disconnected += 1
+        check("sampled_connectivity", bool(members) and n_disconnected == 0,
+              f"{len(members)} components BFS-checked "
+              f"({sum(len(m) for m in members.values())} nodes, "
+              f"{len(e_rows)} edges), {n_disconnected} disconnected")
+    finally:
+        for var in ("KMR_RMAT_EDGES", "KMR_RMAT_LEVELS", "KMR_RMAT_MIX",
+                    "KMR_RMAT_SWEEP"):
+            os.environ.pop(var, None)
 
     summary = {
         "metric": "kmr_spark graph-family weak-scaling sweep "

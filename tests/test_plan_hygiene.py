@@ -317,20 +317,29 @@ def test_salted_user_join_is_sort_merge_on_salted_key(spark):
     assert "__salt" in plan  # join key carries the salt
 
 
-def test_editdistance_block_join_is_salted(spark):
-    """The length-band self-join must carry the salt in its join keys:
-    a (lang, band) block is one hash key, so an unsalted join
-    serializes each block's quadratic candidate emission onto one
-    partition (measured 40+ min in one stage at 500k docs).  The salt
-    column must reach the join condition, and the plan must stay
-    cartesian-free.  (Broadcast COUNT is not asserted — at toy sf
-    every side fits under the threshold and Catalyst broadcasts
-    freely; the salt-in-keys property is scale-independent.)"""
-    from kmr_spark.llm_ops.dedup import editdistance_pairs
+def test_editdistance_block_join_two_regimes(spark, monkeypatch):
+    """The length-band self-join is data-sized into two regimes
+    (VERDICT r10 ask #3).  Small corpus: NO salt machinery (its extra
+    join child made the planner build on the wrong side), right side
+    broadcast-hinted, left side widened so the broadcast probe is
+    parallel — the plan must show a broadcast join plus the round-robin
+    widen exchange and no salt.  Large corpus (forced here by shrinking
+    _DOCS_PER_SALT): the salt must reach the join keys, splitting each
+    (lang, band) block's single hash key across tasks (unsalted:
+    measured 40+ min in one stage at 500k docs).  Both plans must stay
+    cartesian-free."""
+    import kmr_spark.llm_ops.dedup as dd
 
-    plan = _plan(editdistance_pairs(spark, SF))
-    assert "salt" in plan  # join key carries the salt
-    assert "CartesianProduct" not in plan
+    small = _plan(dd.editdistance_pairs(spark, SF))
+    assert "salt" not in small
+    assert "BroadcastHashJoin" in small
+    assert "REPARTITION_BY_NUM" in small or "RoundRobinPartitioning" in small
+    assert "CartesianProduct" not in small
+
+    monkeypatch.setattr(dd, "_DOCS_PER_SALT", 100)
+    large = _plan(dd.editdistance_pairs(spark, SF))
+    assert "salt" in large  # join key carries the salt
+    assert "CartesianProduct" not in large
 
 
 def test_window_parity_single_exchange(spark):

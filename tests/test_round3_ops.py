@@ -121,6 +121,22 @@ def test_editdistance_blocking_is_recall_exact(spark):
     assert got == naive
 
 
+def test_editdistance_salted_regime_same_pairs(spark, monkeypatch):
+    # the large-corpus salted join (forced by shrinking the docs-per-
+    # salt knob) must emit the identical pair set — each pair meets at
+    # exactly the left doc's salt, so salting is a pure split of the
+    # block work, never a recall change
+    import kmr_spark.llm_ops.dedup as dd
+
+    base = {(r.doc_a, r.doc_b, r.edit_distance)
+            for r in dd.editdistance_pairs(spark, SF_SMALL).collect()}
+    monkeypatch.setattr(dd, "_DOCS_PER_SALT", 50)
+    assert dd._edit_join_salts(spark, SF_SMALL) > 1
+    salted = {(r.doc_a, r.doc_b, r.edit_distance)
+              for r in dd.editdistance_pairs(spark, SF_SMALL).collect()}
+    assert salted == base
+
+
 # ------------------------------------------------------ incremental merge
 
 def test_merge_equals_direct_aggregate_any_cutoff(spark):
