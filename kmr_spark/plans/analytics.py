@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kmr_spark.plans.tpch import SQL_VOLUME_I, _rev_double, _volume_i
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
@@ -232,13 +232,12 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_tumbling_window proves stream/batch equivalence inside the
     driver's correctness gate."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, sized_state_partitions, stream_events,
         tumbling_counts_stream)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             tumbling_counts_stream(stream_events(spark, sf_dir)),
@@ -260,13 +259,12 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's correctness gate — the tumbling/session/dedup streamed
     queries already pin their shapes; this closes the sliding one."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, sized_state_partitions, sliding_counts_stream,
         stream_events)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             sliding_counts_stream(stream_events(spark, sf_dir)),
@@ -520,13 +518,12 @@ def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the stateful operator's stream/batch equivalence inside the
     driver's correctness gate."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, sessionize_stateful_stream,
         sized_state_partitions, stream_events)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         emitted = run_available_now(
             sessionize_stateful_stream(stream_events(spark, sf_dir)),
@@ -584,7 +581,6 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen-wins is deterministic regardless of arrival order and the
     batch oracle is simply the events table itself."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (
         run_available_now, sized_state_partitions, stream_events,
@@ -595,7 +591,7 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("__copy")
     )
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             streaming_dedup(dup), "events_dedup_streamed_sink", ck,
@@ -617,7 +613,6 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension, then the enriched rows roll up batch-side per
     (market segment, event type). Oracle = the plain batch join."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (enrich_stream,
                                              run_available_now,
@@ -627,7 +622,7 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_tables(spark, sf_dir)["customer"].select(
         "c_custkey", "c_mktsegment")
     enriched = enrich_stream(stream_events(spark, sf_dir), dim)
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             enriched, "events_enriched_sink", ck, output_mode="append",
@@ -663,7 +658,6 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the streaming graph single-stateful-operator. Inner join →
     deterministic pair set → exact batch oracle."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (attribution_join_stream,
                                              run_available_now,
@@ -674,7 +668,7 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = attribution_join_stream(
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"))
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             pairs, "events_attribution_streamed_sink", ck,
@@ -716,7 +710,6 @@ def events_attribution_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
     unmatched purchases are still in state when the bounded replay
     ends, by design — they are not yet provably organic)."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (attribution_outer_stream,
                                              run_available_now,
@@ -727,7 +720,7 @@ def events_attribution_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
     pairs = attribution_outer_stream(
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"))
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             pairs, "events_attribution_outer_sink", ck,
@@ -1281,7 +1274,6 @@ def events_attribution_full_streamed(spark: SparkSession, sf_dir: str) -> DataFr
     only becomes provably unconverted once the watermark clears its
     whole forward join window), wm = min(max p_ts, max c_ts) - 1h."""
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (attribution_full_stream,
                                              run_available_now,
@@ -1292,7 +1284,7 @@ def events_attribution_full_streamed(spark: SparkSession, sf_dir: str) -> DataFr
     pairs = attribution_full_stream(
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"))
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
+    ck = scratch_dir("kmr_stream_ck_")
     try:
         out = run_available_now(
             pairs, "events_attribution_full_sink", ck,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 CUTOFF = "2024-01-16 00:00:00"  # events span 2024-01; mid-month split
 
@@ -116,14 +116,13 @@ def events_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into micro-batches — same oracle as events_incremental_merge.
     """
     import shutil
-    import tempfile
 
     from kmr_spark.streaming.windows import (merge_stream_to_state,
                                              sized_state_partitions,
                                              stream_events)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
-    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    ck = scratch_dir("kmr_stream_ck_")
+    st = scratch_dir("kmr_stream_state_")
     try:
         from kmr_spark.session import sized_shuffle_partitions
         with sized_shuffle_partitions(

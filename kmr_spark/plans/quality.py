@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from kmr_spark.operators.validate import (accepted_values, check, in_range,
                                           matches, not_null, referential,
                                           unique)
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -89,7 +89,6 @@ def events_gate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same corruption.
     """
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -127,7 +126,7 @@ def events_gate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_id") % 101 == 0, F.lit(-5.0))
             .otherwise(F.col("value")))
 
-    dirs = [tempfile.mkdtemp(prefix=f"kmr_gate_{k}_")
+    dirs = [scratch_dir(f"kmr_gate_{k}_")
             for k in ("ok", "dlq", "ck1", "ck2")]
     ok_dir, dlq_dir, ck1, ck2 = dirs
     try:
@@ -344,7 +343,6 @@ def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side combinable.
     """
     import shutil
-    import tempfile
 
     from kmr_spark.sources.files import read_jsonl, save_jsonl
 
@@ -352,7 +350,7 @@ def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.unix_micros("ts").alias("us"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"))
-    d = tempfile.mkdtemp(prefix="kmr_jsonl_rt_")
+    d = scratch_dir("kmr_jsonl_rt_")
     try:
         save_jsonl(ev, d)
         back = read_jsonl(

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 HLL_B = 6                 # 2^6 = 64 registers -> ~13% standard error
 HLL_M = 1 << HLL_B
@@ -235,15 +235,14 @@ def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent, the result is bit-equal to the batch events_hll_hourly
     whatever the micro-batch split — same oracle proves it."""
     import shutil
-    import tempfile
 
     from kmr_spark.session import sized_shuffle_partitions
     from kmr_spark.streaming.windows import (hll_stream_to_state,
                                              sized_state_partitions,
                                              stream_events)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
-    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    ck = scratch_dir("kmr_stream_ck_")
+    st = scratch_dir("kmr_stream_state_")
     try:
         with sized_shuffle_partitions(
                 spark, n_partitions=sized_state_partitions(spark, sf_dir)):

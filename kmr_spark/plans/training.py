@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from kmr_spark.operators.sample import hash_bucket, sql_bucket, stratified_sample
 from kmr_spark.operators.sort import ranking
-from kmr_spark.session import load_tables, widen
+from kmr_spark.session import load_tables, scratch_dir, widen
 
 N_EPOCHS = 2
 
@@ -406,13 +406,12 @@ def train_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-Spark loader) can recompute placement.
     """
     import shutil
-    import tempfile
 
     from kmr_spark.operators.sample import hash_bucket
 
     m = users_feature_matrix(spark, sf_dir).withColumn(
         "shard", (hash_bucket(F.col("user_id")) % EXPORT_SHARDS).cast("int"))
-    d = tempfile.mkdtemp(prefix="kmr_export_")
+    d = scratch_dir("kmr_export_")
     try:
         m.write.mode("overwrite").partitionBy("shard").parquet(d)
         back = spark.read.parquet(d)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 
 def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,15 +228,14 @@ def events_trending_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state never exceeds the rollup size.
     """
     import shutil
-    import tempfile
 
     from kmr_spark.session import sized_shuffle_partitions
     from kmr_spark.streaming.windows import (sized_state_partitions,
                                              stream_events,
                                              versioned_merge_stream)
 
-    ck = tempfile.mkdtemp(prefix="kmr_stream_ck_")
-    st = tempfile.mkdtemp(prefix="kmr_stream_state_")
+    ck = scratch_dir("kmr_stream_ck_")
+    st = scratch_dir("kmr_stream_state_")
     try:
         with sized_shuffle_partitions(
                 spark, n_partitions=sized_state_partitions(spark, sf_dir)):

@@ -43,13 +43,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmr_spark.operators.sample import hash_bucket, sql_bucket
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, scratch_dir
 
 US_HOUR = 3_600_000_000
 US_DAY = 24 * US_HOUR
@@ -264,9 +263,9 @@ def events_drop_audit_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     arrivals = _with_arrival(load_tables(spark, sf_dir)["events"]).select(
         "us", "cents", "arrival_day")
-    stage = tempfile.mkdtemp(prefix="kmr_wm_stage_")
-    stream_dir = tempfile.mkdtemp(prefix="kmr_wm_stream_")
-    ck = tempfile.mkdtemp(prefix="kmr_wm_ck_")
+    stage = scratch_dir("kmr_wm_stage_")
+    stream_dir = scratch_dir("kmr_wm_stream_")
+    ck = scratch_dir("kmr_wm_ck_")
     try:
         # one file per ingest day: repartition by day puts each day
         # wholly in one task, so partitionBy emits exactly one part
