@@ -277,6 +277,37 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: Per-row weighted SimHash over the token-hash array ``th`` — ONE
+#: higher-order expression instead of the r10 explode + 32-sum groupBy.
+#: That shape shuffled one row PER TOKEN OCCURRENCE just to re-group
+#: them by doc_id (guide §2.4 "remove shuffles outright": the group key
+#: is the row the array already lives in); this computes the identical
+#: integer bit sums in-place, in the same whole-stage-codegen pipeline
+#: as the scan, and drops the per-token Exchange + HashAggregate pair
+#: from every SimHash consumer (dedup_simhash / clusters / summary /
+#: leakage split).  Exactness: same ±1 integer additions per (token
+#: occurrence, bit), integer addition is order-free, and the bit fold
+#: is unchanged — bit-identical simhash values (value-equality pinned
+#: by test_round3_ops).  One expression tree (not 32 projected sum
+#: columns) so the inner aggregate is evaluated once per row.
+_SIMHASH_EXPR_SQL = f"""
+aggregate(
+  zip_with(
+    aggregate(th, array_repeat(CAST(0 AS LONG), {H.SIMHASH_BITS}),
+              (acc, h) -> transform(acc, (x, i) ->
+                  x + (shiftright(h, i) & 1) * 2 - 1)),
+    sequence(0, {H.SIMHASH_BITS - 1}),
+    (s, i) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS LONG), i)
+                   ELSE CAST(0 AS LONG) END),
+  CAST(0 AS LONG), (acc, x) -> acc + x)
+""".strip()
+
+
+def _simhash_col() -> F.Column:
+    # F.expr needs a live SparkContext, so build the column lazily
+    return F.expr(_SIMHASH_EXPR_SQL)
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
     """Near-duplicate pairs via 32-bit frequency-weighted SimHash with
     banded candidate generation (4 bands of 8 bits; pigeonhole guarantees
@@ -289,17 +320,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFr
     docs = widen(load_tables(spark, sf_dir)["documents"])
     th_table = H.token_hash_table(docs)
     hashes = th_table.filter(F.size("th") > 0)
-    exploded = hashes.select("doc_id", F.explode("th").alias("h"))
-    bit_sums = exploded.groupBy("doc_id").agg(*[
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"s{i}")
-        for i in range(H.SIMHASH_BITS)
-    ])
-    simhash = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s{i}") > 0, 1).otherwise(0).cast("long") * (1 << i))
-            for i in range(H.SIMHASH_BITS)
-        ).alias("simhash"),
+    simhash = hashes.select(
+        "doc_id", _simhash_col().alias("simhash"),
     ).persist()  # reused by both sides of the band self-join
     bands = simhash.select(
         "doc_id", "simhash",
