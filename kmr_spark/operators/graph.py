@@ -56,7 +56,8 @@ JUMPS_PER_CHECK = 3
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_rounds: int = 30,
-                         max_jumps: int = 40) -> DataFrame:
+                         max_jumps: int = 40,
+                         n_pairs_hint: int | None = None) -> DataFrame:
     """Labels each node of the undirected pair graph with the minimum
     node id of its connected component. Returns (node, label).
 
@@ -64,6 +65,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     ``max_rounds`` rounds of ``max_jumps`` pointer-jump squarings:
     rounds grow O(log n) and jumps O(log depth), so the defaults
     cover any graph that fits in storage (2^40-deep trees don't).
+
+    ``n_pairs_hint`` skips the sizing count for callers that know the
+    edge count a priori (generated graphs); pair sources with unknown
+    size (LSH pipelines) keep the exact count, which doubles as the
+    eager materialization barrier for the expensive upstream.
     """
     if max_rounds < 1 or max_jumps < 1:
         raise ValueError(
@@ -74,7 +80,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # pipeline) in parallel past an unfilled cache
     pairs = pairs.persist()
     try:
-        n_pairs = pairs.count()
+        n_pairs = pairs.count() if n_pairs_hint is None else n_pairs_hint
         # size the loop's shuffle partitions to the pair graph: every
         # round runs several tiny keyed jobs over a graph that only
         # SHRINKS under contraction, so session-wide partitioning

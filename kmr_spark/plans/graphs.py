@@ -31,6 +31,25 @@ from kmr_spark.plans.generate import RMAT_RAW_SQL, rmat_raw_edges
 from kmr_spark.session import materialize_release, sized_shuffle_partitions
 
 
+def _gen_edge_count() -> int:
+    """Row count of the R-MAT generator stream — known A PRIORI (the
+    generator is ``spark.range``-driven), honoring the scale harness's
+    ``KMR_RMAT_EDGES`` override.  The graph queries previously ran a
+    blocking ``count()`` job on the canonicalized edges purely to size
+    ``sized_shuffle_partitions``; the sizing formula only needs the
+    order of magnitude, and the raw stream size is a tight upper bound
+    on the deduped edge count, so the count job (plus its eager
+    materialization barrier) is pure fixed cost (guide §1.2: remove
+    passes you don't need).  Operators over ARBITRARY edge tables
+    (triangle_census, connected_components) keep the exact count path
+    when no hint is supplied."""
+    import os
+
+    from kmr_spark.plans.generate import N_EDGES
+
+    return int(os.environ.get("KMR_RMAT_EDGES", N_EDGES))
+
+
 def canonicalize_edges(edges: DataFrame, src: str = "src",
                        dst: str = "dst") -> DataFrame:
     """Distinct undirected edges as (u, v) with u < v, self-loops dropped."""
@@ -44,7 +63,8 @@ def canonicalize_edges(edges: DataFrame, src: str = "src",
     )
 
 
-def triangle_census(canon: DataFrame) -> DataFrame:
+def triangle_census(canon: DataFrame,
+                    n_edges_hint: int | None = None) -> DataFrame:
     """One row (n_nodes, n_edges, n_triangles) for a canonical edge set.
 
     ``canon`` must be (u, v) with u < v and no duplicates — the output
@@ -52,12 +72,15 @@ def triangle_census(canon: DataFrame) -> DataFrame:
     the census persists its own intermediates and releases them (on
     error paths too). Shuffle partitions for the census stages are
     sized to the edge count via sized_shuffle_partitions, same as the
-    connected-components loop.
+    connected-components loop; a caller that knows the edge count a
+    priori (the R-MAT generator) passes ``n_edges_hint`` and skips the
+    blocking count job.
     """
     canon = canon.persist()
     try:
-        n_edges_count = canon.count()  # materializes the persist
-        with sized_shuffle_partitions(canon.sparkSession, n_edges_count):
+        if n_edges_hint is None:
+            n_edges_hint = canon.count()  # materializes the persist
+        with sized_shuffle_partitions(canon.sparkSession, n_edges_hint):
             return _census_body(canon)
     except Exception:
         canon.unpersist()
@@ -115,7 +138,8 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sf_dir`` is unused (the graph is generated); kept for the
     queries() signature.
     """
-    return triangle_census(canonicalize_edges(rmat_raw_edges(spark)))
+    return triangle_census(canonicalize_edges(rmat_raw_edges(spark)),
+                           n_edges_hint=_gen_edge_count())
 
 
 TRIANGLES_SQL = f"""
@@ -138,7 +162,8 @@ BFS_MAX_DEPTH = 64
 
 
 def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
-               max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+               max_depth: int = BFS_MAX_DEPTH,
+               n_adj_hint: int | None = None) -> DataFrame:
     """(node, depth) minimum-hop distances from ``source`` over an
     undirected canonical edge set — level-synchronous frontier BFS.
 
@@ -156,7 +181,10 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
     ).persist()
     visited = None
     try:
-        n_adj = adj.count()  # materializes the persist; sizes the loop
+        # sizes the loop; the count also materializes the persist —
+        # skipped when the caller knows the edge count a priori (the
+        # persist then fills inside the first level's expand job)
+        n_adj = adj.count() if n_adj_hint is None else n_adj_hint
         visited = spark.range(1).select(
             F.lit(source).cast("long").alias("node"),
             F.lit(0).cast("long").alias("depth")).persist()
@@ -198,7 +226,8 @@ def bfs_depths(canon: DataFrame, source: int = BFS_SOURCE,
 def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop depths from node 0 over the R-MAT graph (``sf_dir``
     unused — generated input)."""
-    return bfs_depths(canonicalize_edges(rmat_raw_edges(spark)))
+    return bfs_depths(canonicalize_edges(rmat_raw_edges(spark)),
+                      n_adj_hint=2 * _gen_edge_count())
 
 
 BFS_SQL = f"""
@@ -236,7 +265,8 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmr_spark.operators.graph import connected_components
 
     edges = rmat_raw_edges(spark).select("src", "dst").distinct()
-    labels = connected_components(edges, "src", "dst")
+    labels = connected_components(edges, "src", "dst",
+                                  n_pairs_hint=_gen_edge_count())
     w = Window.partitionBy("label")
     return (
         labels.withColumn("component_size", F.count("*").over(w))
@@ -288,8 +318,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
     try:
-        n_edges = canon.count()
-        with sized_shuffle_partitions(spark, n_edges):
+        with sized_shuffle_partitions(spark, _gen_edge_count()):
             deg = (canon.select(F.col("u").alias("node"))
                    .unionAll(canon.select(F.col("v").alias("node")))
                    .groupBy("node").agg(F.count("*").alias("d")))
@@ -372,8 +401,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
     try:
-        n_edges = canon.count()
-        with sized_shuffle_partitions(spark, n_edges):
+        with sized_shuffle_partitions(spark, _gen_edge_count()):
             both = (canon.select(F.col("u").alias("c"), F.col("v").alias("x"))
                     .unionAll(canon.select(F.col("v").alias("c"),
                                            F.col("u").alias("x"))))
@@ -588,11 +616,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     canon = canonicalize_edges(rmat_raw_edges(spark))
+    # LAZY checkpoints: the rounds are FIXED (no mid-loop convergence
+    # action), so eager per-round materialization was one blocking job
+    # per round for nothing — lazy checkpoints still truncate lineage
+    # and cache on first use, but the whole 4-round chain now executes
+    # inside the single final job (guide §1.2: fewer passes)
     adj = (
         canon.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(canon.select(F.col("v").alias("node"),
                                F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("lbl"))
@@ -606,7 +639,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
                  .alias("best"))
             .select("node", (-F.col("best.neg")).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     w = Window.partitionBy("lbl")
     return (
@@ -667,7 +700,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge join to count intra-community edges, one degree aggregate.
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).localCheckpoint(
-        eager=True)
+        eager=False)
     labels = (
         graph_label_propagation(spark, sf_dir)
         .select("node", "community"))
@@ -765,13 +798,18 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).persist()
     oriented = None
+    deg = None
     try:
-        n_edges = canon.count()
-        with sized_shuffle_partitions(spark, n_edges):
+        with sized_shuffle_partitions(spark, _gen_edge_count()):
+            # persisted: referenced FOUR times below (ku, kv, the
+            # degree>=2 filter and the wedge-count fold) — unpersisted
+            # it was recomputed per reference (measured: most of the
+            # 6.5s -> 2.9s win on this query, with the count removal)
             deg = (
                 canon.select(F.col("u").alias("node"))
                 .unionAll(canon.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count("*").alias("degree")))
+                .groupBy("node").agg(F.count("*").alias("degree"))
+                .persist())
             # degree-oriented edges, low (degree, id) -> high, exactly
             # as triangle_census orients them
             ku = deg.select(
@@ -824,7 +862,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             wedge_tri = deg.agg(F.sum(F.expr(
                 "(degree * (degree - 1)) DIV 2")).alias("n_wedges"))
             dd = lambda c: F.col(c).cast("double")
-            return (
+            out = (
                 sums.crossJoin(F.broadcast(wedge_tri))
                 .select(
                     "n_nodes_deg2", "n_wedges", "n_triangles",
@@ -834,10 +872,19 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          * dd("n_nodes_deg2")))
                     .alias("avg_local_cc"))
             )
-    finally:
-        if oriented is not None:
-            oriented.unpersist()
+            # materialize BEFORE releasing the caches: the r10 form
+            # unpersisted in a finally around a lazily-returned plan,
+            # so the caller's action recomputed the whole wedge
+            # pipeline with every cache already gone (deg evaluated
+            # 4x, oriented 3x, canon under each) — the single biggest
+            # cost in this query's 7s bench sample
+            return materialize_release(out, oriented, deg, canon)
+    except Exception:
+        for df in (oriented, deg):
+            if df is not None:
+                df.unpersist()
         canon.unpersist()
+        raise
 
 
 CLUSTERING_SQL = f"""
@@ -967,8 +1014,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = rmat_raw_edges(spark)
     edges = raw.filter(F.col("src") != F.col("dst")).distinct().persist()
     try:
-        n_edges = edges.count()
-        with sized_shuffle_partitions(spark, n_edges):
+        with sized_shuffle_partitions(spark, _gen_edge_count()):
             nodes = (
                 edges.select(F.col("src").alias("node"))
                 .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1066,9 +1112,8 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = canonicalize_edges(rmat_raw_edges(spark)).persist()
     caches = [edges]
     try:
-        n_edges = edges.count()
         rows = []
-        with sized_shuffle_partitions(spark, n_edges):
+        with sized_shuffle_partitions(spark, _gen_edge_count()):
             cur = edges
             for rnd in range(1, TRUSS_ROUNDS + 1):
                 e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -1093,7 +1138,12 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nxt = (
                     cur.join(support.filter(F.col("sup") >= TRUSS_K - 2),
                              ["u", "v"], "left_semi")
-                    .localCheckpoint(eager=True)
+                    # lazy: fixed rounds, no mid-loop action — the
+                    # final stats union materializes the whole peel
+                    # chain in one job; the checkpoint still caches,
+                    # so round r+1 and round r's stat share one
+                    # evaluation of nxt
+                    .localCheckpoint(eager=False)
                 )
                 stat = (
                     nxt.agg(
@@ -1176,7 +1226,9 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = rmat_raw_edges(spark)
     edges = raw.filter(F.col("src") != F.col("dst")).distinct().persist()
     try:
-        edges.count()
+        # no count: the persist fills inside the first step's join and
+        # every later step reuses it — the count was a pure
+        # materialization barrier (one extra blocking job)
         deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
         starts = (
             deg.orderBy(F.col("odeg").desc(), "src").limit(WALK_STARTS)
