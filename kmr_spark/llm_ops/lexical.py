@@ -588,7 +588,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run_id",
         F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(
             Window.partitionBy("doc_id").orderBy("pos")))
-    words = runs.filter(~F.col("is_stop"))
+    # cache WORDS (the posexplode + per-doc window cumsum subtree) and
+    # PW, the two frames the plan reads twice: with only `phrases`
+    # cached, the tokenize+window pipeline ran 3x (phrases build, both
+    # pw branches) — guide §1.2: each subtree evaluates exactly once.
+    # `phrases` itself is read once (the pw join), so it needs no cache.
+    words = runs.filter(~F.col("is_stop")).persist()
     phrases = (
         words.groupBy("doc_id", "run_id")
         .agg(F.count("*").alias("phrase_len"),
@@ -597,10 +602,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                      lambda s: s["tok"])).alias("phrase"))
-        .persist()
     )
     pw = words.join(phrases, ["doc_id", "run_id"]).select(
-        "doc_id", "run_id", "tok", "phrase_len", "phrase")
+        "doc_id", "run_id", "tok", "phrase_len", "phrase").persist()
     wstats = (
         pw.groupBy("tok")
         .agg(F.sum("phrase_len").alias("deg"), F.count("*").alias("freq"))
@@ -618,7 +622,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") >= RAKE_MIN_OCC)
         .orderBy("phrase")
     )
-    return materialize_release(out, phrases)
+    return materialize_release(out, words, pw)
 
 
 _RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)

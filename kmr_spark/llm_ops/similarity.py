@@ -924,7 +924,12 @@ def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
-    n_docs = docs.count()
+    # parquet-footer row count instead of a blocking count() through
+    # the widen shuffle — same value as COUNT(*) FROM documents
+    from kmr_spark.session import parquet_num_rows
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()
     df_max = max(TFIDF_DF_MAX_FLOOR, n_docs // TFIDF_DF_MAX_SHARE)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
         (F.col("df") >= TFIDF_DF_MIN) & (F.col("df") <= df_max))
@@ -1224,18 +1229,25 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.count(F.when(F.col("probe_rank") <= p, 1))
               .alias(f"h{p}") for p in range(1, N_PROBES + 1)])
     )
-    rows = []
-    for p in range(1, N_PROBES + 1):
-        rows.append(hit_rank.select(
-            F.lit(p).cast("long").alias("probes"),
-            F.col(f"h{p}").alias("hits"),
+    # ONE evaluation of the (1-row) hit aggregate, exploded into the
+    # N_PROBES output rows — the previous N_PROBES-way unionByName of
+    # selects over hit_rank re-ran the whole truth-join tree per
+    # branch (guide §1.2/§2.1: the same expensive subtree evaluated
+    # 8x; plan went from 8 aggregate branches to 1 + a generator)
+    ph = F.explode(F.array(*[
+        F.struct(F.lit(p).cast("long").alias("probes"),
+                 F.col(f"h{p}").alias("hits"))
+        for p in range(1, N_PROBES + 1)])).alias("ph")
+    out = (
+        hit_rank.select(ph, "possible")
+        .select(
+            F.col("ph.probes").alias("probes"),
+            F.col("ph.hits").alias("hits"),
             "possible",
-            F.expr(f"(1000 * h{p}) DIV possible").alias("recall_permille"),
-            (F.col(f"h{p}").cast("double") / F.col("possible").cast("double"))
-            .alias("recall")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+            F.expr("(1000 * ph.hits) DIV possible").alias("recall_permille"),
+            (F.col("ph.hits").cast("double")
+             / F.col("possible").cast("double")).alias("recall"))
+    )
     return materialize_release(out.orderBy("probes"), assigned)
 
 

@@ -207,7 +207,13 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     doclen = terms.groupBy("doc_id").agg(F.count("*").alias("len"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
+    # raw-table cardinality from parquet footer metadata (~ms) instead
+    # of a blocking count() job through the widen shuffle (guide §1.2:
+    # don't run passes you don't need); identical value to COUNT(*)
+    from kmr_spark.session import parquet_num_rows
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()
     scored = (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(df_t), "term")

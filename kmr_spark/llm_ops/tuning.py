@@ -159,15 +159,24 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("source").alias("src_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"),
                     F.col("source").alias("src_b"))
+    from pyspark.sql import Window
+
     cells = (
         pairs.join(a, "doc_a").join(b, "doc_b")
         .select(F.least("src_a", "src_b").alias("source_lo"),
                 F.greatest("src_a", "src_b").alias("source_hi"))
         .groupBy("source_lo", "source_hi")
         .agg(F.count("*").alias("n_pairs")))
-    total = cells.agg(F.sum("n_pairs").alias("total"))
+    # the total over the |sources|^2-sized cells frame comes from an
+    # unpartitioned window, NOT crossJoin(broadcast(cells.agg(...))):
+    # the broadcast side re-ran the entire SimHash pair pipeline + both
+    # metadata joins a second time (guide §1.2: the most expensive
+    # subtree, evaluated twice); the window collapses the tiny cells
+    # frame to one partition, which is exactly its size class
     return (
-        cells.crossJoin(F.broadcast(total))
+        cells.withColumn(
+            "total", F.sum("n_pairs").over(
+                Window.partitionBy(F.lit(1))))
         .selectExpr("source_lo", "source_hi", "n_pairs",
                     "(1000 * n_pairs) DIV total AS share_permille"))
 

@@ -12,9 +12,6 @@ explicit ordering.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -88,11 +85,11 @@ def ranking(df: DataFrame, order: list[str | Column],
     1. range-partition + locally sort (``orderBy``) — persisted so the
        two downstream jobs see identical partitioning;
     2. count rows per partition (tiny collect — this is KMR's MPI_Exscan);
-    3. narrow Arrow pass adds offset + local index. No global window
-       (which would serialize through one partition) and no RDD
-       round-trip.
+    3. narrow codegen projection adds offset + local index. No global
+       window (which would serialize through one partition), no RDD
+       round-trip, no Python boundary.
 
-    The offset lookup keys on ``TaskContext.partitionId()``, which is
+    The offset lookup keys on the execution-time partition id, which is
     only the SORT's partition index while the ranked frame is executed
     as its own job — a downstream ``union`` shifts the second child's
     task ids and every offset would silently miss (ranks restart per
@@ -100,6 +97,15 @@ def ranking(df: DataFrame, order: list[str | Column],
     pass ``materialize=True``: the rows are computed immediately in
     their own job (correct ids), the lineage is cut, and the internal
     sort cache is released.
+
+    The offset add is PURE CODEGEN (guide §4.1: no Python boundary):
+    rank = exscan_offset[partition] + in-partition row index, where the
+    index comes from ``monotonically_increasing_id``'s documented
+    layout (partition id in the upper bits, consecutive 0-based record
+    number in the lower 33) and the offset from an array literal
+    indexed by ``spark_partition_id`` — the previous ``mapInPandas``
+    pass shipped every row out to Python workers and back through
+    Arrow just to add this one column.
     """
     sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
@@ -114,28 +120,14 @@ def ranking(df: DataFrame, order: list[str | Column],
         offsets[r["pid"]] = acc
         acc += r["count"]
 
-    out_schema = "rank long, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields
-    )
-    from pyspark import TaskContext
-
-    # ship the exscan table as a broadcast, not a task closure: closure
-    # capture re-pickles the dict into EVERY task; a broadcast is sent
-    # once per executor (matters at high |partitions|)
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offsets = b_offsets.value
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf.insert(0, "rank", range(pos, pos + n))
-            pos += n
-            yield pdf
-
-    out = sdf.mapInPandas(add_rank, schema=out_schema)
+    n_parts = max(max(offsets, default=-1) + 1, 1)
+    arr = F.array(*[F.lit(offsets.get(p, 0)).cast("long")
+                    for p in range(n_parts)])
+    pid = F.spark_partition_id()
+    idx = (F.monotonically_increasing_id()
+           - F.shiftleft(pid.cast("long"), 33))
+    out = sdf.select(
+        (F.element_at(arr, pid + F.lit(1)) + idx).alias("rank"), "*")
     if materialize:
         from kmr_spark.session import materialize_release
 
@@ -157,11 +149,14 @@ def ranking_per_group(df: DataFrame, group_cols: list[str],
     the data range-partitioned instead: sort by (group, order) — the
     RangePartitioner spreads each group across MANY partitions — then
     exscan per-(partition, group) counts driver-side (tiny: at most
-    |partitions|x|groups| rows) and add offsets in one narrow Arrow
-    pass. Adds ``rank`` (0-based within group) and ``n_group`` columns.
+    |partitions|x|groups| rows) and add offsets in one narrow CODEGEN
+    projection (literal-map lookup + in-partition record index — no
+    Python boundary, guide §4.1). Adds ``rank`` (0-based within group)
+    and ``n_group`` columns.
 
-    Group keys must be null-free, hashable scalars (strings/ints);
-    same TaskContext caveat as :func:`ranking` — pass
+    Group keys must be null-free strings/ints/bools (they are rendered
+    into the lookup keys with cast-to-string semantics on both sides);
+    same partition-id caveat as :func:`ranking` — pass
     ``materialize=True`` when composing into a union. With
     ``materialize=False`` the internal sorted persist stays live for
     the lazy result; callers composing several rankings can pass a
@@ -182,56 +177,61 @@ def ranking_per_group(df: DataFrame, group_cols: list[str],
         StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
         cache_registry.append(sdf)
+    # per-(partition, group) count AND first in-partition row index
+    # (min monotonically_increasing_id, masked): both jobs read the
+    # SAME persisted sort, so the record numbers agree between this
+    # pass and the output projection below
+    mid_idx = (F.monotonically_increasing_id()
+               - F.shiftleft(F.spark_partition_id().cast("long"), 33))
     counts = (
-        sdf.select(F.spark_partition_id().alias("pid"), *gcols)
+        sdf.select(F.spark_partition_id().alias("pid"), *gcols,
+                   mid_idx.alias("__idx"))
         .groupBy("pid", *gcols)
-        .count()
+        .agg(F.count("*").alias("count"), F.min("__idx").alias("start"))
         .collect()
     )
-    offsets: dict[tuple, int] = {}
     totals: dict[tuple, int] = {}
+    # adj = global-exscan offset of (pid, group) MINUS the group's
+    # first in-partition row index, so rank = adj + in-partition index
+    # — one codegen add per row, no Python boundary (guide §4.1; the
+    # previous mapInPandas pass shipped the whole frame through Arrow)
+    adj: dict[tuple, int] = {}
     for r in sorted(counts, key=lambda r: r["pid"]):
         key = tuple(r[c] for c in gcols)
-        offsets[(r["pid"],) + key] = totals.get(key, 0)
+        adj[(r["pid"],) + key] = totals.get(key, 0) - r["start"]
         totals[key] = totals.get(key, 0) + r["count"]
 
-    out_schema = "rank long, n_group long, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields
-    )
-    from pyspark import TaskContext
+    # LITERAL MAP lookup keyed by "pid<US>group...": stays inside the
+    # cached scan's codegen stage (a broadcast-join lookup measured
+    # ~0.3-0.7 s SLOWER per query here — local-relation build + join
+    # planning — and a map literal of |partitions|x|groups| entries is
+    # KBs). Group values are rendered with Spark's own cast-to-string
+    # on both sides, so the keys agree byte-for-byte.
+    sep = "\x1f"
+    key_of = F.concat_ws(
+        sep, F.spark_partition_id().cast("string"),
+        *[F.col(c).cast("string") for c in gcols])
+    gkey_of = F.concat_ws(sep, *[F.col(c).cast("string") for c in gcols])
 
-    import numpy as np
+    def _str(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
 
-    # broadcast the exscan tables (≤ |partitions|×|groups| entries):
-    # closure capture would re-pickle them into every task
-    b_tables = df.sparkSession.sparkContext.broadcast((offsets, totals))
-
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offsets, totals = b_tables.value
-        pid = TaskContext.get().partitionId()
-        seen: dict[tuple, int] = {}
-        for pdf in batches:
-            n = len(pdf)
-            ranks = np.empty(n, dtype="int64")
-            ngrp = np.empty(n, dtype="int64")
-            if gcols:
-                for key, idx in pdf.groupby(gcols, sort=False).indices.items():
-                    kt = key if isinstance(key, tuple) else (key,)
-                    base = offsets.get((pid,) + kt, 0) + seen.get(kt, 0)
-                    ranks[idx] = base + np.arange(len(idx))
-                    ngrp[idx] = totals.get(kt, 0)
-                    seen[kt] = seen.get(kt, 0) + len(idx)
-            else:
-                base = offsets.get((pid,), 0) + seen.get((), 0)
-                ranks[:] = base + np.arange(n)
-                ngrp[:] = totals.get((), 0)
-                seen[()] = seen.get((), 0) + n
-            pdf = pdf.copy()
-            pdf.insert(0, "n_group", ngrp)
-            pdf.insert(0, "rank", ranks)
-            yield pdf
-
-    out = sdf.mapInPandas(add_rank, schema=out_schema)
+    adj_entries: list = []
+    for pid_key, a in adj.items():
+        k = sep.join([_str(pid_key[0])] + [_str(v) for v in pid_key[1:]])
+        adj_entries += [F.lit(k), F.lit(int(a)).cast("long")]
+    tot_entries: list = []
+    for gkey, t in totals.items():
+        tot_entries += [F.lit(sep.join(_str(v) for v in gkey)),
+                        F.lit(int(t)).cast("long")]
+    adj_map = F.create_map(*adj_entries) if adj_entries else F.create_map()
+    tot_map = F.create_map(*tot_entries) if tot_entries else F.create_map()
+    out = sdf.select(
+        (F.element_at(adj_map, key_of) + mid_idx).alias("rank"),
+        F.element_at(tot_map, gkey_of).alias("n_group"),
+        "*")
     if materialize:
         from kmr_spark.session import materialize_release
 

@@ -270,16 +270,25 @@ def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("grp")
             .agg(F.min("sday").alias("lo_day"), F.max("sday").alias("hi_day"))
         )
-        for probe, lo, hi in ZONEMAP_PROBES:
-            outs.append(zones.agg(
-                F.lit(name).alias("layout"),
-                F.lit(probe).alias("probe"),
-                F.count("*").alias("n_groups"),
-                F.count(F.when((F.col("hi_day") >= lo)
-                               & (F.col("lo_day") <= hi), 1))
-                .alias("groups_scanned")).select(
-                    "layout", "probe", "n_groups", "groups_scanned",
-                    F.expr("(1000 * groups_scanned) DIV n_groups")
+        # ALL probes in one aggregation pass over the zones (they are
+        # conditional counts with different literals), exploded into
+        # one row per probe — the per-probe zones.agg() branches each
+        # re-aggregated the full ranked frame (guide §1.2: 3 passes ->
+        # 1 per layout; the 6-branch union is now a 2-branch union)
+        agg = zones.agg(
+            F.count("*").alias("n_groups"),
+            *[F.count(F.when((F.col("hi_day") >= lo)
+                             & (F.col("lo_day") <= hi), 1))
+              .alias(f"g_{probe}") for probe, lo, hi in ZONEMAP_PROBES])
+        pr = F.explode(F.array(*[
+            F.struct(F.lit(probe).alias("probe"),
+                     F.col(f"g_{probe}").alias("groups_scanned"))
+            for probe, _, _ in ZONEMAP_PROBES])).alias("pr")
+        outs.append(
+            agg.select(F.lit(name).alias("layout"), pr, "n_groups")
+            .select("layout", F.col("pr.probe").alias("probe"), "n_groups",
+                    F.col("pr.groups_scanned").alias("groups_scanned"),
+                    F.expr("(1000 * pr.groups_scanned) DIV n_groups")
                     .alias("scan_permille")))
     out = outs[0]
     for o in outs[1:]:
