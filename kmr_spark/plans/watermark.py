@@ -296,12 +296,16 @@ def events_drop_audit_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cents").alias("sum_cents")))
         # state stores are per-shuffle-partition fixed cost PER
         # micro-batch, and this replay runs one micro-batch per ingest
-        # day — size the state partitioning to the input volume like
-        # every other streamed replay (measured here: 24.1 s -> with
-        # 32 stores x ~days batches, the commit overhead dominated)
+        # day — size the state partitioning to the PER-BATCH volume
+        # (total/n_days, here ~60 KB: floor 2), not the total: with
+        # 33 batches every extra store is 33 more delta commits for
+        # no parallelism gain (r10: 24.1 s with 32 stores; r11
+        # baseline 14.9 s with 8; 10.5 s with 2 — same rows, same
+        # result, see sized_state_partitions docstring)
         closed = run_available_now(
             agg, "kmr_wm_drop_audit", ck, output_mode="append",
-            state_partitions=sized_state_partitions(spark, sf_dir))
+            state_partitions=sized_state_partitions(
+                spark, sf_dir, floor=2, n_batches=len(days)))
         return (
             closed.select(F.unix_micros(F.col("w.start"))
                           .alias("window_start_us"),
