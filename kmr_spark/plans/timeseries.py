@@ -1039,10 +1039,16 @@ def events_spectral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE aggregation of events to hourly counts (<= 720 rows for
     the 30-day window regardless of input size — the post-agg frame is
-    KBs at 100 TB), a broadcast scalar join for the integer DC offset,
-    then per-period integer dot products against the literal trig
-    tables. Exactness: counts and trig values are BIGINTs, centering
-    uses integer DIV, and the final amplitude is one fixed expression
+    KBs at 100 TB), then ONE aggregation of the hourly frame computing
+    every period's raw dot products at once; the mean-centering is
+    folded in algebraically (sum((x - m) * c) == sum(x * c) -
+    m * sum(c), exact over BIGINTs), so the DC offset needs no second
+    pass and no broadcast join, and the per-period rows come out of the
+    single 1-row aggregate via a literal struct-array inline — the
+    previous union-of-branches form re-aggregated the events table
+    once per branch plus once for the totals (4 parquet scans; this is
+    1). Exactness: counts and trig values are BIGINTs, centering uses
+    integer DIV, and the final amplitude is one fixed expression
     tree (sqrt is correctly rounded per IEEE-754, hence portable).
     """
     ev = load_tables(spark, sf_dir)["events"]
@@ -1052,35 +1058,42 @@ def events_spectral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_trunc('hour', ts))").alias("t"))
         .groupBy("t").agg(F.count("*").alias("x"))
     )
-    totals = hourly.agg(
-        F.count("*").alias("n_hours"), F.sum("x").alias("sx"))
-    centered = (
-        hourly.crossJoin(F.broadcast(totals))
-        .select("t", "n_hours",
-                F.expr("x - (sx DIV n_hours)").alias("y"))
-    )
-    outs = []
+    aggs = [F.count("*").alias("n_hours"), F.sum("x").alias("sx")]
     for period in SPECTRAL_PERIODS:
         cq, sq = _trig_tables(period)
         carr = F.array(*[F.lit(c).cast("long") for c in cq])
         sarr = F.array(*[F.lit(s).cast("long") for s in sq])
         ph = (F.col("t") % period + 1).cast("int")
-        agg = centered.agg(
-            F.max("n_hours").alias("n_hours"),
-            F.sum(F.col("y") * F.element_at(carr, ph)).alias("sum_cos_q"),
-            F.sum(F.col("y") * F.element_at(sarr, ph)).alias("sum_sin_q"))
-        dd = lambda c: F.col(c).cast("double")
-        outs.append(agg.select(
+        aggs += [
+            F.sum(F.col("x") * F.element_at(carr, ph))
+            .alias(f"sxc_{period}"),
+            F.sum(F.element_at(carr, ph)).alias(f"sc_{period}"),
+            F.sum(F.col("x") * F.element_at(sarr, ph))
+            .alias(f"sxs_{period}"),
+            F.sum(F.element_at(sarr, ph)).alias(f"ss_{period}"),
+        ]
+    one = hourly.agg(*aggs)
+    m = F.expr("sx DIV n_hours")
+    rows = F.array(*[
+        F.struct(
             F.lit(period).alias("period"),
-            "n_hours", "sum_cos_q", "sum_sin_q",
+            F.col("n_hours").alias("n_hours"),
+            (F.col(f"sxc_{period}") - m * F.col(f"sc_{period}"))
+            .alias("sum_cos_q"),
+            (F.col(f"sxs_{period}") - m * F.col(f"ss_{period}"))
+            .alias("sum_sin_q"))
+        for period in SPECTRAL_PERIODS])
+    dd = lambda c: F.col(c).cast("double")
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.period", "r.n_hours", "r.sum_cos_q", "r.sum_sin_q")
+        .select(
+            "period", "n_hours", "sum_cos_q", "sum_sin_q",
             (F.sqrt(dd("sum_cos_q") * dd("sum_cos_q")
                     + dd("sum_sin_q") * dd("sum_sin_q"))
              * F.lit(2.0) / (F.lit(1000000.0) * dd("n_hours")))
-            .alias("amplitude")))
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res.orderBy("period")
+            .alias("amplitude"))
+        .orderBy("period"))
 
 
 def _spectral_sql() -> str:
