@@ -75,7 +75,8 @@ def is_globally_sorted(df: DataFrame, *order: str) -> bool:
 
 
 def ranking(df: DataFrame, order: list[str | Column],
-            materialize: bool = False) -> DataFrame:
+            materialize: bool = False,
+            cache_registry: list[DataFrame] | None = None) -> DataFrame:
     """Global 0-based position under an explicit total order
     (kmr_ranking, src/kmrmoreops.c:764-805).
 
@@ -98,6 +99,15 @@ def ranking(df: DataFrame, order: list[str | Column],
     their own job (correct ids), the lineage is cut, and the internal
     sort cache is released.
 
+    ``materialize=True`` localCheckpoints the FULL ranked frame —
+    correct only when the ranked rows themselves are the result
+    (graysort). A caller that immediately REDUCES the ranked frame
+    (zone maps, deciles) must not checkpoint the corpus (guide §5 —
+    at 60M rows the checkpointed blocks OOM an 8g heap): pass
+    ``cache_registry`` instead, aggregate while the sort cache is
+    live, and ``materialize_release(small_result, *registry)`` —
+    same pattern as :func:`ranking_per_group`.
+
     The offset add is PURE CODEGEN (guide §4.1: no Python boundary):
     rank = exscan_offset[partition] + in-partition row index, where the
     index comes from ``monotonically_increasing_id``'s documented
@@ -108,6 +118,8 @@ def ranking(df: DataFrame, order: list[str | Column],
     Arrow just to add this one column.
     """
     sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(sdf)
     counts = (
         sdf.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")

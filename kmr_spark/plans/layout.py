@@ -248,8 +248,16 @@ def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the global ranks come from the distributed exscan ranking
     (no single-partition window); the zone-map census is |groups|
     rows, and the probe evaluation is a literal comparison per group.
+    Each layout's ranked frame is reduced to its zone aggregate while
+    the ranking's internal sort cache is live, and only the
+    PROBE-COUNT rows are checkpointed — the previous
+    ``ranking(materialize=True)`` form localCheckpointed the full
+    ranked lineitem TWICE (once per layout), which held 2x |lineitem|
+    checkpoint blocks on the heap and OOMed the sf10 (60M-row) sweep;
+    now nothing larger than |groups| is ever materialized (guide §5).
     """
     from kmr_spark.operators.sort import ranking
+    from kmr_spark.session import materialize_release
 
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_orderkey", "l_linenumber",
@@ -262,7 +270,8 @@ def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     outs = []
     for name, order in layouts.items():
-        ranked = ranking(li, order, materialize=True)
+        reg: list = []
+        ranked = ranking(li, order, cache_registry=reg)
         zones = (
             ranked.select(
                 F.expr(f"rank DIV {ZONEMAP_GROUP_ROWS}").alias("grp"),
@@ -284,12 +293,15 @@ def lineitem_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(probe).alias("probe"),
                      F.col(f"g_{probe}").alias("groups_scanned"))
             for probe, _, _ in ZONEMAP_PROBES])).alias("pr")
-        outs.append(
+        branch = (
             agg.select(F.lit(name).alias("layout"), pr, "n_groups")
             .select("layout", F.col("pr.probe").alias("probe"), "n_groups",
                     F.col("pr.groups_scanned").alias("groups_scanned"),
                     F.expr("(1000 * pr.groups_scanned) DIV n_groups")
                     .alias("scan_permille")))
+        # materialize the |probes|-row branch (its own job: correct
+        # partition ids for the rank offsets) and release the sort cache
+        outs.append(materialize_release(branch, *reg))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
