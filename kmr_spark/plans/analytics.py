@@ -583,8 +583,8 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from kmr_spark.streaming.windows import (
-        run_available_now, sized_state_partitions, stream_events,
-        streaming_dedup)
+        run_available_now, sized_state_partitions, spill_state_store,
+        stream_events, streaming_dedup)
 
     dup = (
         stream_events(spark, sf_dir)
@@ -593,10 +593,15 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ck = scratch_dir("kmr_stream_ck_")
     try:
+        # dedup state ~ input volume within a bounded replay's single
+        # batch (no watermark eviction until the batch commits): past
+        # STATE_SPILL_BYTES the state must live off-heap (RocksDB) —
+        # the on-heap default OOMed the sf10 10M-event replay
         out = run_available_now(
             streaming_dedup(dup), "events_dedup_streamed_sink", ck,
             output_mode="append",
-            state_partitions=sized_state_partitions(spark, sf_dir))
+            state_partitions=sized_state_partitions(spark, sf_dir),
+            spill_state=spill_state_store(spark, sf_dir))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return out.select("event_id", "user_id", "event_type", "value")

@@ -401,13 +401,62 @@ def sized_state_partitions(spark: SparkSession, sf_dir: str,
     so each store amortizes its commit. Returns None when the input
     size is unknowable (caller keeps the session default).
     """
-    path = os.path.join(sf_dir, table)
-    try:
-        size = os.path.getsize(path)
-    except OSError:
+    size = _replay_input_bytes(os.path.join(sf_dir, table))
+    if size is None:
         return None
     per_batch = -(-size // max(1, n_batches))
     return max(floor, min(cap, -(-per_batch // target_bytes)))
+
+
+def _replay_input_bytes(path: str) -> int | None:
+    """Input volume of a replayed table: file size, or the SUM of leaf
+    part-file sizes when the table is a Spark-written DIRECTORY —
+    ``os.path.getsize`` on a directory returns the dirent size (~4 KB),
+    which silently sized every directory-table replay to the floor."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", ".")))
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+#: input volume beyond which a replay's state store must spill off-heap
+#: (RocksDB provider): the default HDFSBackedStateStore keeps every
+#: state row as on-heap JVM objects, and a bounded replay that ingests
+#: the whole table as one AvailableNow batch gets NO watermark eviction
+#: until the batch commits — state ~ input volume, which OOMed the 8g
+#: heap at the sf10 (10M-event) dedup replay. Parameterized for the
+#: cluster; the local default keeps the driver bench on the (faster at
+#: KB-state) in-memory provider.
+STATE_SPILL_BYTES = int(os.environ.get("KMR_STATE_SPILL_BYTES",
+                                       str(128 << 20)))
+_STATE_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+def _scratch_until_exit(path: str) -> None:
+    """Defer removal of a replay's parquet staging dir to interpreter
+    exit: the caller's ``finally`` deletes its CHECKPOINT dir as soon
+    as the replay commits, but the returned batch DataFrame lazily
+    reads the staged files for as long as the caller keeps it."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def spill_state_store(spark: SparkSession, sf_dir: str,
+                      table: str = "events.parquet") -> bool:
+    """True when a replay of ``table`` should run on the RocksDB state
+    store (off-heap, disk-backed) instead of the on-heap default —
+    decided by input volume vs :data:`STATE_SPILL_BYTES`."""
+    size = _replay_input_bytes(os.path.join(sf_dir, table))
+    return bool(size and size > STATE_SPILL_BYTES)
 
 
 def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
@@ -438,9 +487,29 @@ def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
 
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str,
                       output_mode: str | None = None,
-                      state_partitions: int | None = None) -> DataFrame:
+                      state_partitions: int | None = None,
+                      spill_state: bool = False) -> DataFrame:
     """Execute a bounded replay to a memory sink and return the result
-    as a batch DataFrame (test/verification harness)."""
+    as a batch DataFrame (test/verification harness).
+
+    ``spill_state=True`` marks a replay whose STATE AND OUTPUT scale
+    with input volume (watermark dedup) — pass
+    :func:`spill_state_store`'s verdict. Two things change, neither of
+    which affects results, only where rows live (guide §5):
+
+    - the query runs on the RocksDB state store (off-heap,
+      disk-backed; conf restored after the replay) — the on-heap
+      default holds ~|input| state rows as JVM objects within the
+      single AvailableNow batch and OOMed the sf10 (10M-event) replay;
+    - an append-mode replay stages to a PARQUET sink on session-scoped
+      scratch instead of the memory sink: the memory sink pins every
+      emitted row on the driver heap for the session's lifetime (the
+      sink table outlives the call), and reading it back re-ships the
+      whole result inside task binaries (measured 82 s for the noop of
+      the 10M-row sf10 dedup table vs seconds for the parquet scan).
+      The parquet round-trip preserves values exactly; row order is
+      not part of any replay's contract.
+    """
     if output_mode is None:
         # infer from the logical plan, not column names: stateful
         # flat-map operators need update, aggregations need complete
@@ -453,15 +522,41 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
             output_mode = "complete"
         else:
             output_mode = "append"
-    with sized_shuffle_partitions(stream_df.sparkSession,
-                                  n_partitions=state_partitions):
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    sess = stream_df.sparkSession
+    old_provider = None
+    if spill_state:
+        try:
+            old_provider = sess.conf.get(_STATE_PROVIDER_KEY)
+        except Exception:
+            old_provider = None
+        sess.conf.set(_STATE_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    to_parquet = spill_state and output_mode == "append"
+    try:
+        with sized_shuffle_partitions(sess, n_partitions=state_partitions):
+            if to_parquet:
+                from kmr_spark.session import scratch_dir
+                out_dir = scratch_dir("kmr_stream_out_")
+                _scratch_until_exit(out_dir)
+                writer = (
+                    stream_df.writeStream.format("parquet")
+                    .option("path", out_dir))
+            else:
+                writer = (
+                    stream_df.writeStream.format("memory")
+                    .queryName(query_name))
+            q = (
+                writer.outputMode(output_mode)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if spill_state:
+            if old_provider:
+                sess.conf.set(_STATE_PROVIDER_KEY, old_provider)
+            else:
+                sess.conf.unset(_STATE_PROVIDER_KEY)
+    if to_parquet:
+        return sess.read.parquet(out_dir)
+    return sess.sql(f"SELECT * FROM {query_name}")
