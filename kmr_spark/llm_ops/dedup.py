@@ -325,25 +325,32 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFr
     ).persist()  # reused by both sides of the band self-join
     bands = simhash.select(
         "doc_id", "simhash",
+        # int band key (b << 8 | byte): same buckets as the former
+        # "b:byte" string key, narrower shuffle rows, cheaper hash
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(b),
-                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255))
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255)
+            + F.lit(b * 256)
             for b in range(4)
         ])).alias("band_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # hamming verify BEFORE the dedup distinct: the 8-bit band keys stop
+    # sharding past ~1e5 docs (256 buckets/band), so raw band candidates
+    # grow ~n^2/256 — but both simhashes are already on the joined row,
+    # so the exact verify is a codegen bit_count that runs map-side in
+    # the join stage and only TRUE near-dup pairs (those with multiple
+    # matching bands) reach the distinct's Exchange.  Filter and
+    # distinct commute (the filter is deterministic per row), so the
+    # result set is identical to the verify-after-distinct form.
+    out = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        .distinct()
-    )
-    out = (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     out = out.orderBy("doc_a", "doc_b") if sort else out  # sort: tests only
     return materialize_release(out, simhash, th_table)
