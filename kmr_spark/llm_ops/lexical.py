@@ -133,14 +133,19 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.isNotNull()),
             ))
         ).alias("p"))
+    # both keyed-count frames are read twice (totals + the final join/
+    # broadcast) — persisted so the expensive pair/token explode passes
+    # over the corpus run once, not once per reference
     pair_counts = (
         pair_arrays.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+        .persist()
     )
     uni = (
         docs.select(F.explode(
             F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("c"))
+        .persist()
     )
     n_tok = uni.agg(F.sum("c").alias("nt"))
     n_pairs = pair_counts.agg(F.sum("n_pair").alias("np"))
@@ -155,13 +160,14 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = ((q(F.col("n_pair")) + F.lit(2) * q(F.col("nt")) - q(F.col("np"))
             - q(F.col("c_a")) - q(F.col("c_b"))).cast("double")
            / F.lit(1e6))
-    return (
+    out = (
         pair_counts.filter(F.col("n_pair") >= PMI_MIN_COUNT)
         .join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
         .crossJoin(F.broadcast(n_tok)).crossJoin(F.broadcast(n_pairs))
         .select("a", "b", "n_pair", pmi.alias("pmi"))
         .orderBy("a", "b")
     )
+    return materialize_release(out, pair_counts, uni)
 
 
 PMI_SQL = f"""

@@ -78,8 +78,13 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by Σ C(basket,2) — baskets are small, never all-pairs);
     per-part counts broadcast back onto the |pairs|-sized rule table.
     """
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_orderkey", "l_partkey").distinct()
+    from kmr_spark.session import materialize_release
+
+    # the distinct basket table feeds FOUR branches (order total, part
+    # counts, both self-join sides) — persist the narrow 2-long-column
+    # frame so the lineitem scan + distinct shuffle run once, not 4x
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct().persist())
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders"))
     part_counts = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
@@ -96,7 +101,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("c").alias("n_a"))
     cb = part_counts.select(F.col("l_partkey").alias("part_b"),
                             F.col("c").alias("n_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
         .crossJoin(F.broadcast(n_orders))
@@ -107,6 +112,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * n_ab * n_orders) DIV (n_a * n_b) AS lift_permille")
         .orderBy("part_a", "part_b")
     )
+    return materialize_release(out, li)
 
 
 BASKET_RULES_SQL = f"""

@@ -1174,11 +1174,15 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = (1 << _SHAPLEY_N) - 1
     subsets = spark.range(full + 1).select(F.col("id").cast("int").alias("s"))
+    # 16-row lattice frame read THREE times (vs, vc, totals) — without
+    # the persist each reference re-ran the two user-keyed events
+    # aggregations behind masks (6 corpus scans for a 16-row frame)
     v = (
         subsets.join(F.broadcast(masks),
                      F.expr("CAST(mask & s AS INT) = CAST(mask AS INT)"),
                      "left")
         .groupBy("s").agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+        .persist()
     )
     chan = spark.createDataFrame(
         list(SHAPLEY_CHANNELS), "channel string, bit int")
@@ -1198,7 +1202,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = v.filter(F.col("s") == full).select(
         F.col("v").alias("n_attributable"))
-    return (
+    out = (
         phi.crossJoin(F.broadcast(totals))
         .select(
             "channel", "phi_x24",
@@ -1206,6 +1210,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_attributable")
         .orderBy("channel")
     )
+    return materialize_release(out, v)
 
 
 def _shapley_sql() -> str:

@@ -587,30 +587,39 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from kmr_spark.session import materialize_release
+
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
-    mx = docs.agg((F.max("doc_id") + 1).alias("mx"))
-    toks = (
-        docs.crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("(doc_id * 10) DIV mx").alias("decile"),
-            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
-            .alias("tok"))
+    # one bounded 1-row collect (the ranking/centroid discipline)
+    # instead of a broadcast subtree: each crossJoin(broadcast(mx))
+    # reference re-ran the max aggregate's own docs scan
+    mxv = int(docs.agg((F.max("doc_id") + 1).alias("mx")).collect()[0][0])
+    dec = F.expr(f"(doc_id * 10) DIV {mxv}")
+    # ONE token-explode pass: the (decile, tok) rollup (vocab-bounded,
+    # <= 10 rows per token) serves both the per-decile token totals
+    # (sum of counts) and the first-decile vocab increments (min
+    # decile per token) — the uncached form exploded the corpus twice
+    tok_dec = (
+        docs.select(dec.alias("decile"),
+                    F.explode(F.filter(F.split("text", " "),
+                                       lambda x: x != "")).alias("tok"))
+        .groupBy("decile", "tok").agg(F.count("*").alias("c"))
+        .persist()
     )
-    per_dec_tokens = toks.groupBy("decile").agg(
-        F.count("*").alias("n_tokens"))
+    per_dec_tokens = tok_dec.groupBy("decile").agg(
+        F.sum("c").alias("n_tokens"))
     first_dec = (
-        toks.groupBy("tok").agg(F.min("decile").alias("decile"))
+        tok_dec.groupBy("tok").agg(F.min("decile").alias("decile"))
         .groupBy("decile").agg(F.count("*").alias("n_new_vocab"))
     )
     docs_per_dec = (
-        docs.crossJoin(F.broadcast(mx))
-        .groupBy(F.expr("(doc_id * 10) DIV mx").alias("decile"))
+        docs.groupBy(dec.alias("decile"))
         .agg(F.count("*").alias("n_docs"))
     )
     w = (Window.orderBy("decile")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
+    out = (
         docs_per_dec
         .join(per_dec_tokens, "decile", "left")
         .join(first_dec, "decile", "left")
@@ -623,6 +632,7 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_cum"))
         .orderBy("decile")
     )
+    return materialize_release(out, tok_dec)
 
 
 HEAPS_SQL = """

@@ -248,10 +248,15 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase via a user-co-partitioned join), a broadcast scalar for
     the censor horizon, then an O(|durations|) window.
     """
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"]
+    # per-user frame read twice (as the cohort base and inside the
+    # qualifying-purchase join) — persisted so the view scan runs once
     first_view = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+        .persist()
     )
     horizon = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
     first_purch = (
@@ -273,19 +278,23 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_day = per_user.groupBy("duration").agg(
         F.count(F.when(F.col("observed"), 1)).alias("n_event"),
         F.count(F.when(~F.col("observed"), 1)).alias("n_censored"))
-    wo = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    total = per_user.groupBy().agg(F.count("*").alias("n_total"))
-    return (
-        by_day.crossJoin(F.broadcast(total))
-        .withColumn("resolved_through", F.sum(
-            F.col("n_event") + F.col("n_censored")).over(wo))
+    # n_risk = users resolved at-or-after this duration = REVERSE
+    # cumulative (n_event + n_censored) over the |durations|-sized
+    # frame — algebraically identical to the previous
+    # n_total - resolved_through + row form, but without the separate
+    # total aggregate that re-evaluated the whole per_user pipeline
+    # (and its three events scans) a second time
+    wrev = Window.orderBy("duration").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    out = (
+        by_day
         .select(
             "duration", "n_event", "n_censored",
-            (F.col("n_total") - F.col("resolved_through")
-             + F.col("n_event") + F.col("n_censored")).alias("n_risk"))
+            F.sum(F.col("n_event") + F.col("n_censored")).over(wrev)
+            .alias("n_risk"))
         .orderBy("duration")
     )
+    return materialize_release(out, first_view)
 
 
 SURVIVAL_KM_SQL = """

@@ -505,8 +505,14 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimate: for the combined pair sketch (K smallest of the union),
     J ≈ |sketch_a ∩ sketch_b ∩ union_sketch| / K.
     """
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"]
-    hashed = (ev.select("event_type", "user_id").distinct()
+    # the distinct (type, user) frame feeds BOTH the sketch build and
+    # the exact-Jaccard calibration branch — persist it so the events
+    # scan + distinct shuffle run once, not once per downstream branch
+    du = ev.select("event_type", "user_id").distinct().persist()
+    hashed = (du
               .select("event_type", _hash31(F.col("user_id")).alias("h"))
               .distinct())
     # two-phase bounded k-min build (no per-type funnel): each task
@@ -520,10 +526,12 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rn") <= KMV_K)
              .select("event_type", "h"))
     w = Window.partitionBy("event_type").orderBy("h")
+    # <= K rows per type — persisted: read as both pair sides below
     sk = (local
           .withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") <= KMV_K)
-          .select("event_type", "h"))
+          .select("event_type", "h")
+          .persist())
     a = sk.select(F.col("event_type").alias("ta"), F.col("h"))
     b = sk.select(F.col("event_type").alias("tb"), F.col("h"))
     # union sketch threshold per pair: the K-th smallest of the merged
@@ -537,8 +545,10 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("ta", "tb", "h"))
               .distinct())
     wp = Window.partitionBy("ta", "tb").orderBy("h")
+    # <= K rows per pair — persisted: read by both inter and kth
     union_k = (merged.withColumn("rn", F.row_number().over(wp))
-               .filter(F.col("rn") <= KMV_K))
+               .filter(F.col("rn") <= KMV_K)
+               .persist())
     inter = (union_k.join(a, ["ta", "h"]).join(b, ["tb", "h"])
              .groupBy("ta", "tb").agg(F.count("*").alias("n_common")))
     kth = union_k.groupBy("ta", "tb").agg(F.count("*").alias("k_eff"))
@@ -549,7 +559,6 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("(1000 * coalesce(n_common, 0)) DIV k_eff")
                    .alias("jaccard_est_permille")))
     # exact Jaccard per pair for calibration (distinct users per type)
-    du = ev.select("event_type", "user_id").distinct()
     ua = du.select(F.col("event_type").alias("ta"), "user_id")
     ub = du.select(F.col("event_type").alias("tb"), "user_id")
     nab = (ua.join(ub, "user_id").filter(F.col("ta") < F.col("tb"))
@@ -561,10 +570,11 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("ta", "tb",
                      F.expr("(1000 * n_inter) DIV (na + nb - n_inter)")
                      .alias("jaccard_exact_permille")))
-    return (est.join(exact, ["ta", "tb"])
-            .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
-                    "n_common", "k_eff", "jaccard_est_permille",
-                    "jaccard_exact_permille"))
+    out = (est.join(exact, ["ta", "tb"])
+           .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+                   "n_common", "k_eff", "jaccard_est_permille",
+                   "jaccard_exact_permille"))
+    return materialize_release(out, du, sk, union_k)
 
 
 KMV_SQL = f"""

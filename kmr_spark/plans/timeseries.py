@@ -84,15 +84,25 @@ ORDER BY s.event_type, s.hour_ts
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def _funnel_steps(ev: DataFrame):
+def _funnel_steps(ev: DataFrame, persist: bool = False):
     """Per-user first-step timestamps (t0, t1, t2) of the strict
-    view -> click -> purchase chain."""
+    view -> click -> purchase chain.
+
+    ``persist=True`` caches v and c (per-user frames, bounded by
+    |users|): callers that read a step frame both inside the chain and
+    in a separate branch (count/join) otherwise re-run the upstream
+    events scans once per reference — the caller must release the
+    caches via ``materialize_release(out, v, c)``."""
     v = (ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
          .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    if persist:
+        v = v.persist()
     c = (ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
          .join(v, "user_id")
          .filter(F.col("ts") > F.col("t0"))
          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    if persist:
+        c = c.persist()
     p = (ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
          .join(c, "user_id")
          .filter(F.col("ts") > F.col("t1"))
@@ -104,16 +114,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered conversion funnel: users whose first 'view'
     precedes a 'click' that precedes a 'purchase'. One row:
     (n_users, n_view, n_view_click, n_full_funnel)."""
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_type", "ts")
-    v, c, p = _funnel_steps(ev)
+    v, c, p = _funnel_steps(ev, persist=True)
     n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
-    return (
+    out = (
         n_users
         .crossJoin(v.agg(F.count("*").alias("n_view")))
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
     )
+    return materialize_release(out, v, c)
 
 
 FUNNEL_SQL = f"""
@@ -1444,13 +1457,19 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=|types|x31 rows) + broadcast share totals; the corpus is
     touched by ONE map-side-combinable aggregation.
     """
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"]
+    # <= |types| x |days| rows — persisted: last/base/shares each read
+    # the cache instead of re-running the events aggregation (the
+    # uncached form scanned the corpus 8x for one tiny rollup)
     daily = (
         ev.select(
             "event_type",
             F.datediff(F.to_date("ts"),
                        F.lit("2024-01-01").cast("date")).alias("d"))
         .groupBy("event_type", "d").agg(F.count("*").alias("x"))
+        .persist()
     )
     last = daily.agg(F.max("d").alias("dmax"))
     base = (
@@ -1470,7 +1489,7 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type").agg(F.sum("x").alias("cnt_type"))
     )
     share_tot = shares.agg(F.sum("cnt_type").alias("cnt_all"))
-    return (
+    out = (
         base.join(total_fc, "h")
         .join(F.broadcast(shares), "event_type")
         .crossJoin(F.broadcast(share_tot))
@@ -1484,6 +1503,7 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reconciled"))
         .orderBy("h", "event_type")
     )
+    return materialize_release(out, daily)
 
 
 RECONCILED_SQL = f"""

@@ -1105,18 +1105,23 @@ def events_attrib_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         *[F.count(F.when(F.col("gap_us") <= w * 1_000_000, 1))
           .alias(f"a{w}") for w in ATTRIB_WINDOWS_S])
-    rows = []
-    for w in ATTRIB_WINDOWS_S:
-        rows.append(agg.select(
+    # per-window rows come out of the single 1-row aggregate via a
+    # literal struct-array explode (the events_spectral_daily recipe) —
+    # the previous union-of-branches form re-ran the whole as-of join
+    # pipeline once per window (4 extra events scans for 4 windows)
+    rows = F.array(*[
+        F.struct(
             F.lit(w).cast("long").alias("window_s"),
-            "n_purchases",
+            F.col("n_purchases").alias("n_purchases"),
             F.col(f"a{w}").alias("n_attributed"),
             F.expr(f"(1000 * a{w}) DIV n_purchases")
-            .alias("attributed_permille")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("window_s")
+            .alias("attributed_permille"))
+        for w in ATTRIB_WINDOWS_S])
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.window_s", "r.n_purchases", "r.n_attributed",
+                "r.attributed_permille")
+        .orderBy("window_s"))
 
 
 def _attrib_sweep_sql() -> str:
