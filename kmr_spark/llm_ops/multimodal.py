@@ -1002,17 +1002,26 @@ def multimodal_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from band-bucket counts before materialization; the verify XOR
     popcount runs only on candidates.
     """
+    from kmr_spark.session import materialize_release
+
     h = multimodal_image_ahash(spark, sf_dir)
+    # |distinct hashes| rows — persisted: the uncached 4-band x 2-side
+    # union re-ran the WHOLE real-codec aHash pipeline (BMP encode ->
+    # resize -> hash, the expensive Arrow passes) EIGHT times
     groups = (h.groupBy("ahash_hi", "ahash_lo")
-              .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n")))
-    bands = None
-    for bid, expr in enumerate([
+              .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+              .persist())
+    band_structs = F.array(*[
+        F.struct(F.lit(bid).cast("int").alias("band_id"),
+                 F.expr(expr).alias("band_val"))
+        for bid, expr in enumerate([
             "ahash_lo & 65535", "(ahash_lo >> 16) & 65535",
-            "ahash_hi & 65535", "(ahash_hi >> 16) & 65535"]):
-        part = groups.select(
-            "rep", "n", "ahash_hi", "ahash_lo",
-            F.lit(bid).alias("band_id"), F.expr(expr).alias("band_val"))
-        bands = part if bands is None else bands.unionByName(part)
+            "ahash_hi & 65535", "(ahash_hi >> 16) & 65535"])])
+    bands = (groups
+             .select("rep", "n", "ahash_hi", "ahash_lo",
+                     F.explode(band_structs).alias("b"))
+             .select("rep", "n", "ahash_hi", "ahash_lo",
+                     "b.band_id", "b.band_val"))
     a = bands.select(F.col("rep").alias("rep_a"), F.col("n").alias("n_a"),
                      F.col("ahash_hi").alias("hi_a"),
                      F.col("ahash_lo").alias("lo_a"),
@@ -1030,7 +1039,7 @@ def multimodal_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can collide in several bands
         .filter(F.col("dist") <= AHASH_HAMMING_T)
     )
-    return pairs.orderBy("rep_a", "rep_b")
+    return materialize_release(pairs.orderBy("rep_a", "rep_b"), groups)
 
 
 MULTIMODAL_DEDUP_AHASH_SQL = f"""

@@ -364,10 +364,13 @@ def events_ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
         F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("c"))
+    # |types| x |days| x 2 rollup read by the grid build, the dense
+    # join, and (via dense/cum) both arm sides — persisted so the
+    # events aggregation runs once (4 corpus scans before)
     daily = ev.groupBy("event_type", "day", "arm").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"))
+        F.sum(F.col("c") * F.col("c")).alias("q")).persist()
     grid = (
         daily.select("event_type", "day").distinct()
         .crossJoin(spark.range(2).select(F.col("id").alias("arm")))
@@ -405,12 +408,13 @@ def events_ab_test_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     z = (mean("_a") - mean("_b")) / F.sqrt(
         var("_a") / F.col("n_a") + var("_b") / F.col("n_b"))
-    return (
+    out = (
         j.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
         .select("event_type", "day", "n_a", "n_b", z.alias("z"),
                 (F.abs(z) > F.lit(Z_CRIT)).alias("significant"))
         .orderBy("event_type", "day")
     )
+    return materialize_release(out, daily)
 
 
 AB_SEQUENTIAL_SQL = f"""
@@ -615,22 +619,22 @@ def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "arm")
         .agg(F.sum("xc").cast("decimal(38,0)").alias("x"),
              F.sum("yc").cast("decimal(38,0)").alias("y")))
-    m = per_user.agg(
+    # ONE aggregate computes the pooled moments AND both arms' sums as
+    # conditional aggregates (DECIMAL-exact): the previous m/a0/a1
+    # crossJoin re-evaluated the whole per_user pipeline (and its two
+    # events scans) once per branch — 6 corpus scans for one row
+    j = per_user.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"))
-    arms = per_user.groupBy("arm").agg(
-        F.count("*").alias("n_arm"),
-        F.sum("x").alias("sx_arm"), F.sum("y").alias("sy_arm"))
-    a0 = arms.filter(F.col("arm") == 0).select(
-        F.col("n_arm").alias("n_a"), F.col("sx_arm").alias("sx_a"),
-        F.col("sy_arm").alias("sy_a"))
-    a1 = arms.filter(F.col("arm") == 1).select(
-        F.col("n_arm").alias("n_b"), F.col("sx_arm").alias("sx_b"),
-        F.col("sy_arm").alias("sy_b"))
-    j = m.crossJoin(F.broadcast(a0)).crossJoin(F.broadcast(a1))
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("sy_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("sy_b"))
     d = lambda c: F.col(c).cast("double")
     n = d("n")
     varx = n * d("sxx") - d("sx") * d("sx")

@@ -217,7 +217,10 @@ def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("lang").isNotNull() & F.col("source").isNotNull())
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    # |langs| x |sources| rows, read by FOUR branches (row/col totals,
+    # grand total, the term join) — persisted so the docs scan runs once
+    cells = (docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+             .persist())
     rows = cells.groupBy("lang").agg(F.sum("c").alias("rowt"))
     cols = cells.groupBy("source").agg(F.sum("c").alias("colt"))
     total = cells.agg(F.sum("c").alias("total"))
@@ -227,7 +230,7 @@ def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(cols), "source")
          .crossJoin(F.broadcast(total))
          .select("lang", "source", term))
-    return (
+    out = (
         j.agg(F.count("*").alias("n_cells"),
               ((F.count_distinct("lang") - 1)
                * (F.count_distinct("source") - 1)).alias("dof"),
@@ -237,6 +240,7 @@ def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(0.0),
                   lambda a, x: a + x["term"]).alias("chi2"))
     )
+    return materialize_release(out, cells)
 
 
 CHI2_SQL = """
@@ -282,9 +286,12 @@ def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
+    # vocab x |sources| rows, read THREE times (totals + both pair
+    # sides) — persisted so the token explode over the corpus runs once
     counts = (
         docs.select("source", F.explode(H.tokens_col("text")).alias("tok"))
-        .groupBy("source", "tok").agg(F.count("*").alias("c")))
+        .groupBy("source", "tok").agg(F.count("*").alias("c"))
+        .persist())
     totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
     ct = counts.join(F.broadcast(totals), "source")
     a = ct.select(F.col("source").alias("sa"), "tok",
@@ -302,10 +309,11 @@ def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_total = (F.col("s_shared")
                + (F.col("ta") - F.col("ca_shared")) * F.col("tb")
                + (F.col("tb") - F.col("cb_shared")) * F.col("ta"))
-    return shared.select(
+    out = shared.select(
         F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
         "shared_toks", s_total.alias("s_abs"),
         (s_total / (F.lit(2.0) * F.col("ta") * F.col("tb"))).alias("tv"))
+    return materialize_release(out, counts)
 
 
 TV_DIVERGENCE_SQL = f"""

@@ -1122,7 +1122,9 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"))
     )
     scanned = scan_distributed(per_val, ["ca", "cb"], [F.col("c")])
-    totals = per_val.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # scanned is already materialized (same rows, same ca/cb columns)
+    # — summing it avoids re-running per_val's events scan + aggregate
+    totals = scanned.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     d_scaled = (
         scanned.crossJoin(F.broadcast(totals))
         .select(F.abs((F.col("scan_ca") + F.col("ca")) * F.col("nb")
@@ -1358,17 +1360,20 @@ def events_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (dd("n_obs") * (dd("n_obs") - F.lit(1.0))))
     mean = dd("s") / dd("n_obs")
     z = F.lit(Z_ALPHA) + F.lit(Z_BETA)
-    rows = []
-    for n in MDE_ARM_SIZES:
-        rows.append(sums.select(
+    # per-arm-size rows from the single 1-row aggregate via a literal
+    # struct-array explode (the events_spectral_daily recipe) — the
+    # union-of-branches form re-ran the purchase aggregation per size
+    rows = F.array(*[
+        F.struct(
             F.lit(n).cast("long").alias("n_per_arm"),
-            "n_obs",
+            F.col("n_obs").alias("n_obs"),
             (z * F.sqrt(F.lit(2.0) * var / F.lit(float(n))) / mean)
-            .alias("mde_fraction")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("n_per_arm")
+            .alias("mde_fraction"))
+        for n in MDE_ARM_SIZES])
+    return (
+        sums.select(F.explode(rows).alias("r"))
+        .select("r.n_per_arm", "r.n_obs", "r.mde_fraction")
+        .orderBy("n_per_arm"))
 
 
 def _mde_sql() -> str:

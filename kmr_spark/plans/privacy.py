@@ -181,12 +181,18 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sensitive-band dimension is BOUNDED (|bands| ~ 12), so
     the groups x bands grid rides a broadcast; everything upstream is
     two map-side-combinable aggregations of the corpus."""
+    from kmr_spark.session import materialize_release
+
     cust = load_tables(spark, sf_dir)["customer"]
     band = F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band")
-    gs = cust.groupBy("c_mktsegment", "c_nationkey", band) \
-        .agg(F.count("*").alias("cnt_gs"))
-    glob = cust.groupBy(band).agg(F.count("*").alias("cnt_s"))
-    totals = cust.agg(F.count("*").alias("n"))
+    # |segments| x |nations| x |bands| rollup — persisted; the global
+    # band distribution and the grand total are EXACT integer sums of
+    # it, so the customer table is scanned once, not once per marginal
+    gs = (cust.groupBy("c_mktsegment", "c_nationkey", band)
+          .agg(F.count("*").alias("cnt_gs"))
+          .persist())
+    glob = gs.groupBy("band").agg(F.sum("cnt_gs").alias("cnt_s"))
+    totals = gs.agg(F.sum("cnt_gs").alias("n"))
     groups = gs.groupBy("c_mktsegment", "c_nationkey") \
         .agg(F.sum("cnt_gs").alias("g_size"))
     grid = groups.crossJoin(F.broadcast(glob))
@@ -211,7 +217,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in T_LEVELS_PERMILLE:
         agg.append(F.count(F.when(F.col("tv_permille") > t, 1))
                    .alias(f"groups_above_t{t}"))
-    return tv.groupBy().agg(*agg)
+    return materialize_release(tv.groupBy().agg(*agg), gs)
 
 
 _T_COLS = ",\n".join(

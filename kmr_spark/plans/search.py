@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmr_spark.session import load_tables
+from kmr_spark.session import load_tables, materialize_release
 
 TOP_TOKENS = 25
 TOP_DOCS = 10
@@ -191,10 +191,16 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(_toks()).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # the inverted index (token, doc) -> tf is the ONE corpus-sized
+    # pass; persisted, it also yields doc lengths (dl = SUM(tf) per
+    # doc — exactly COUNT(*) over the token stream) and corpus totals,
+    # so the tokenize+explode runs once instead of four times
+    tf = (toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+          .persist())
+    dl = (tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+          .persist())
     totals = dl.agg(F.count("*").alias("n_docs"),
                     F.sum("dl").alias("s_tokens"))
-    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     from pyspark.sql import Window
     top_terms = (
         tf.groupBy("token").agg(F.sum("tf").alias("cf"),
@@ -227,10 +233,11 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("s1")
     for r in range(2, BM25_TERMS + 1):
         score = score + F.col(f"s{r}")
-    return (
+    out = (
         pivoted.select("doc_id", "dl", score.alias("score_micro"))
         .orderBy(F.col("score_micro").desc(), "doc_id").limit(BM25_TOP)
     )
+    return materialize_release(out, tf, dl)
 
 
 BM25_SQL = f"""

@@ -835,26 +835,34 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id (hash-co-partitioned at scale); the corpus is scanned once
     per step with the type filter pushed to the scan.
     """
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_type", F.unix_micros("ts").alias("us"))
     lim = FUNNEL_WINDOW_S * 1_000_000
+    # v and c are each read twice (inside the next step's join and by
+    # their count branch) — persisted per-user frames, the events_funnel
+    # discipline
     v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("us").alias("v_us")))
+         .groupBy("user_id").agg(F.min("us").alias("v_us"))
+         .persist())
     c = (ev.filter(F.col("event_type") == "click")
          .join(v, "user_id")
          .filter((F.col("us") > F.col("v_us"))
                  & (F.col("us") <= F.col("v_us") + lim))
-         .groupBy("user_id").agg(F.min("us").alias("c_us")))
+         .groupBy("user_id").agg(F.min("us").alias("c_us"))
+         .persist())
     p = (ev.filter(F.col("event_type") == "purchase")
          .join(c, "user_id")
          .filter((F.col("us") > F.col("c_us"))
                  & (F.col("us") <= F.col("c_us") + lim))
          .groupBy("user_id").agg(F.min("us").alias("p_us")))
-    return (
+    out = (
         v.agg(F.count("*").alias("n_view"))
         .crossJoin(c.agg(F.count("*").alias("n_click_1h")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_1h")))
     )
+    return materialize_release(out, v, c)
 
 
 FUNNEL_WINDOWED_SQL = f"""
@@ -938,11 +946,17 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded per-type hourly rollup, MAD is the lo-median of
     absolute deviations, flags are integer comparisons.
     """
+    from kmr_spark.session import materialize_release
+
     ev = load_tables(spark, sf_dir)["events"]
+    # |types| x |hours| rollup read by med + dev, and dev read by mad +
+    # the final select — both persisted so the events aggregation runs
+    # once, not once per downstream branch (4 corpus scans before)
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", "ts").alias("hour_ts"))
               .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
-                   .alias("cents")))
+                   .alias("cents"))
+              .persist())
     wm = Window.partitionBy("event_type").orderBy("cents", "hour_ts")
     wc = Window.partitionBy("event_type")
     med = (hourly
@@ -951,18 +965,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
            .select("event_type", F.col("cents").alias("med")))
     dev = (hourly.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("cents") - F.col("med"))))
+           .withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+           .persist())
     wd = Window.partitionBy("event_type").orderBy("adev", "hour_ts")
     mad = (dev.withColumn("rn", F.row_number().over(wd))
            .withColumn("n", F.count("*").over(wc))
            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
            .select("event_type", F.col("adev").alias("mad")))
-    return (
+    out = (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_type", "hour_ts", "cents", "med", "mad",
                 (F.col("adev") > F.lit(MAD_K) * F.col("mad"))
                 .alias("is_anomaly"))
     )
+    return materialize_release(out, hourly, dev)
 
 
 ANOMALY_MAD_SQL = f"""

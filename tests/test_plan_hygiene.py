@@ -414,9 +414,12 @@ def test_phrase_query_broadcasts_phrase(spark):
 
 
 def test_bm25_take_ordered_and_broadcast(spark):
-    from kmr_spark.plans.search import search_bm25_topk
+    # bm25 now materialize_releases its persisted inverted index, so
+    # the returned frame is a checkpoint scan — inspect the pipeline's
+    # own plan via the stub helper
+    from kmr_spark.plans import search
 
-    plan = _plan(search_bm25_topk(spark, SF))
+    plan = _pre_materialization_plan(search, search.search_bm25_topk, spark)
     # the 3-term query and the (N, S) totals ride broadcasts; the
     # final doc cut is top-N, never a global sort
     assert "BroadcastHashJoin" in plan
@@ -425,9 +428,10 @@ def test_bm25_take_ordered_and_broadcast(spark):
 
 
 def test_shapley_no_cartesian_on_corpus(spark):
-    from kmr_spark.plans.behavior import events_shapley_attribution
+    from kmr_spark.plans import behavior
 
-    plan = _plan(events_shapley_attribution(spark, SF))
+    plan = _pre_materialization_plan(
+        behavior, behavior.events_shapley_attribution, spark)
     # the subset lattice / marginal joins are 16-row broadcast
     # nested-loops — fine; what must NOT appear is a cartesian product
     assert "CartesianProduct" not in plan
