@@ -418,7 +418,7 @@ _R11_WINDOW = (
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
 # re-green block for a fresh row against the (unchanged) oracles.
-# Round 11 changed one plan:
+# Round 11 changed plans in two groups:
 # - dedup_editdistance: the length-band join is now two-regime
 #   (llm_ops/dedup.py) — small corpus drops the salt machinery
 #   entirely (broadcast-hinted right side, widened probe side; the
@@ -426,10 +426,31 @@ _R11_WINDOW = (
 #   sf0.1 regression, and the salt crossJoin child made the planner
 #   build on the wrong side), large corpus keeps the salted join with
 #   the salt count data-sized by _edit_join_salts (VERDICT r10 ask
-#   #3).  Its recheck slides the window's last name
-#   (events_trending_streamed) to round 12 — order it into
-#   _R12_WINDOW's head next round.
-_R11_RECHECK: tuple[str, ...] = ("dedup_editdistance",)
+#   #3).
+# - the redundant-fact-scan sweep (OPTIMIZATION_r11.md): 21 queries
+#   had multi-branch re-evaluation removed (struct-array explodes,
+#   persisted shared frames, conditional-aggregate merges) — results
+#   proven bit-identical locally (check_queries --exact 304/304), but
+#   a changed plan deserves a fresh driver row over a stale one.
+# With 22 re-checks ahead of the 50-name window, the window's last 16
+# names (train_temperature_mix, users_spearman_freq_value, and the 14
+# unchanged r5 rows from emb_norm_deciles through
+# events_trending_streamed) slide to round 12 — order them into
+# _R12_WINDOW's head next round.
+_R11_RECHECK: tuple[str, ...] = (
+    "dedup_editdistance",
+    # batch 1 of the scan sweep
+    "events_attrib_window_sweep", "events_kmv_overlap",
+    "events_forecast_reconciled", "events_funnel", "text_pmi_pairs",
+    "basket_rules", "text_heaps_curve", "events_survival_km",
+    "events_hazard_daily", "events_shapley_attribution",
+    # batch 2
+    "events_ab_test_cuped", "events_funnel_windowed",
+    "multimodal_dedup_ahash", "docs_lang_source_chi2",
+    "docs_source_divergence_tv", "events_anomaly_mad",
+    "events_mde_curve", "events_ab_test_sequential",
+    "privacy_t_closeness", "search_bm25_topk", "events_ks_test",
+)
 
 
 def _rotate_for_driver_window(queries):
