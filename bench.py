@@ -6,10 +6,22 @@ local[$SPARK_GRAFT_CPUS].  Prints, in order: a repeated-run block for
 the ~10 heaviest queries ($SPARK_GRAFT_BENCH_REPEAT samples each,
 default 3 — set 1/0 to skip), the per-query single-sample detail line
 (also written to bench_detail.json), then ENDS with one compact JSON
-summary line (the driver tail-captures ~2KB, so the last line must
-stay <300B):
+summary line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "sf": <sf>, "n_queries": N}
+   "sf": <sf>, "n_queries": N, "queries": {...}}
+
+The final line's "queries" map is the driver-visible per-query data
+(VERDICT r11 ask #1: every recent PERF artifact had per_query={} /
+bench_ok=false because the full 304-entry map lived only on an
+earlier line / bench_detail.json, outside the driver's 2000-byte
+stdout tail capture — BENCH_r03.json shows the tail overflowing when
+the full map was on the last line).  The map therefore carries the
+FIXED SUMMARY_QUERIES subset (the ~60 most expensive queries by
+best-evidence cost, committed below so the 32-core and 8-core driver
+runs emit identical membership and their scaling ratios intersect),
+values from the same headline single-sample series as "value",
+byte-budgeted to keep the whole line under the tail capture.  The
+full 304-entry map stays in bench_detail.json, unchanged.
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver collect skew). Timings are per-query wall clock after a warmup
@@ -548,6 +560,45 @@ HEAVY_QUERIES = [
 ]
 
 
+# Driver-visible per-query membership for the FINAL summary line: the
+# ~60 most expensive registry queries by round-12 best-evidence cost
+# (bench_detail.json "best" after the r12 baseline run), committed as a
+# FIXED list so every bench invocation — 32-core and 8-core driver runs
+# alike — emits the same names and the driver's per-query/scaling diffs
+# get a full intersection.  Append-only like BENCH_QUERIES; the byte
+# budget in main() drops entries from the END of the sorted-by-cheapest
+# tail if values ever widen past the tail capture.
+SUMMARY_QUERIES = [
+    "basket_apriori_triples", "basket_rules", "corpus_clean_keepers",
+    "dedup_clusters", "dedup_editdistance", "dedup_embedding",
+    "dedup_minhash_lsh", "dedup_summary", "docs_tfidf_cosine_pairs",
+    "emb_pca_two", "emb_silhouette", "events_attribution_full_streamed",
+    "events_attribution_outer_streamed", "events_attribution_streamed",
+    "events_bootstrap_ci", "events_dedup_streamed",
+    "events_drop_audit_streamed", "events_enriched_streamed",
+    "events_gate_streamed", "events_hll_streamed", "events_kmv_overlap",
+    "events_props_extract", "events_sessionize_streamed",
+    "events_shapley_attribution", "events_sliding_streamed",
+    "events_tumbling_streamed", "graph_assortativity", "graph_bfs",
+    "graph_clustering_coefficient", "graph_components",
+    "graph_degree_distribution", "graph_hits", "graph_kcore",
+    "graph_ktruss", "graph_label_propagation", "graph_link_prediction",
+    "graph_modularity", "graph_random_walks", "graph_reciprocity",
+    "graph_triangles", "iter_kmeans", "iter_logreg", "iter_pagerank",
+    "lineitem_bloom_prune", "lineitem_zonemap_prune",
+    "multimodal_dedup_ahash", "orders_fulfillment_lag",
+    "orders_rfm_segments", "part_cooccurrence", "parts_supplier_hhi",
+    "sim_ann_ivf", "sim_ann_ivf_multiprobe", "sim_ivf_recall",
+    "text_bigram_lm", "text_lm_perplexity", "text_pmi_pairs",
+    "text_rake_keywords", "text_token_burstiness", "tpch_q16",
+    "train_split_leakage_safe",
+]
+
+#: the driver captures the last 2000 bytes of stdout and parses the
+#: final line from it; keep a safety margin for value-width drift
+_SUMMARY_LINE_BUDGET = 1900
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -751,7 +802,20 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
-    print(json.dumps(result))
+    # driver-visible per-query map (see module docstring): the FIXED
+    # SUMMARY_QUERIES subset from the headline single-sample series,
+    # byte-budgeted so the final line always fits the driver's
+    # 2000-byte tail capture (drop the CHEAPEST members first if the
+    # encoded line would overflow — membership stays deterministic
+    # because the drop order is value-then-name on this run's data)
+    summary = {n: round(timings[n], 2) for n in SUMMARY_QUERIES
+               if n in timings}
+    result["queries"] = summary
+    while summary and len(json.dumps(result, separators=(",", ":"))) \
+            > _SUMMARY_LINE_BUDGET:
+        cheapest = min(summary, key=lambda n: (summary[n], n))
+        del summary[cheapest]
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -109,8 +109,18 @@ def scan_distributed(df: DataFrame, value: str | list[str],
 
     1. range-partition + locally sort (orderBy, persisted);
     2. collect per-partition SUMS (tiny — one long per partition);
-    3. exclusive-scan the sums on the driver, then a narrow Arrow pass
-       adds partition offset + local running sum.
+    3. add the exscan offset (array literal indexed by
+       ``spark_partition_id`` — ranking's codegen recipe) plus the
+       in-partition running sum from a window PARTITIONED BY the
+       cached sort's partition id, ordered by the in-partition record
+       number (``monotonically_increasing_id``'s documented layout).
+
+    Step 3 is pure JVM (guide §4.1): the previous form shipped every
+    ranked row JVM->Arrow->Python->JVM through a ``mapInPandas`` pass
+    just to add the running-sum columns.  The per-pid window costs one
+    hash exchange of the (already aggregated) input — each window
+    group is exactly one sort partition, so parallelism and peak
+    memory match the sort's, at any scale.
 
     No single-partition global window anywhere, so this is the form
     that survives 100 TB (scan_on_values stays as the windowed
@@ -118,10 +128,11 @@ def scan_distributed(df: DataFrame, value: str | list[str],
     float prefix sums would be partition-order-dependent.
 
     The result is materialized before returning (ranking's task-id
-    caveat: the offset lookup is only valid while the sorted frame runs
-    as its own job), so callers can compose it freely.
+    caveat: the offset/pid columns are only the sort's partition index
+    while the sorted frame executes through the persisted scan), so
+    callers can compose it freely.
     """
-    from pyspark import TaskContext
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     from kmr_spark.session import materialize_release
@@ -142,28 +153,21 @@ def scan_distributed(df: DataFrame, value: str | list[str],
 
     scan_cols = [f"scan_{v}" if len(values) > 1 else "scan"
                  for v in values]
-    out_schema = ", ".join(f"{c} long" for c in scan_cols) + ", " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
-
-    # broadcast the exscan offsets (one list per partition): closure
-    # capture would re-pickle the dict into every task
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    def add_scan(batches):
-        offsets = b_offsets.value
-        pid = TaskContext.get().partitionId()
-        pos = list(offsets.get(pid, [0] * len(values)))
-        for pdf in batches:
-            out = pdf.copy()
-            for j, (v, c) in enumerate(zip(values, scan_cols)):
-                vals = pdf[v].to_numpy()
-                csum = vals.cumsum()
-                # non-inclusive: shift the inclusive cumsum right by one
-                out.insert(j, c, pos[j] + csum - vals)
-                pos[j] += int(csum[-1]) if len(vals) else 0
-            yield out
-
-    out = sdf.mapInPandas(add_scan, schema=out_schema)
+    n_parts = max(max(offsets, default=-1) + 1, 1)
+    arrs = [
+        F.array(*[F.lit(offsets.get(p, [0] * len(values))[j]).cast("long")
+                  for p in range(n_parts)])
+        for j in range(len(values))
+    ]
+    base = sdf.select(F.spark_partition_id().alias("__pid"),
+                      F.monotonically_increasing_id().alias("__mid"), "*")
+    w = (Window.partitionBy("__pid").orderBy("__mid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = base.select(
+        *[(F.element_at(arr, F.col("__pid") + 1)
+           + F.coalesce(F.sum(v).over(w), F.lit(0))).cast("long").alias(c)
+          for arr, v, c in zip(arrs, values, scan_cols)],
+        *[F.col(f.name) for f in sdf.schema.fields])
     return materialize_release(out, sdf)
 
 
@@ -180,15 +184,16 @@ def scan_max_distributed(df: DataFrame, value: str,
 
     The measure must be integral; the result column is ``scan_max``
     (nullable long), materialized before returning (task-id caveat,
-    see :func:`scan_distributed`).
+    see :func:`scan_distributed`).  Same pure-JVM step 3 as
+    :func:`scan_distributed` (guide §4.1): exscan prefix-max from an
+    array literal (NULL for the first partition — max has no integer
+    identity), in-partition prefix max from a per-pid window;
+    ``greatest`` skips NULLs, so the first global row stays NULL.
     """
-    from pyspark import TaskContext
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     from kmr_spark.session import materialize_release
-
-    import numpy as np
-    import pandas as pd
 
     sdf = df.orderBy(*order).persist(StorageLevel.MEMORY_AND_DISK)
     totals = (
@@ -203,29 +208,15 @@ def scan_max_distributed(df: DataFrame, value: str,
         if r["m"] is not None:
             acc = r["m"] if acc is None else max(acc, r["m"])
 
-    out_schema = "scan_max long, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sdf.schema.fields)
-    b_prefix = df.sparkSession.sparkContext.broadcast(prefix)
-
-    def add_scan(batches):
-        prefix = b_prefix.value
-        pid = TaskContext.get().partitionId()
-        pos = prefix.get(pid)
-        for pdf in batches:
-            n = len(pdf)
-            out = pdf.copy()
-            if n == 0:
-                out.insert(0, "scan_max", pd.array([], dtype="Int64"))
-                yield out
-                continue
-            vals = pdf[value].to_numpy()
-            incl = np.maximum.accumulate(vals)
-            cells = [pos] + [
-                (int(incl[i - 1]) if pos is None
-                 else max(pos, int(incl[i - 1]))) for i in range(1, n)]
-            out.insert(0, "scan_max", pd.array(cells, dtype="Int64"))
-            pos = int(incl[-1]) if pos is None else max(pos, int(incl[-1]))
-            yield out
-
-    out = sdf.mapInPandas(add_scan, schema=out_schema)
+    n_parts = max(max(prefix, default=-1) + 1, 1)
+    arr = F.array(*[F.lit(prefix.get(p)).cast("long")
+                    for p in range(n_parts)])
+    base = sdf.select(F.spark_partition_id().alias("__pid"),
+                      F.monotonically_increasing_id().alias("__mid"), "*")
+    w = (Window.partitionBy("__pid").orderBy("__mid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = base.select(
+        F.greatest(F.element_at(arr, F.col("__pid") + 1),
+                   F.max(value).over(w)).cast("long").alias("scan_max"),
+        *[F.col(f.name) for f in sdf.schema.fields])
     return materialize_release(out, sdf)

@@ -622,7 +622,14 @@ def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregate computes the pooled moments AND both arms' sums as
     # conditional aggregates (DECIMAL-exact): the previous m/a0/a1
     # crossJoin re-evaluated the whole per_user pipeline (and its two
-    # events scans) once per branch — 6 corpus scans for one row
+    # events scans) once per branch — 6 corpus scans for one row.
+    # Edge-case pin (ADVICE r11 #4): with an EMPTY arm the old
+    # crossJoin(broadcast(a0)) form emitted ZERO rows, while this
+    # no-GROUP-BY aggregate emits ONE row with NULL sums for that arm
+    # (n_a/n_b = 0, the per-arm divisions go NULL/NaN downstream) —
+    # which is exactly what the unchanged DuckDB oracle does
+    # (aggregates without GROUP BY always yield a row), so the merged
+    # form is the one that matches the oracle on that edge.
     j = per_user.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),

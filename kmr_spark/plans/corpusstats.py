@@ -602,7 +602,16 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one bounded 1-row collect (the ranking/centroid discipline)
     # instead of a broadcast subtree: each crossJoin(broadcast(mx))
     # reference re-ran the max aggregate's own docs scan
-    mxv = int(docs.agg((F.max("doc_id") + 1).alias("mx")).collect()[0][0])
+    mx_row = docs.agg((F.max("doc_id") + 1).alias("mx")).collect()[0][0]
+    if mx_row is None:
+        # empty documents table: max() is NULL — the pre-collect
+        # broadcast form degraded to zero output rows (aggregates over
+        # an empty grouped frame emit nothing); return that shape
+        # instead of raising TypeError on int(None) (ADVICE r11 #2)
+        return spark.createDataFrame(
+            [], "decile bigint, docs_cum bigint, tokens_cum bigint, "
+                "vocab_cum bigint")
+    mxv = int(mx_row)
     dec = F.expr(f"(doc_id * 10) DIV {mxv}")
     # ONE token-explode pass: the (decile, tok) rollup (vocab-bounded,
     # <= 10 rows per token) serves both the per-decile token totals

@@ -599,28 +599,19 @@ ORACLE_SQL["graph_kcore"] = KCORE_SQL
 LPA_ROUNDS = 4
 
 
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation: labels
-    start as node ids; each round every node adopts the most frequent
-    label among its neighbors (ties -> smallest label). Deterministic
-    by construction — sync updates + total tie order — so the DuckDB
-    oracle (the same recurrence unrolled LPA_ROUNDS times, CTEs
-    materialized) matches exactly. Communities are finer than
-    connected components (graph_components) and need no convergence.
+def _lpa_labels(canon: DataFrame) -> DataFrame:
+    """Synchronous label propagation over a canonical edge frame:
+    LPA_ROUNDS rounds of adopt-the-most-frequent-neighbor-label (ties
+    -> smallest label), returning (node, lbl).  Shared by
+    graph_label_propagation and graph_modularity so modularity reuses
+    the CALLER's canon frame instead of rebuilding the generator +
+    canonicalize pipeline a second time (guide §1.2).
 
-    Per round: one join of the adjacency with the label table (keyed
-    by node), one (node, label) count, one argmax — all hash shuffles
-    on node id; localCheckpoint keeps lineage flat (the CC
-    discipline). Output: node, community, community size.
-    """
-    from pyspark.sql import Window
-
-    canon = canonicalize_edges(rmat_raw_edges(spark))
-    # LAZY checkpoints: the rounds are FIXED (no mid-loop convergence
-    # action), so eager per-round materialization was one blocking job
-    # per round for nothing — lazy checkpoints still truncate lineage
-    # and cache on first use, but the whole 4-round chain now executes
-    # inside the single final job (guide §1.2: fewer passes)
+    LAZY checkpoints: the rounds are FIXED (no mid-loop convergence
+    action), so eager per-round materialization was one blocking job
+    per round for nothing — lazy checkpoints still truncate lineage
+    and cache on first use, but the whole 4-round chain executes
+    inside the caller's final job."""
     adj = (
         canon.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(canon.select(F.col("v").alias("node"),
@@ -641,6 +632,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (-F.col("best.neg")).alias("lbl"))
             .localCheckpoint(eager=False)
         )
+    return labels
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation: labels
+    start as node ids; each round every node adopts the most frequent
+    label among its neighbors (ties -> smallest label). Deterministic
+    by construction — sync updates + total tie order — so the DuckDB
+    oracle (the same recurrence unrolled LPA_ROUNDS times, CTEs
+    materialized) matches exactly. Communities are finer than
+    connected components (graph_components) and need no convergence.
+
+    Per round: one join of the adjacency with the label table (keyed
+    by node), one (node, label) count, one argmax — all hash shuffles
+    on node id; localCheckpoint keeps lineage flat (the CC
+    discipline). Output: node, community, community size.
+    """
+    from pyspark.sql import Window
+
+    canon = canonicalize_edges(rmat_raw_edges(spark))
+    labels = _lpa_labels(canon)
     w = Window.partitionBy("lbl")
     return (
         labels.withColumn("community_size", F.count("*").over(w))
@@ -696,14 +708,19 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     any float appears — Q = (4m*sum(e_c) - sum(d_c^2)) / (4m^2) — so
     there is no order-dependent float accumulation; the numerator
     rides HUGEINT/DECIMAL(38,0) (d_c^2 ~ (2m)^2 overflows BIGINT on
-    a big graph). Plan: reuse the LPA labels (4 fixed rounds), one
-    edge join to count intra-community edges, one degree aggregate.
+    a big graph). Plan: ONE canon checkpoint feeds both the LPA label
+    rounds (via _lpa_labels — the old form called the full
+    graph_label_propagation query, which rebuilt its OWN generator +
+    canonicalize-distinct pipeline, plus a community-size window and
+    a presentation sort that modularity immediately discarded) and
+    the intra-edge/degree aggregates; labels are checkpointed lazily
+    once and read by all three consumers (lu, lv, deg).
     """
     canon = canonicalize_edges(rmat_raw_edges(spark)).localCheckpoint(
         eager=False)
-    labels = (
-        graph_label_propagation(spark, sf_dir)
-        .select("node", "community"))
+    # _lpa_labels already checkpoints the final round's labels; the
+    # rename is a projection over that cache, shared by lu/lv/deg
+    labels = _lpa_labels(canon).withColumnRenamed("lbl", "community")
     lu = labels.withColumnRenamed("node", "u").withColumnRenamed(
         "community", "cu")
     lv = labels.withColumnRenamed("node", "v").withColumnRenamed(

@@ -98,37 +98,48 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, its revenue, and the cumulative revenue share at the
     decile's end (the "top 10% drive X%" number).
 
-    Plan: per-customer cents (one aggregate), then ONE pass of the
-    multi-measure distributed exscan gives both the 0-based rank and
-    the cumulative revenue — no global window; the grand total is a
-    broadcast scalar."""
-    from kmr_spark.operators.reduce import scan_distributed
-    from kmr_spark.session import sized_shuffle_partitions
+    Plan: per-customer cents (one aggregate), then the pure-codegen
+    distributed ranking (0-based rank = the old exscan's ``scan_one``)
+    feeds the decile rollup directly; the cumulative revenue at each
+    decile's END equals the running total of the per-decile sums, so
+    the cumsum runs over the 10-row census (an unpartitioned window at
+    its correct size class), not per customer — the per-row cumulative
+    exscan pass disappears entirely (guide §1.2/§4.1)."""
+    from pyspark.sql import Window
+
+    from kmr_spark.operators.sort import ranking
+    from kmr_spark.session import (materialize_release,
+                                   sized_shuffle_partitions)
 
     orders = load_tables(spark, sf_dir)["orders"]
     rev = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100)).alias("r")).persist()
     try:
         n = rev.count()
+        reg: list[DataFrame] = []
         with sized_shuffle_partitions(spark, n):
-            scanned = scan_distributed(
-                rev.select("k", "r", F.lit(1).alias("one")),
-                ["r", "one"], [F.col("r").desc(), F.col("k")])
+            ranked = ranking(rev, [F.col("r").desc(), F.col("k")],
+                             cache_registry=reg)
+            by_dec = (
+                ranked.select(F.expr(f"(rank * 10) DIV {n}").alias("decile"),
+                              "r")
+                .groupBy("decile")
+                .agg(F.count("*").alias("n_customers"),
+                     F.sum("r").alias("decile_rev_cents"))
+            )
+            wcum = (Window.orderBy("decile")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+            wall = (Window.orderBy("decile")
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+            out = by_dec.select(
+                "decile", "n_customers", "decile_rev_cents",
+                (F.sum("decile_rev_cents").over(wcum).cast("double")
+                 / F.sum("decile_rev_cents").over(wall)).alias("cum_share")
+            ).orderBy("decile")
+            return materialize_release(out, *reg)
     finally:
         rev.unpersist()
-    total = scanned.agg(F.sum("r").alias("tot"))
-    return (
-        scanned.crossJoin(F.broadcast(total))
-        .select(
-            F.expr(f"(scan_one * 10) DIV {n}").alias("decile"),
-            "r", (F.col("scan_r") + F.col("r")).alias("cum_r"), "tot")
-        .groupBy("decile")
-        .agg(F.count("*").alias("n_customers"),
-             F.sum("r").alias("decile_rev_cents"),
-             (F.max("cum_r").cast("double") / F.first("tot"))
-             .alias("cum_share"))
-        .orderBy("decile")
-    )
 
 
 PARETO_SQL = """
@@ -219,32 +230,39 @@ def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2*Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i) with i the 1-based rank
     of revenue ascending (ties broken by custkey).
 
-    Ranks come from the distributed exscan (no global window). The
-    rank-weighted sum Σ i·x_i is ~n²·cents, far past BIGINT at a
-    100 TB customer count, so it accumulates as DECIMAL(38,0) on the
-    Spark side and HUGEINT in DuckDB; only the final double (one fixed
-    expression tree over exact integers, identical in both engines)
-    reaches the output, keeping the driver hash stable.
+    Ranks come from the pure-codegen distributed ranking — the old
+    form ran the exscan of a constant-1 measure, which IS the 0-based
+    rank, through a per-row scan pass; ranking computes the identical
+    integer with an array-literal offset + in-partition record index
+    and no extra pass (guide §1.2/§4.1). The rank-weighted sum Σ i·x_i
+    is ~n²·cents, far past BIGINT at a 100 TB customer count, so it
+    accumulates as DECIMAL(38,0) on the Spark side and HUGEINT in
+    DuckDB; only the final double (one fixed expression tree over
+    exact integers, identical in both engines) reaches the output,
+    keeping the driver hash stable.
     """
-    from kmr_spark.operators.reduce import scan_distributed
-    from kmr_spark.session import sized_shuffle_partitions
+    from kmr_spark.operators.sort import ranking
+    from kmr_spark.session import (materialize_release,
+                                   sized_shuffle_partitions)
 
     orders = load_tables(spark, sf_dir)["orders"]
     rev = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100)).alias("r")).persist()
     try:
         n = rev.count()
+        reg: list[DataFrame] = []
         with sized_shuffle_partitions(spark, n):
-            scanned = scan_distributed(
-                rev.select("k", "r", F.lit(1).alias("one")),
-                ["one"], [F.col("r").asc(), F.col("k")])
+            scanned = ranking(rev, [F.col("r").asc(), F.col("k")],
+                              cache_registry=reg)
+            sums = materialize_release(
+                scanned.agg(
+                    F.count("*").alias("n_customers"),
+                    F.sum("r").alias("s0"),
+                    F.sum((F.col("rank") + 1).cast("decimal(38,0)")
+                          * F.col("r")).alias("s1")),
+                *reg)
     finally:
         rev.unpersist()
-    sums = scanned.agg(
-        F.count("*").alias("n_customers"),
-        F.sum("r").alias("s0"),
-        F.sum((F.col("scan") + 1).cast("decimal(38,0)") * F.col("r"))
-        .alias("s1"))
     d = lambda c: F.col(c).cast("double")
     return sums.select(
         "n_customers",

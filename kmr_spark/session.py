@@ -296,8 +296,21 @@ def materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     the unpersist is safe and the caller gets a self-contained result.
     Only for results that fit comfortably in cluster storage (top-k
     lists, pair sets, aggregates) — never the corpus itself.
+
+    The checkpoint is the EAGER step that actually fills the caches;
+    if it throws (OOM, task failure), the caches are released here too
+    (ADVICE r11 #3: a mid-pipeline persist leaked executor storage for
+    the rest of the session when the materialization failed).
     """
-    out = out.localCheckpoint()
+    try:
+        out = out.localCheckpoint()
+    except Exception:
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        raise
     for df in cached:
         df.unpersist()
     return out

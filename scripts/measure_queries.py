@@ -60,13 +60,20 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"measure: {name}")
         if args.plans:
             os.makedirs(args.plans, exist_ok=True)
-            df = queries[name](spark, sf_dir)
+            # materialize_release stubbed to a pass-through so the
+            # dump shows the PIPELINE's plan, not the checkpoint scan
+            # (and building the frame doesn't eagerly execute it) —
+            # ADVICE r11 #1; timed runs below use the real function
+            from plan_stub import passthrough_materialize
+            with passthrough_materialize():
+                df = queries[name](spark, sf_dir)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             with open(os.path.join(
                     args.plans, f"{name}_{args.suffix}.txt"), "w") as f:
                 f.write(buf.getvalue())
+            spark.catalog.clearCache()
         run_once(name)  # warmup
         times = [run_once(name) for _ in range(args.reps)]
         out[name] = {"times": times, "min": min(times),

@@ -43,13 +43,21 @@ def main() -> None:
     queries = entrymod.queries()
     names = args.queries or sorted(queries)
 
+    from plan_stub import passthrough_materialize
+
     for name in names:
         fn = queries[name]
         try:
-            with contextlib.redirect_stdout(io.StringIO()) as buf:
+            # stub materialize_release so queries ending in a
+            # localCheckpoint expose their real pipeline (zero parquet
+            # Locations otherwise) and are not eagerly executed just
+            # to be audited (ADVICE r11 #1)
+            with contextlib.redirect_stdout(io.StringIO()) as buf, \
+                    passthrough_materialize():
                 df = fn(spark, args.sf)
                 df.explain("formatted")
             plan = buf.getvalue()
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             print(f"{name}\tERROR\t{type(exc).__name__}: {exc}",
                   flush=True)

@@ -120,6 +120,30 @@ def test_r11_window_is_the_50_longest_unchecked():
     )
 
 
+def test_bench_summary_queries_fit_driver_tail():
+    """The final bench line must stay parseable from the driver's
+    2000-byte stdout tail (BENCH_r03.json shows what overflow does):
+    SUMMARY_QUERIES must resolve, stay unique, and — encoded with
+    worst-case realistic values — fit the byte budget."""
+    import json
+
+    qs = entry.queries()
+    assert len(bench.SUMMARY_QUERIES) == len(set(bench.SUMMARY_QUERIES))
+    missing = [n for n in bench.SUMMARY_QUERIES if n not in qs]
+    assert not missing, missing
+    line = {
+        "metric": "kmr_spark headline queries, warm-JVM cold-cache "
+                  "noop-sink wall clock",
+        "value": 99999.999, "value_best": 99999.999, "unit": "sec",
+        "sf": 0.1, "n_queries": 304,
+        # 99.99 is a realistic worst-case per-query width; the runtime
+        # budget loop in main() drops entries past this anyway
+        "queries": {n: 99.99 for n in bench.SUMMARY_QUERIES},
+    }
+    assert len(json.dumps(line, separators=(",", ":"))) \
+        <= bench._SUMMARY_LINE_BUDGET
+
+
 def test_bench_covers_full_registry():
     """bench.py is the perf surface the driver records per round; a
     registered query absent from BENCH_QUERIES would silently escape
