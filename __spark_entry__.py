@@ -371,85 +371,73 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-# The ROUND-11 gate window: the 50 LONGEST-UNCHECKED driver greens,
-# re-derived from all ten CORRECTNESS_r{01..10}.json files (latest
-# round each name appeared in): the 30 remaining r4 rows (including
-# events_cusum_drift, which slid past the r10 50-entry check behind
-# the graph_clustering_coefficient re-check — it leads the window),
-# plus the 20 alphabetically-first r5 rows (all 38 r5 rows tie on
-# age; alphabetical tie-break keeps the selection deterministic and
-# auditable).  This advances the staleness rotation into the r4 block
-# (VERDICT r10 ask #4): after this round lands green, no registry row
-# is older than r5.
-#
-# Continuity: the next-oldest block is the remaining 18 r5 rows + the
-# oldest r6 rows — re-derive from the CORRECTNESS files as above and
-# pin that as _R12_WINDOW, advancing one ~50-row block per round so
-# the whole ledger cycles through fresh driver rows every ~6 rounds.
-_R11_WINDOW = (
-    # the 30 remaining r4 rows (events_cusum_drift slid from r10 first)
-    "events_cusum_drift", "events_decayed_value", "events_gate_streamed",
-    "events_hll_streamed", "events_markov_transitions",
-    "events_multitouch_attribution", "events_path_trigrams",
-    "events_props_extract", "events_scd2_state",
-    "events_seasonal_baseline", "events_session_campaign_overlap",
-    "events_session_window_native", "events_time_weighted_avg",
-    "events_value_deciles", "events_value_minmax_norm",
-    "graph_components", "join_size_estimate", "lineitem_bloom_prune",
-    "multimodal_audio_features", "multimodal_image_ahash",
-    "multimodal_scene_cuts", "orders_pareto_share",
-    "revenue_grouping_sets", "sample_docs_weighted",
-    "skew_report_orders", "train_epoch_shuffle", "train_source_mixture",
-    "train_split_leakage_safe", "train_temperature_mix",
-    "users_spearman_freq_value",
-    # the 20 alphabetically-first r5 rows
-    "docs_lang_source_chi2", "docs_source_divergence_tv",
-    "emb_norm_deciles", "events_ab_test_cuped", "events_anomaly_mad",
-    "events_asof_click_attrib", "events_ewma_int",
-    "events_funnel_windowed", "events_gap_histogram",
-    "events_heavy_users_cms", "events_kmv_overlap", "events_median_kvs",
-    "events_median_quickselect", "events_new_vs_returning",
-    "events_peak_rate", "events_props_schema_infer",
-    "events_retention_day_n", "events_rolling_wau",
-    "events_session_depth_histogram", "events_trending_streamed",
+# The ROUND-12 gate window: the 50 LONGEST-UNCHECKED driver greens,
+# re-derived from all eleven CORRECTNESS_r{01..11}.json files (latest
+# round each name appeared in, alphabetical tie-break within a round)
+# — exactly the continuity note the r11 window left behind: the 16
+# names that slid past the r11 50-entry check behind the 22 rechecks
+# (the 2 remaining r4 rows + the 14 alphabetically-first unchanged r5
+# rows) lead the window, then the remaining 18 r5 rows, then the 16
+# oldest r6 rows.  After this round lands green, no registry row is
+# older than r6.
+_R12_WINDOW = (
+    # the 2 remaining r4 rows (slid from the r11 check)
+    "train_temperature_mix", "users_spearman_freq_value",
+    # the 32 remaining r5 rows (14 slid from r11 + 18 next-oldest)
+    "emb_norm_deciles", "events_asof_click_attrib", "events_ewma_int",
+    "events_gap_histogram", "events_heavy_users_cms",
+    "events_median_kvs", "events_median_quickselect",
+    "events_new_vs_returning", "events_peak_rate",
+    "events_props_schema_infer", "events_retention_day_n",
+    "events_rolling_wau", "events_session_depth_histogram",
+    "events_trending_streamed", "events_trimmed_mean",
+    "events_type_share_drift", "events_user_entropy",
+    "events_user_lifecycle", "events_user_streaks",
+    "events_value_benford", "events_velocity_features",
+    "events_wau_stickiness", "lineitem_price_discount_corr",
+    "orders_customer_migration", "orders_interpurchase_gaps",
+    "orders_monthly_growth", "orders_priority_mix",
+    "orders_repeat_cohort", "parts_abc_classification",
+    "profile_documents", "text_tokenizer_fertility", "text_zipf_curve",
+    # the 16 oldest r6 rows
+    "docs_source_divergence_js", "emb_gram_matrix", "events_acf_daily",
+    "events_asof_forward_sla", "events_bootstrap_ci",
+    "events_bounce_rate", "events_cart_abandonment",
+    "events_changepoint_mean", "events_cohort_ltv_curve",
+    "events_diff_in_diff", "events_dow_hour_heatmap",
+    "events_duplicate_purchases", "events_forecast_snaive",
+    "events_hll_sliding", "events_jsonl_roundtrip",
+    "events_linreg_trend",
 )
 
 
 # Driver-green queries whose PLAN changed this round, so their stale
 # driver row is not enough — they re-enter the window ahead of the
 # re-green block for a fresh row against the (unchanged) oracles.
-# Round 11 changed plans in two groups:
-# - dedup_editdistance: the length-band join is now two-regime
-#   (llm_ops/dedup.py) — small corpus drops the salt machinery
-#   entirely (broadcast-hinted right side, widened probe side; the
-#   fixed 32-way salt replication was most of the r10 2.7s -> 10.6s
-#   sf0.1 regression, and the salt crossJoin child made the planner
-#   build on the wrong side), large corpus keeps the salted join with
-#   the salt count data-sized by _edit_join_salts (VERDICT r10 ask
-#   #3).
-# - the redundant-fact-scan sweep (OPTIMIZATION_r11.md): 21 queries
-#   had multi-branch re-evaluation removed (struct-array explodes,
-#   persisted shared frames, conditional-aggregate merges) — results
-#   proven bit-identical locally (check_queries --exact 304/304), but
-#   a changed plan deserves a fresh driver row over a stale one.
-# With 22 re-checks ahead of the 50-name window, the window's last 16
-# names (train_temperature_mix, users_spearman_freq_value, and the 14
-# unchanged r5 rows from emb_norm_deciles through
-# events_trending_streamed) slide to round 12 — order them into
-# _R12_WINDOW's head next round.
-_R11_RECHECK: tuple[str, ...] = (
-    "dedup_editdistance",
-    # batch 1 of the scan sweep
-    "events_attrib_window_sweep", "events_kmv_overlap",
-    "events_forecast_reconciled", "events_funnel", "text_pmi_pairs",
-    "basket_rules", "text_heaps_curve", "events_survival_km",
-    "events_hazard_daily", "events_shapley_attribution",
-    # batch 2
-    "events_ab_test_cuped", "events_funnel_windowed",
-    "multimodal_dedup_ahash", "docs_lang_source_chi2",
-    "docs_source_divergence_tv", "events_anomaly_mad",
-    "events_mde_curve", "events_ab_test_sequential",
-    "privacy_t_closeness", "search_bm25_topk", "events_ks_test",
+# Round 12 changed plans in three groups (OPTIMIZATION_r12.md):
+# - the exscan Python-boundary removal (operators/reduce.py window
+#   form; orders_pareto_share/orders_gini_revenue additionally
+#   rewritten to pure codegen ranking with no per-row scan at all);
+# - graph_modularity now shares ONE canonical edge checkpoint with
+#   the LPA label rounds (_lpa_labels) instead of rebuilding the
+#   generator+canonicalize pipeline;
+# - five r11 "kept-for-scale" rewrites REVERTED to their pre-r11
+#   forms after the sf10 A/B measured the old form faster at both
+#   scales (VERDICT r11 ask #3's measure-or-revert rule).
+# With 12 re-checks ahead of the 50-name window, the window's last 12
+# names (events_cohort_ltv_curve through events_linreg_trend) slide
+# to the next window's head if there is ever another round.
+_R12_RECHECK: tuple[str, ...] = (
+    # exscan family
+    "orders_pareto_share", "orders_gini_revenue",
+    "parts_abc_classification", "events_concurrent_sessions",
+    "events_ks_test", "events_watermark_late_census",
+    # shared-canon modularity
+    "graph_modularity",
+    # sf10-adjudicated reverts
+    "events_forecast_reconciled", "events_anomaly_mad",
+    "text_heaps_curve", "docs_source_divergence_tv",
+    "privacy_t_closeness",
 )
 
 
@@ -458,16 +446,16 @@ def _rotate_for_driver_window(queries):
     names that need a row most: any never-driver-checked query first
     (none exist while the registry stays frozen — this is a safety net
     for sanctioned additions), then changed-this-round re-checks, then
-    the pinned round-11 re-green window (the 50 oldest rows; with an
+    the pinned round-12 re-green window (the 50 oldest rows; with an
     empty re-check list the window fits the 50-entry check exactly —
-    any re-check added mid-round slides the window tail to round 12,
-    so order slid names into the next window's head), then the rest
-    in reverse registration order."""
+    any re-check added mid-round slides the window tail to the next
+    round, so order slid names into the next window's head), then the
+    rest in reverse registration order."""
     fresh = [n for n in queries if n not in _DRIVER_CHECKED]
-    recheck = [n for n in _R11_RECHECK
+    recheck = [n for n in _R12_RECHECK
                if n in queries and n not in set(fresh)]
     front = fresh + recheck
-    pinned = [n for n in _R11_WINDOW
+    pinned = [n for n in _R12_WINDOW
               if n in queries and n not in set(front)]
     in_front = set(front) | set(pinned)
     stale = [n for n in reversed(list(queries))

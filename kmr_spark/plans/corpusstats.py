@@ -271,6 +271,11 @@ QUERIES["docs_lang_source_chi2"] = docs_lang_source_chi2
 ORACLE_SQL["docs_lang_source_chi2"] = CHI2_SQL
 
 
+# r12 revert: the r11 single-pass/persist rewrite of this query was a
+# kept-for-scale trade pending sf10 evidence (VERDICT r11 ask #3); the
+# sf10 A/B (OPTIMIZATION_r12.md) measured the pre-rewrite form faster
+# at BOTH sf0.1 and sf10, so the rewrite is reverted per the verdict's
+# measure-or-revert rule.
 def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise TOTAL-VARIATION distance between the unigram
     distributions of every source pair — the drift/mixture diagnostic
@@ -286,12 +291,9 @@ def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
-    # vocab x |sources| rows, read THREE times (totals + both pair
-    # sides) — persisted so the token explode over the corpus runs once
     counts = (
         docs.select("source", F.explode(H.tokens_col("text")).alias("tok"))
-        .groupBy("source", "tok").agg(F.count("*").alias("c"))
-        .persist())
+        .groupBy("source", "tok").agg(F.count("*").alias("c")))
     totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
     ct = counts.join(F.broadcast(totals), "source")
     a = ct.select(F.col("source").alias("sa"), "tok",
@@ -309,11 +311,10 @@ def docs_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_total = (F.col("s_shared")
                + (F.col("ta") - F.col("ca_shared")) * F.col("tb")
                + (F.col("tb") - F.col("cb_shared")) * F.col("ta"))
-    out = shared.select(
+    return shared.select(
         F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
         "shared_toks", s_total.alias("s_abs"),
         (s_total / (F.lit(2.0) * F.col("ta") * F.col("tb"))).alias("tv"))
-    return materialize_release(out, counts)
 
 
 TV_DIVERGENCE_SQL = f"""
@@ -581,6 +582,11 @@ QUERIES["text_simpson_diversity"] = text_simpson_diversity
 ORACLE_SQL["text_simpson_diversity"] = SIMPSON_SQL
 
 
+# r12 revert: the r11 single-pass/persist rewrite of this query was a
+# kept-for-scale trade pending sf10 evidence (VERDICT r11 ask #3); the
+# sf10 A/B (OPTIMIZATION_r12.md) measured the pre-rewrite form faster
+# at BOTH sf0.1 and sf10, so the rewrite is reverted per the verdict's
+# measure-or-revert rule.
 def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law curve: cumulative distinct vocabulary vs cumulative
     token count at 10 id-range checkpoints of the corpus — how fast
@@ -595,48 +601,30 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from kmr_spark.session import materialize_release
-
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("text").isNotNull())
-    # one bounded 1-row collect (the ranking/centroid discipline)
-    # instead of a broadcast subtree: each crossJoin(broadcast(mx))
-    # reference re-ran the max aggregate's own docs scan
-    mx_row = docs.agg((F.max("doc_id") + 1).alias("mx")).collect()[0][0]
-    if mx_row is None:
-        # empty documents table: max() is NULL — the pre-collect
-        # broadcast form degraded to zero output rows (aggregates over
-        # an empty grouped frame emit nothing); return that shape
-        # instead of raising TypeError on int(None) (ADVICE r11 #2)
-        return spark.createDataFrame(
-            [], "decile bigint, docs_cum bigint, tokens_cum bigint, "
-                "vocab_cum bigint")
-    mxv = int(mx_row)
-    dec = F.expr(f"(doc_id * 10) DIV {mxv}")
-    # ONE token-explode pass: the (decile, tok) rollup (vocab-bounded,
-    # <= 10 rows per token) serves both the per-decile token totals
-    # (sum of counts) and the first-decile vocab increments (min
-    # decile per token) — the uncached form exploded the corpus twice
-    tok_dec = (
-        docs.select(dec.alias("decile"),
-                    F.explode(F.filter(F.split("text", " "),
-                                       lambda x: x != "")).alias("tok"))
-        .groupBy("decile", "tok").agg(F.count("*").alias("c"))
-        .persist()
+    mx = docs.agg((F.max("doc_id") + 1).alias("mx"))
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(doc_id * 10) DIV mx").alias("decile"),
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+            .alias("tok"))
     )
-    per_dec_tokens = tok_dec.groupBy("decile").agg(
-        F.sum("c").alias("n_tokens"))
+    per_dec_tokens = toks.groupBy("decile").agg(
+        F.count("*").alias("n_tokens"))
     first_dec = (
-        tok_dec.groupBy("tok").agg(F.min("decile").alias("decile"))
+        toks.groupBy("tok").agg(F.min("decile").alias("decile"))
         .groupBy("decile").agg(F.count("*").alias("n_new_vocab"))
     )
     docs_per_dec = (
-        docs.groupBy(dec.alias("decile"))
+        docs.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("(doc_id * 10) DIV mx").alias("decile"))
         .agg(F.count("*").alias("n_docs"))
     )
     w = (Window.orderBy("decile")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (
+    return (
         docs_per_dec
         .join(per_dec_tokens, "decile", "left")
         .join(first_dec, "decile", "left")
@@ -649,7 +637,6 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_cum"))
         .orderBy("decile")
     )
-    return materialize_release(out, tok_dec)
 
 
 HEAPS_SQL = """

@@ -165,6 +165,11 @@ ORACLE_SQL["privacy_generalization_ladder"] = LADDER_SQL
 T_LEVELS_PERMILLE = (200, 300, 500)  # t = 0.2 / 0.3 / 0.5
 
 
+# r12 revert: the r11 single-pass/persist rewrite of this query was a
+# kept-for-scale trade pending sf10 evidence (VERDICT r11 ask #3); the
+# sf10 A/B (OPTIMIZATION_r12.md) measured the pre-rewrite form faster
+# at BOTH sf0.1 and sf10, so the rewrite is reverted per the verdict's
+# measure-or-revert rule.
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-CLOSENESS audit over the same QI scheme as the k-anonymity
     query ((mktsegment, nationkey), sensitive = acctbal band): per QI
@@ -181,18 +186,12 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sensitive-band dimension is BOUNDED (|bands| ~ 12), so
     the groups x bands grid rides a broadcast; everything upstream is
     two map-side-combinable aggregations of the corpus."""
-    from kmr_spark.session import materialize_release
-
     cust = load_tables(spark, sf_dir)["customer"]
     band = F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band")
-    # |segments| x |nations| x |bands| rollup — persisted; the global
-    # band distribution and the grand total are EXACT integer sums of
-    # it, so the customer table is scanned once, not once per marginal
-    gs = (cust.groupBy("c_mktsegment", "c_nationkey", band)
-          .agg(F.count("*").alias("cnt_gs"))
-          .persist())
-    glob = gs.groupBy("band").agg(F.sum("cnt_gs").alias("cnt_s"))
-    totals = gs.agg(F.sum("cnt_gs").alias("n"))
+    gs = cust.groupBy("c_mktsegment", "c_nationkey", band) \
+        .agg(F.count("*").alias("cnt_gs"))
+    glob = cust.groupBy(band).agg(F.count("*").alias("cnt_s"))
+    totals = cust.agg(F.count("*").alias("n"))
     groups = gs.groupBy("c_mktsegment", "c_nationkey") \
         .agg(F.sum("cnt_gs").alias("g_size"))
     grid = groups.crossJoin(F.broadcast(glob))
@@ -217,7 +216,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in T_LEVELS_PERMILLE:
         agg.append(F.count(F.when(F.col("tv_permille") > t, 1))
                    .alias(f"groups_above_t{t}"))
-    return materialize_release(tv.groupBy().agg(*agg), gs)
+    return tv.groupBy().agg(*agg)
 
 
 _T_COLS = ",\n".join(

@@ -938,6 +938,11 @@ ORACLE_SQL["events_type_share_drift"] = TYPE_DRIFT_SQL
 MAD_K = 5  # flag threshold: |x - median| > MAD_K * MAD
 
 
+# r12 revert: the r11 single-pass/persist rewrite of this query was a
+# kept-for-scale trade pending sf10 evidence (VERDICT r11 ask #3); the
+# sf10 A/B (OPTIMIZATION_r12.md) measured the pre-rewrite form faster
+# at BOTH sf0.1 and sf10, so the rewrite is reverted per the verdict's
+# measure-or-revert rule.
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly flags on the hourly series: median/MAD instead
     of mean/stddev (events_anomaly_zscore's fragile twin under heavy
@@ -946,17 +951,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded per-type hourly rollup, MAD is the lo-median of
     absolute deviations, flags are integer comparisons.
     """
-    from kmr_spark.session import materialize_release
-
     ev = load_tables(spark, sf_dir)["events"]
-    # |types| x |hours| rollup read by med + dev, and dev read by mad +
-    # the final select — both persisted so the events aggregation runs
-    # once, not once per downstream branch (4 corpus scans before)
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", "ts").alias("hour_ts"))
               .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
-                   .alias("cents"))
-              .persist())
+                   .alias("cents")))
     wm = Window.partitionBy("event_type").orderBy("cents", "hour_ts")
     wc = Window.partitionBy("event_type")
     med = (hourly
@@ -965,20 +964,18 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
            .select("event_type", F.col("cents").alias("med")))
     dev = (hourly.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("cents") - F.col("med")))
-           .persist())
+           .withColumn("adev", F.abs(F.col("cents") - F.col("med"))))
     wd = Window.partitionBy("event_type").orderBy("adev", "hour_ts")
     mad = (dev.withColumn("rn", F.row_number().over(wd))
            .withColumn("n", F.count("*").over(wc))
            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
            .select("event_type", F.col("adev").alias("mad")))
-    out = (
+    return (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_type", "hour_ts", "cents", "med", "mad",
                 (F.col("adev") > F.lit(MAD_K) * F.col("mad"))
                 .alias("is_anomaly"))
     )
-    return materialize_release(out, hourly, dev)
 
 
 ANOMALY_MAD_SQL = f"""
@@ -1457,6 +1454,11 @@ ORACLE_SQL["events_peak_prominence"] = PEAK_SQL
 RECON_HORIZON = 7
 
 
+# r12 revert: the r11 single-pass/persist rewrite of this query was a
+# kept-for-scale trade pending sf10 evidence (VERDICT r11 ask #3); the
+# sf10 A/B (OPTIMIZATION_r12.md) measured the pre-rewrite form faster
+# at BOTH sf0.1 and sf10, so the rewrite is reverted per the verdict's
+# measure-or-revert rule.
 def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HIERARCHICAL forecast reconciliation (top-down proportional):
     the per-type seasonal-naive forecasts and the total-series
@@ -1473,19 +1475,13 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=|types|x31 rows) + broadcast share totals; the corpus is
     touched by ONE map-side-combinable aggregation.
     """
-    from kmr_spark.session import materialize_release
-
     ev = load_tables(spark, sf_dir)["events"]
-    # <= |types| x |days| rows — persisted: last/base/shares each read
-    # the cache instead of re-running the events aggregation (the
-    # uncached form scanned the corpus 8x for one tiny rollup)
     daily = (
         ev.select(
             "event_type",
             F.datediff(F.to_date("ts"),
                        F.lit("2024-01-01").cast("date")).alias("d"))
         .groupBy("event_type", "d").agg(F.count("*").alias("x"))
-        .persist()
     )
     last = daily.agg(F.max("d").alias("dmax"))
     base = (
@@ -1505,7 +1501,7 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type").agg(F.sum("x").alias("cnt_type"))
     )
     share_tot = shares.agg(F.sum("cnt_type").alias("cnt_all"))
-    out = (
+    return (
         base.join(total_fc, "h")
         .join(F.broadcast(shares), "event_type")
         .crossJoin(F.broadcast(share_tot))
@@ -1519,7 +1515,6 @@ def events_forecast_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reconciled"))
         .orderBy("h", "event_type")
     )
-    return materialize_release(out, daily)
 
 
 RECONCILED_SQL = f"""

@@ -63,11 +63,11 @@ def test_no_duplicate_names_across_modules():
 
 def test_driver_gate_rotation_invariants():
     """The driver checks exactly the FIRST 50 registry entries; these
-    invariants make the round-11 gate deterministic:
+    invariants make the round-12 gate deterministic:
     - the ledger is closed (every registered query is in
       _DRIVER_CHECKED), so any never-checked query — none exist while
       the registry stays frozen — would iterate first as a safety net,
-    - the pinned re-green window (_R11_WINDOW, the 50 longest-unchecked
+    - the pinned re-green window (_R12_WINDOW, the 50 longest-unchecked
       rows) fills the driver's 50-entry check exactly,
     - a sanctioned post-freeze addition would shrink the re-green
       window from the back rather than overflow the 50."""
@@ -77,23 +77,22 @@ def test_driver_gate_rotation_invariants():
     # ledger closed: no registered query lacks a driver row
     unchecked = [n for n in names if n not in entry._DRIVER_CHECKED]
     assert not unchecked, f"never-driver-checked queries exist: {unchecked}"
-    assert len(entry._R11_WINDOW) == 50
-    assert len(set(entry._R11_WINDOW)) == 50
-    assert set(entry._R11_WINDOW) <= entry._DRIVER_CHECKED
+    assert len(entry._R12_WINDOW) == 50
+    assert len(set(entry._R12_WINDOW)) == 50
+    assert set(entry._R12_WINDOW) <= entry._DRIVER_CHECKED
     # changed-plan re-checks iterate first; the re-green window fills
     # the rest of the driver's 50-entry check.  A re-check that is
-    # NOT in the window (round 11: dedup_editdistance, fresh from its
-    # r10 row) pushes the window tail (events_trending_streamed) out
-    # to the next round's window head.
-    rc = [n for n in entry._R11_RECHECK if n in qs]
+    # NOT in the window pushes the window tail out to the next
+    # round's window head.
+    rc = [n for n in entry._R12_RECHECK if n in qs]
     assert set(rc) <= entry._DRIVER_CHECKED
     assert names[:len(rc)] == rc
-    expected = rc + [n for n in entry._R11_WINDOW if n not in set(rc)]
+    expected = rc + [n for n in entry._R12_WINDOW if n not in set(rc)]
     assert tuple(names[:50]) == tuple(expected[:50])
     assert len(entry._DRIVER_CHECKED) == len(names)
 
 
-def test_r11_window_is_the_50_longest_unchecked():
+def test_r12_window_is_the_50_longest_unchecked():
     """The window is not hand-picked: it must equal the 50 names with
     the OLDEST latest-check round across every committed
     CORRECTNESS_r*.json, alphabetical tie-break within a round.  This
@@ -109,14 +108,14 @@ def test_r11_window_is_the_50_longest_unchecked():
     assert files, "no CORRECTNESS files — rotation has no evidence base"
     for f in files:
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        if rnd >= 11:
-            continue  # the window was derived from rounds 1-10 evidence
+        if rnd >= 12:
+            continue  # the window was derived from rounds 1-11 evidence
         for name in json.load(open(f)):
             latest[name] = max(rnd, latest.get(name, 0))
     oldest = sorted(latest, key=lambda n: (latest[n], n))[:50]
-    assert set(entry._R11_WINDOW) == set(oldest), (
-        sorted(set(entry._R11_WINDOW) - set(oldest)),
-        sorted(set(oldest) - set(entry._R11_WINDOW)),
+    assert set(entry._R12_WINDOW) == set(oldest), (
+        sorted(set(entry._R12_WINDOW) - set(oldest)),
+        sorted(set(oldest) - set(entry._R12_WINDOW)),
     )
 
 
